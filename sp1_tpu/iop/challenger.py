@@ -1,0 +1,103 @@
+"""Fiat-Shamir duplex challenger over KoalaBear (host side).
+
+Mirrors the reference's `DuplexChallenger<SP1Field, KoalaPerm, 16, 8>`
+(reference: slop/crates/koala-bear/src/koala_bear_poseidon2.rs:32,
+slop/crates/challenger/src/lib.rs) so that transcripts are reproducible:
+
+  * `observe(x)` clears the output buffer, pushes x into an input buffer;
+    when the input buffer reaches RATE=8 the sponge duplexes.
+  * duplexing: overwrite state[0..len(input)] with the buffered inputs,
+    permute, refill the output buffer with state[0..8]; `sample()` pops
+    from the END of that output buffer (state[7] first).
+  * `sample_ext()` draws 4 base samples as ext4 coefficients 0..3.
+  * grinding: `check_witness(bits, w)` observes w then requires the low
+    `bits` bits of a sample to be zero.
+
+Values are canonical uint32; the permutation is the numpy host mirror of
+the device kernel (differentially tested against it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import koalabear as kb
+from ..ops.poseidon2 import DIGEST, RATE, WIDTH, hostp2
+
+
+class DuplexChallenger:
+    def __init__(self):
+        self.state = np.zeros(WIDTH, dtype=np.uint32)
+        self.input_buffer: list[int] = []
+        self.output_buffer: list[int] = []
+
+    def clone(self) -> "DuplexChallenger":
+        c = DuplexChallenger()
+        c.state = self.state.copy()
+        c.input_buffer = list(self.input_buffer)
+        c.output_buffer = list(self.output_buffer)
+        return c
+
+    def _duplex(self):
+        assert len(self.input_buffer) <= RATE
+        for i, v in enumerate(self.input_buffer):
+            self.state[i] = v
+        self.input_buffer.clear()
+        self.state = hostp2.permute(self.state)
+        self.output_buffer = [int(x) for x in self.state[:RATE]]
+
+    # -- observe -----------------------------------------------------------
+    def observe(self, value: int):
+        self.output_buffer.clear()
+        self.input_buffer.append(int(value) % kb.P)
+        if len(self.input_buffer) == RATE:
+            self._duplex()
+
+    def observe_slice(self, values):
+        for v in np.asarray(values, dtype=np.uint32).reshape(-1):
+            self.observe(int(v))
+
+    def observe_ext(self, coeffs):
+        coeffs = np.asarray(coeffs, dtype=np.uint32).reshape(-1)
+        assert coeffs.shape[-1] == 4
+        self.observe_slice(coeffs)
+
+    def observe_digest(self, digest):
+        digest = np.asarray(digest, dtype=np.uint32).reshape(-1)
+        assert digest.shape[0] == DIGEST
+        self.observe_slice(digest)
+
+    def observe_variable_length_slice(self, values):
+        values = np.asarray(values, dtype=np.uint32).reshape(-1)
+        self.observe(len(values))
+        self.observe_slice(values)
+
+    # -- sample ------------------------------------------------------------
+    def sample(self) -> int:
+        if self.input_buffer or not self.output_buffer:
+            self._duplex()
+        return self.output_buffer.pop()
+
+    def sample_ext(self) -> np.ndarray:
+        return np.array([self.sample() for _ in range(4)], dtype=np.uint32)
+
+    def sample_ext_vec(self, n: int) -> np.ndarray:
+        return np.stack([self.sample_ext() for _ in range(n)])
+
+    def sample_bits(self, bits: int) -> int:
+        return self.sample() & ((1 << bits) - 1)
+
+    # -- grinding ----------------------------------------------------------
+    def check_witness(self, bits: int, witness: int) -> bool:
+        self.observe(witness)
+        return self.sample_bits(bits) == 0
+
+    def grind(self, bits: int) -> int:
+        """Find a witness passing `check_witness`. Host-side brute force."""
+        for w in range(kb.P):
+            c = self.clone()
+            if c.check_witness(bits, w):
+                self.observe(w)
+                assert self.sample_bits(bits) == 0
+                return w
+        raise RuntimeError("grind failed")

@@ -1,0 +1,136 @@
+"""Poseidon2 Merkle-tree tensor commitment scheme (TCS) for TPU.
+
+Mirrors the reference `MerkleTreeTcs` (reference:
+slop/crates/merkle-tree/src/tcs.rs): a batch of 2D tensors with a common
+height H is committed by hashing, for each row index, the concatenation
+of that row across all tensors (PaddingFreeSponge, rate 8, digest 8),
+then building a binary tree with the width-16 truncated-permutation
+compressor. Openings return the row values plus the sibling-digest path.
+
+Device path: leaf hashing and every tree layer are vectorized Poseidon2
+calls over monty uint32 arrays — one `permute` over (N, 16) per sponge
+chunk / tree level, which XLA maps onto the VPU. Proof assembly and
+verification are host-side numpy (canonical form).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..field import koalabear as kb
+from ..ops import poseidon2 as p2
+
+
+@dataclass
+class MerkleTree:
+    """Prover data: all digest layers, monty form, layer[0] = leaves."""
+
+    layers: list  # list of np.ndarray (N_l, 8) monty
+    height: int  # number of leaf rows (power of 2)
+
+    @property
+    def root(self) -> np.ndarray:
+        """Root digest, canonical uint32 (8,)."""
+        return np.asarray(kb.from_monty(jnp.asarray(self.layers[-1][0])))
+
+
+@dataclass
+class MerkleProof:
+    """Opening proof for a set of row indices."""
+
+    paths: np.ndarray  # (Q, depth, 8) canonical digests (siblings, bottom-up)
+    log_height: int
+    width: int
+
+
+@jax.jit
+def _leaf_hash(rows):
+    return p2.hash_rows(rows)
+
+
+@jax.jit
+def _compress_layer(layer):
+    """(2N, 8) digests -> (N, 8) parent digests."""
+    pairs = layer.reshape(-1, 16)
+    return p2.permute(pairs)[:, : p2.DIGEST]
+
+
+def commit_tensors(tensors: list) -> MerkleTree:
+    """Commit to tensors [(H, W_i) monty uint32 jnp arrays], same H.
+
+    Rows are concatenated across tensors before hashing
+    (reference: slop/crates/merkle-tree/src/tcs.rs:146 hash_iter_slices).
+    """
+    tensors = [jnp.asarray(t, jnp.uint32) for t in tensors]
+    h = tensors[0].shape[0]
+    assert h & (h - 1) == 0, "height must be a power of two"
+    assert all(t.shape[0] == h for t in tensors)
+    rows = jnp.concatenate([t.reshape(h, -1) for t in tensors], axis=1)
+    layer = _leaf_hash(rows)
+    layers = [np.asarray(layer)]
+    while layer.shape[0] > 1:
+        layer = _compress_layer(layer)
+        layers.append(np.asarray(layer))
+    return MerkleTree(layers=layers, height=h)
+
+
+def open_at_indices(tree: MerkleTree, indices: list, width: int) -> MerkleProof:
+    """Sibling paths (bottom-up) for leaf indices, canonical digests."""
+    depth = len(tree.layers) - 1
+    paths = np.zeros((len(indices), depth, p2.DIGEST), np.uint32)
+    for q, idx in enumerate(indices):
+        i = int(idx)
+        for lvl in range(depth):
+            sib = i ^ 1
+            paths[q, lvl] = tree.layers[lvl][sib]
+            i >>= 1
+    # convert digests to canonical form in one vectorized call
+    paths = np.asarray(kb.from_monty(jnp.asarray(paths.reshape(-1))), np.uint32).reshape(
+        paths.shape
+    )
+    return MerkleProof(paths=paths, log_height=depth, width=width)
+
+
+def compute_openings(tensors: list, indices: list) -> np.ndarray:
+    """Row values at indices, canonical, shape (Q, total_width)."""
+    rows = []
+    h = int(tensors[0].shape[0])
+    cat = jnp.concatenate([jnp.asarray(t).reshape(h, -1) for t in tensors], axis=1)
+    idx = jnp.asarray(np.asarray(indices, np.int32))
+    vals = kb.from_monty(cat[idx])
+    return np.asarray(vals, np.uint32)
+
+
+def verify_openings(
+    root: np.ndarray,
+    indices: list,
+    values: np.ndarray,
+    expected_width: int,
+    expected_log_height: int,
+    proof: MerkleProof,
+) -> bool:
+    """Host verification, canonical form (reference: tcs.rs:103-150)."""
+    if proof.width != expected_width or proof.log_height != expected_log_height:
+        return False
+    if values.shape[0] != len(indices) or values.shape[1] != proof.width:
+        return False
+    if proof.paths.shape != (len(indices), proof.log_height, p2.DIGEST):
+        return False
+    for q, idx in enumerate(indices):
+        digest = p2.hostp2.hash_rows(values[q])
+        i = int(idx)
+        for lvl in range(proof.log_height):
+            sib = proof.paths[q, lvl]
+            if i & 1:
+                digest = p2.hostp2.compress(sib, digest)
+            else:
+                digest = p2.hostp2.compress(digest, sib)
+            i >>= 1
+        if not np.array_equal(digest, np.asarray(root, np.uint32)):
+            return False
+    return True

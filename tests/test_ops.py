@@ -1,0 +1,184 @@
+"""Differential tests: device (jnp, monty) kernels vs host (numpy, canonical)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sp1_tpu.field import koalabear as kb
+from sp1_tpu.field import extension as ext
+from sp1_tpu.field.domain import bit_reverse_indices, pow_vector, two_adic_generator
+from sp1_tpu.ops import mle, ntt
+from sp1_tpu.ops import poseidon2 as p2
+from sp1_tpu.pcs import merkle
+
+RNG = np.random.default_rng(7)
+
+
+def rand_canon(shape):
+    return RNG.integers(0, kb.P, size=shape, dtype=np.uint64).astype(np.uint32)
+
+
+def to_monty_np(x):
+    return ((x.astype(np.uint64) << 32) % kb.P).astype(np.uint32)
+
+
+def from_monty_np(x):
+    rinv = pow(1 << 32, -1, kb.P)
+    return (x.astype(np.uint64) * rinv % kb.P).astype(np.uint32)
+
+
+class TestPoseidon2:
+    def test_permute_device_vs_host(self):
+        states = rand_canon((17, 16))
+        dev = np.asarray(p2.permute(jnp.asarray(to_monty_np(states))))
+        host = p2.hostp2.permute(states)
+        np.testing.assert_array_equal(from_monty_np(dev), host)
+
+    def test_permute_changes_state_and_deterministic(self):
+        s = rand_canon((1, 16))
+        out1 = p2.hostp2.permute(s)
+        out2 = p2.hostp2.permute(s)
+        np.testing.assert_array_equal(out1, out2)
+        assert not np.array_equal(out1, s)
+
+    def test_hash_rows_device_vs_host(self):
+        rows = rand_canon((5, 23))
+        dev = np.asarray(p2.hash_rows(jnp.asarray(to_monty_np(rows))))
+        host = p2.hostp2.hash_rows(rows)
+        np.testing.assert_array_equal(from_monty_np(dev), host)
+
+    def test_compress_device_vs_host(self):
+        l = rand_canon((4, 8))
+        r = rand_canon((4, 8))
+        dev = np.asarray(p2.compress(jnp.asarray(to_monty_np(l)), jnp.asarray(to_monty_np(r))))
+        np.testing.assert_array_equal(from_monty_np(dev), p2.hostp2.compress(l, r))
+
+
+class TestNtt:
+    @pytest.mark.parametrize("log_n", [1, 3, 6])
+    def test_forward_matches_naive(self, log_n):
+        n = 1 << log_n
+        coeffs = rand_canon((n, 3))
+        dev = np.asarray(ntt.ntt_bitrev(jnp.asarray(to_monty_np(coeffs)), log_n))
+        dev = from_monty_np(dev)
+        naive = ntt.host_ntt_naive(coeffs, log_n)
+        rev = bit_reverse_indices(log_n)
+        np.testing.assert_array_equal(dev, naive[rev])
+
+    @pytest.mark.parametrize("log_n", [1, 4, 7])
+    def test_roundtrip(self, log_n):
+        n = 1 << log_n
+        coeffs = to_monty_np(rand_canon((n, 2)))
+        fwd = ntt.ntt_bitrev(jnp.asarray(coeffs), log_n)
+        back = np.asarray(ntt.intt_from_bitrev(fwd, log_n))
+        np.testing.assert_array_equal(back, coeffs)
+
+    def test_rs_encode_prefix_property(self):
+        # Codeword restricted to the subgroup positions = NTT of message.
+        log_h, blow = 4, 1
+        msg = rand_canon((1 << log_h, 2))
+        code = np.asarray(ntt.rs_encode(jnp.asarray(to_monty_np(msg)), log_h, blow))
+        assert code.shape[0] == 1 << (log_h + blow)
+        # spot-check: evaluate the poly at the domain point for one index
+        log_n = log_h + blow
+        g = two_adic_generator(log_n)
+        idx = 5
+        from sp1_tpu.field.domain import reverse_bits
+
+        x = pow(g, reverse_bits(idx, log_n), kb.P)
+        expect = np.zeros(2, np.uint64)
+        for j in range(1 << log_h):
+            expect = (expect + msg[j].astype(np.uint64) * pow(x, j, kb.P)) % kb.P
+        np.testing.assert_array_equal(from_monty_np(code[idx]), expect.astype(np.uint32))
+
+
+class TestMle:
+    def test_eval_matches_host(self):
+        guts = rand_canon((16, 3))
+        point = rand_canon((4, 4))
+        dev = np.asarray(
+            mle.eval_mle_at_point_ext(jnp.asarray(to_monty_np(guts)), jnp.asarray(to_monty_np(point)))
+        )
+        host = mle.host.eval_base_mle(guts, point)
+        np.testing.assert_array_equal(from_monty_np(dev), host)
+
+    def test_eval_on_hypercube_point(self):
+        # Evaluating at a boolean point returns the table entry.
+        guts = rand_canon((8, 2))
+        bits = [1, 0, 1]  # index: big-endian => 5
+        point = np.zeros((3, 4), np.uint32)
+        for k, b in enumerate(bits):
+            point[k, 0] = b
+        val = mle.host.eval_base_mle(guts, point)
+        np.testing.assert_array_equal(val[:, 0], guts[5])
+        assert np.all(val[:, 1:] == 0)
+
+    def test_fold_consistency_with_eval(self):
+        # folded = even + beta*odd; folded(point) == mle(point, beta')?
+        # BaseFold identity: folded(Y) = v(Y,0) + beta * v(Y,1)
+        guts = rand_canon((16, 1))
+        beta = rand_canon((4,))
+        g_m = jnp.asarray(to_monty_np(guts))
+        ext_guts = mle.ext4_embed(g_m[:, 0])
+        folded = np.asarray(mle.fold_ext(ext_guts, jnp.asarray(to_monty_np(beta))))
+        point = rand_canon((3, 4))
+        lhs = mle.host.eval_ext_mle(from_monty_np(folded), point)
+        v0 = mle.host.eval_base_mle(guts[0::2], point)[0]
+        v1 = mle.host.eval_base_mle(guts[1::2], point)[0]
+        rhs = ext.npext4.add(v0, ext.npext4.mul(beta, v1))
+        np.testing.assert_array_equal(lhs, rhs)
+
+    def test_fix_last_variable(self):
+        guts = rand_canon((8, 2))
+        alpha = rand_canon((4,))
+        fixed = np.asarray(
+            mle.fix_last_variable_base_to_ext(
+                jnp.asarray(to_monty_np(guts)), jnp.asarray(to_monty_np(alpha))
+            )
+        )
+        # evaluating fixed at boolean point (1,0) = original at (1,0,alpha)
+        point = np.zeros((2, 4), np.uint32)
+        point[0, 0] = 1
+        got = mle.host.eval_ext_mle(from_monty_np(fixed), point)  # (W,4)
+        full_point = np.concatenate([point, alpha[None]], axis=0)
+        expect = mle.host.eval_base_mle(guts, full_point)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_eq_points(self):
+        a = rand_canon((3, 4))
+        eq = mle.host.eq_points(a, a.copy())
+        # eq(x,x) need not be 1 for non-boolean x; but eq at boolean pairs is
+        b1 = np.zeros((3, 4), np.uint32)
+        b2 = np.zeros((3, 4), np.uint32)
+        b1[0, 0] = 1
+        b2[0, 0] = 1
+        np.testing.assert_array_equal(mle.host.eq_points(b1, b2), ext.npext4.one())
+        b2[1, 0] = 1
+        assert np.all(mle.host.eq_points(b1, b2) == 0)
+        del eq
+
+
+class TestMerkle:
+    def test_commit_open_verify(self):
+        h = 16
+        t1 = to_monty_np(rand_canon((h, 3)))
+        t2 = to_monty_np(rand_canon((h, 5)))
+        tree = merkle.commit_tensors([jnp.asarray(t1), jnp.asarray(t2)])
+        indices = [0, 5, 15, 5]
+        values = merkle.compute_openings([jnp.asarray(t1), jnp.asarray(t2)], indices)
+        proof = merkle.open_at_indices(tree, indices, width=8)
+        assert merkle.verify_openings(tree.root, indices, values, 8, 4, proof)
+        # tamper
+        bad = values.copy()
+        bad[1, 0] ^= 1
+        assert not merkle.verify_openings(tree.root, indices, bad, 8, 4, proof)
+
+    def test_root_depends_on_all_leaves(self):
+        h = 8
+        t = to_monty_np(rand_canon((h, 2)))
+        tree1 = merkle.commit_tensors([jnp.asarray(t)])
+        t2 = t.copy()
+        t2[7, 1] ^= 2
+        tree2 = merkle.commit_tensors([jnp.asarray(t2)])
+        assert not np.array_equal(tree1.root, tree2.root)
