@@ -93,11 +93,46 @@ class DuplexChallenger:
         return self.sample_bits(bits) == 0
 
     def grind(self, bits: int) -> int:
-        """Find a witness passing `check_witness`. Host-side brute force."""
-        for w in range(kb.P):
-            c = self.clone()
-            if c.check_witness(bits, w):
-                self.observe(w)
-                assert self.sample_bits(bits) == 0
+        """Find a witness w such that `check_witness(bits, w)` passes.
+
+        Vectorized on device: candidate witnesses are scanned in batches
+        by replaying the duplex semantics of observe(w)+sample_bits(bits)
+        for all candidates at once with the jnp Poseidon2 kernel.
+        (Reference: GrindingChallenger::grind; the GPU backend moves the
+        same search on-device, sp1-gpu challenger kernels.)
+        """
+        batch = 1 << (min(bits + 2, 18))
+        base_state = self.state.copy()
+        nbuf = len(self.input_buffer)
+        assert nbuf < RATE
+        for start in range(0, kb.P, batch):
+            w = self._grind_batch(base_state, nbuf, start, batch, bits)
+            if w is not None:
+                ok = self.check_witness(bits, w)
+                assert ok
                 return w
         raise RuntimeError("grind failed")
+
+    def _grind_batch(self, base_state, nbuf, start, batch, bits):
+        import jax.numpy as jnp
+
+        from ..field import koalabear as kbf
+        from ..ops.poseidon2 import permute as dev_permute
+
+        cands = (np.arange(start, start + batch, dtype=np.uint64) % kb.P).astype(
+            np.uint32
+        )
+        # Build the pre-permutation states: current sponge state with the
+        # input buffer (plus candidate witness) overwritten at the front.
+        states = np.broadcast_to(base_state, (batch, WIDTH)).copy()
+        for i, v in enumerate(self.input_buffer):
+            states[:, i] = v
+        states[:, nbuf] = cands
+        # to monty, permute on device, read lane RATE-1 (first sample popped)
+        states_m = ((states.astype(np.uint64) << 32) % kb.P).astype(np.uint32)
+        out = dev_permute(jnp.asarray(states_m))
+        lane = np.asarray(kbf.from_monty(out[:, RATE - 1]), np.uint32)
+        hits = np.nonzero((lane & ((1 << bits) - 1)) == 0)[0]
+        if hits.size == 0:
+            return None
+        return int(cands[hits[0]])

@@ -53,12 +53,12 @@ def uni_eval_zero_plus_one(coeffs: np.ndarray) -> np.ndarray:
 
 
 def rlc_polys(polys: list, lam: np.ndarray) -> np.ndarray:
-    """sum_i lam^i * poly_i for coefficient arrays of equal shape."""
+    """Horner-style RLC: ((p0*lam + p1)*lam + p2)... — the FIRST poly gets
+    the highest power of lambda (reference:
+    slop/crates/algebra/src/univariate.rs:99 rlc_univariate_polynomials)."""
     acc = polys[0].copy()
-    power = lam
     for p in polys[1:]:
-        acc = E4.add(acc, E4.mul(p, power))
-        power = E4.mul(power, lam)
+        acc = E4.add(E4.mul(acc, np.broadcast_to(lam, acc.shape)), p)
     return acc
 
 
