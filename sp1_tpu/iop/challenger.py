@@ -82,6 +82,8 @@ class DuplexChallenger:
         return np.array([self.sample() for _ in range(4)], dtype=np.uint32)
 
     def sample_ext_vec(self, n: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros((0, 4), np.uint32)
         return np.stack([self.sample_ext() for _ in range(n)])
 
     def sample_bits(self, bits: int) -> int:

@@ -111,8 +111,8 @@ def reduce_sumcheck_to_evaluation(
         point.insert(0, alpha)
         cursor = [p.fix_last_variable(alpha) for p in cursor]
 
-    component_evals = [uni_eval(up, point[0]) for up in uni_polys]
-    final_eval = rlc_polys(component_evals, lam) if len(component_evals) > 1 else component_evals[0]
+    message_evals = [uni_eval(up, point[0]) for up in uni_polys]
+    final_eval = rlc_polys(message_evals, lam) if len(message_evals) > 1 else message_evals[0]
     batched_claim = rlc_polys([np.asarray(c, np.uint32) for c in claims], lam) if len(claims) > 1 else np.asarray(claims[0], np.uint32)
     proof = PartialSumcheckProof(
         univariate_polys=np.stack(messages),
@@ -120,6 +120,12 @@ def reduce_sumcheck_to_evaluation(
         point=np.stack(point),
         eval=final_eval,
     )
+    # Per-poly evaluations of the component multilinears at the final point
+    # (reference: SumcheckPoly::get_component_poly_evals).
+    component_evals = [
+        p.get_component_poly_evals() if hasattr(p, "get_component_poly_evals") else None
+        for p in cursor
+    ]
     return proof, component_evals
 
 

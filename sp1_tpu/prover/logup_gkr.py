@@ -1,0 +1,558 @@
+"""LogUp GKR: the lookup/permutation argument, TPU-native.
+
+Proves that the signed sum over all chips' interactions of
+multiplicity / fingerprint equals the public-values cumulative sum, via a
+layered GKR circuit over fraction additions (reference:
+crates/hypercube/src/logup_gkr/{prover,verifier,cpu,logup_poly}.rs).
+
+Circuit layout: fractions are indexed by (interaction || row) variables,
+interactions most significant. Each layer halves the ROW variables by
+fraction addition on adjacent row pairs:
+    n' = n0*d1 + n1*d0,  d' = d0*d1.
+The output layer has (interaction_vars + 1) variables. Each GKR round is
+a degree-3 sumcheck of eq(rho, x)*[lambda*(n0 d1 + n1 d0) + d0 d1].
+
+Device work: first-layer materialization (interaction affine evals over
+all trace rows), each layer transition, and each sumcheck round's
+restricted sums are jit-compiled elementwise ext4 kernels.
+
+GKR grinding: 12 bits (reference: verifier/shard.rs:41).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..field import extension as ext
+from ..field import koalabear as kb
+from ..iop import sumcheck as sc
+from ..iop.challenger import DuplexChallenger
+from ..ops import mle as mle_ops
+from ..pcs.jagged import full_geq_host, log2_ceil, point_from_usize
+
+E4 = ext.npext4
+
+GKR_GRINDING_BITS = 12
+
+
+def _to_monty_np(x):
+    return ((np.asarray(x, np.uint64) << 32) % kb.P).astype(np.uint32)
+
+
+def _from_monty_np(x):
+    return np.asarray(kb.from_monty(jnp.asarray(x)), np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# First layer + transitions (device)
+# ---------------------------------------------------------------------------
+
+
+def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
+    """Build the leaf fraction tables.
+
+    chips: list of Chip. traces: dict name -> (2^mlrc, W) monty jnp.
+    heights: dict name -> real height. alpha/betas: canonical (4,) arrays
+    (betas = partial_lagrange of the beta seed).
+    Returns (num, den): (2^(iv+mlrc), 4) monty jnp arrays; padded
+    interactions hold (0, 1).
+    """
+    from ..air.builder import JnpOps
+
+    mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
+    num_interactions = sum(
+        len(c.sends()) + len(c.receives()) for c in chips
+    )
+    iv = log2_ceil(num_interactions)
+    n_rows = 1 << mlrc
+    alpha_m = jnp.asarray(_to_monty_np(alpha))
+    betas_m = [jnp.asarray(_to_monty_np(b)) for b in betas]
+
+    num_parts, den_parts = [], []
+    one = np.zeros(4, np.uint32)
+    one[0] = kb.to_monty_i(1)
+    for chip in chips:
+        main = traces[chip.name]
+        prep = preprocessed.get(chip.name)
+        h = heights[chip.name]
+        ops = JnpOps(n_rows)
+        main_cols = [mle_ops.ext4_embed(main[:, i]) for i in range(chip.width)]
+        prep_cols = (
+            [mle_ops.ext4_embed(prep[:, i]) for i in range(chip.preprocessed_width)]
+            if prep is not None
+            else []
+        )
+        alpha_b = jnp.broadcast_to(alpha_m, (n_rows, 4))
+        betas_b = [jnp.broadcast_to(b, (n_rows, 4)) for b in betas_m]
+        row_idx = jnp.arange(n_rows)
+        real = (row_idx < h)[:, None]
+        for inter, is_send in [(i, True) for i in chip.sends()] + [
+            (i, False) for i in chip.receives()
+        ]:
+            mult, fp = inter.eval(prep_cols, main_cols, alpha_b, betas_b, ops)
+            if not is_send:
+                mult = ext.ext4_neg(mult)
+            num_parts.append(jnp.where(real, mult, jnp.zeros_like(mult)))
+            den_parts.append(
+                jnp.where(real, fp, jnp.broadcast_to(jnp.asarray(one), fp.shape))
+            )
+    pad = (1 << iv) - num_interactions
+    if pad:
+        zeros = jnp.zeros((n_rows, 4), jnp.uint32)
+        ones = jnp.broadcast_to(jnp.asarray(one), (n_rows, 4))
+        for _ in range(pad):
+            num_parts.append(zeros)
+            den_parts.append(ones)
+    num = jnp.concatenate(num_parts, axis=0)
+    den = jnp.concatenate(den_parts, axis=0)
+    return num, den, iv
+
+
+@jax.jit
+def _layer_transition(num, den):
+    """(2M,4),(2M,4) -> (M,4),(M,4): fraction addition on adjacent pairs."""
+    n = num.reshape(-1, 2, 4)
+    d = den.reshape(-1, 2, 4)
+    n0, n1 = n[:, 0], n[:, 1]
+    d0, d1 = d[:, 0], d[:, 1]
+    new_n = ext.ext4_add(ext.ext4_mul(n0, d1), ext.ext4_mul(n1, d0))
+    new_d = ext.ext4_mul(d0, d1)
+    return new_n, new_d
+
+
+@jax.jit
+def _gkr_round_sums(eq, n0, n1, d0, d1, lam):
+    """Restricted sums of eq*[lam*(n0 d1 + n1 d0) + d0 d1] at X=0,1,2,3.
+
+    All tables (2m, 4); pairs (2i, 2i+1) are (X=0, X=1) slices of the last
+    variable. Returns 4 ext values.
+    """
+    outs = []
+    tabs = [t.reshape(-1, 2, 4) for t in (eq, n0, n1, d0, d1)]
+    for x in range(4):
+        vals = []
+        for t in tabs:
+            lo, hi = t[:, 0], t[:, 1]
+            if x == 0:
+                vals.append(lo)
+            elif x == 1:
+                vals.append(hi)
+            else:
+                diff = kb.sub(hi, lo)
+                v = hi
+                for _ in range(x - 1):
+                    v = kb.add(v, diff)
+                vals.append(v)
+        eq_x, n0_x, n1_x, d0_x, d1_x = vals
+        inner = ext.ext4_add(
+            ext.ext4_mul(
+                ext.ext4_add(
+                    ext.ext4_mul(n0_x, d1_x), ext.ext4_mul(n1_x, d0_x)
+                ),
+                jnp.broadcast_to(lam, n0_x.shape),
+            ),
+            ext.ext4_mul(d0_x, d1_x),
+        )
+        outs.append(mle_ops._sum_ext_axis0(ext.ext4_mul(eq_x, inner)))
+    return outs
+
+
+@jax.jit
+def _fix_last_5(eq, n0, n1, d0, d1, alpha):
+    return tuple(
+        mle_ops.fix_last_variable_ext(t, alpha) for t in (eq, n0, n1, d0, d1)
+    )
+
+
+_VANDER4_INV = None
+
+
+def _interp4(ys: list) -> np.ndarray:
+    """Coefficients of the cubic through (0..3, ys)."""
+    global _VANDER4_INV
+    if _VANDER4_INV is None:
+        v = np.array([[pow(x, k, kb.P) for k in range(4)] for x in range(4)], np.int64)
+        # invert mod p using fraction-free Gauss (4x4, do with python ints)
+        import fractions
+
+        m = [[int(v[i][j]) for j in range(4)] for i in range(4)]
+        inv = [[1 if i == j else 0 for j in range(4)] for i in range(4)]
+        for col in range(4):
+            piv = next(r for r in range(col, 4) if m[r][col] % kb.P != 0)
+            m[col], m[piv] = m[piv], m[col]
+            inv[col], inv[piv] = inv[piv], inv[col]
+            pinv = pow(m[col][col], kb.P - 2, kb.P)
+            m[col] = [x * pinv % kb.P for x in m[col]]
+            inv[col] = [x * pinv % kb.P for x in inv[col]]
+            for r in range(4):
+                if r != col and m[r][col] % kb.P:
+                    f = m[r][col] % kb.P
+                    m[r] = [(a - f * b) % kb.P for a, b in zip(m[r], m[col])]
+                    inv[r] = [(a - f * b) % kb.P for a, b in zip(inv[r], inv[col])]
+        _VANDER4_INV = np.array(inv, np.uint32)
+    coeffs = []
+    for k in range(4):
+        acc = np.zeros(4, np.uint32)
+        for x in range(4):
+            acc = E4.add(acc, kb.npf.mul(ys[x], _VANDER4_INV[k][x]))
+        coeffs.append(acc)
+    return np.stack(coeffs)
+
+
+class LogupRoundPoly:
+    """Sumcheck poly for one GKR round (degree 3)."""
+
+    degree = 3
+
+    def __init__(self, eq, n0, n1, d0, d1, lam_m):
+        self.tabs = (eq, n0, n1, d0, d1)
+        self.lam_m = lam_m
+
+    @property
+    def num_variables(self):
+        return int(self.tabs[0].shape[0]).bit_length() - 1
+
+    def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
+        sums = _gkr_round_sums(*self.tabs, self.lam_m)
+        ys = [_from_monty_np(s) for s in sums]
+        return _interp4(ys)
+
+    def fix_last_variable(self, alpha) -> "LogupRoundPoly":
+        am = jnp.asarray(_to_monty_np(alpha))
+        return LogupRoundPoly(*_fix_last_5(*self.tabs, am), self.lam_m)
+
+    def get_component_poly_evals(self) -> list:
+        # [n0, d0, n1, d1] at the final point
+        _, n0, n1, d0, d1 = self.tabs
+        return [
+            _from_monty_np(n0[0]),
+            _from_monty_np(d0[0]),
+            _from_monty_np(n1[0]),
+            _from_monty_np(d1[0]),
+        ]
+
+
+# ---------------------------------------------------------------------------
+# Proof containers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LogupGkrRoundProof:
+    numerator_0: np.ndarray
+    numerator_1: np.ndarray
+    denominator_0: np.ndarray
+    denominator_1: np.ndarray
+    sumcheck_proof: sc.PartialSumcheckProof
+
+
+@dataclass
+class ChipEvaluation:
+    main_trace_evaluations: np.ndarray  # (W, 4)
+    preprocessed_trace_evaluations: object  # (Wp, 4) or None
+
+
+@dataclass
+class LogUpEvaluations:
+    point: np.ndarray  # (mlrc, 4)
+    chip_openings: dict  # name -> ChipEvaluation (insertion = chip order)
+
+
+@dataclass
+class LogupGkrProof:
+    numerator_output: np.ndarray  # (2^(iv+1), 4)
+    denominator_output: np.ndarray
+    round_proofs: list
+    logup_evaluations: LogUpEvaluations
+    witness: int
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+
+def prove_logup_gkr(
+    machine,
+    chips,
+    preprocessed,
+    traces,
+    heights,
+    public_values,
+    challenger: DuplexChallenger,
+) -> LogupGkrProof:
+    """Reference: crates/hypercube/src/logup_gkr/prover.rs:190."""
+    max_arity = max(
+        (len(i.values) + 1 for c in chips for i in c.sends() + c.receives()),
+        default=1,
+    )
+    pv_arity = machine.max_pv_interaction_arity()
+    beta_seed_dim = log2_ceil(max(max_arity, pv_arity))
+    witness = challenger.grind(GKR_GRINDING_BITS)
+    alpha = challenger.sample_ext()
+    beta_seed = challenger.sample_ext_vec(beta_seed_dim)
+    _pv_challenge = challenger.sample_ext()
+    betas = mle_ops.host.partial_lagrange_ext(beta_seed)
+
+    num, den, iv = materialize_first_layer(
+        chips, preprocessed, traces, heights, alpha, betas
+    )
+    mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
+
+    # Build all layers down to row-variables == 1.
+    layers = [(num, den)]
+    for _ in range(mlrc - 1):
+        num, den = _layer_transition(num, den)
+        layers.append((num, den))
+
+    out_num, out_den = layers[-1]  # (2^(iv+1), 4)
+    out_num_c = _from_monty_np(np.asarray(out_num).reshape(-1)).reshape(-1, 4)
+    out_den_c = _from_monty_np(np.asarray(out_den).reshape(-1)).reshape(-1, 4)
+    challenger.observe_variable_length_slice(out_num_c.reshape(-1))
+    challenger.observe_variable_length_slice(out_den_c.reshape(-1))
+
+    first_eval_point = challenger.sample_ext_vec(iv + 1)
+    numerator_eval = mle_ops.host.eval_ext_mle(out_num_c, first_eval_point)
+    denominator_eval = mle_ops.host.eval_ext_mle(out_den_c, first_eval_point)
+    eval_point = first_eval_point
+
+    round_proofs = []
+    # Rounds process layers from second-smallest upward.
+    for layer_idx in range(len(layers) - 2, -1, -1):
+        lnum, lden = layers[layer_idx]
+        lam = challenger.sample_ext()
+        lam_m = jnp.asarray(_to_monty_np(lam))
+        eq = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(eval_point)))
+        nv = lnum.reshape(-1, 2, 4)
+        dv = lden.reshape(-1, 2, 4)
+        poly = LogupRoundPoly(eq, nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1], lam_m)
+        claim = E4.add(E4.mul(numerator_eval, lam), denominator_eval)
+        proof, comp_evals = sc.reduce_sumcheck_to_evaluation(
+            [poly], challenger, [claim], lam
+        )
+        n0, d0, n1, d1 = comp_evals[0]
+        challenger.observe_slice(n0)
+        challenger.observe_slice(n1)
+        challenger.observe_slice(d0)
+        challenger.observe_slice(d1)
+        eval_point = proof.point
+        last_coord = challenger.sample_ext()
+        numerator_eval = E4.add(n0, E4.mul(E4.sub(n1, n0), last_coord))
+        denominator_eval = E4.add(d0, E4.mul(E4.sub(d1, d0), last_coord))
+        eval_point = np.concatenate([eval_point, last_coord[None]], axis=0)
+        round_proofs.append(
+            LogupGkrRoundProof(
+                numerator_0=n0,
+                numerator_1=n1,
+                denominator_0=d0,
+                denominator_1=d1,
+                sumcheck_proof=proof,
+            )
+        )
+
+    # Trace openings at the final point's row part.
+    trace_point = eval_point[eval_point.shape[0] - mlrc :]
+    tp_m = jnp.asarray(_to_monty_np(trace_point))
+    challenger.observe(len(chips))
+    chip_openings = {}
+    for chip in chips:
+        main_eval = _from_monty_np(
+            mle_ops.eval_mle_at_point_ext(traces[chip.name], tp_m).reshape(-1)
+        ).reshape(-1, 4)
+        prep = preprocessed.get(chip.name)
+        prep_eval = None
+        if prep is not None:
+            prep_eval = _from_monty_np(
+                mle_ops.eval_mle_at_point_ext(prep, tp_m).reshape(-1)
+            ).reshape(-1, 4)
+            challenger.observe_variable_length_slice(prep_eval.reshape(-1))
+        challenger.observe_variable_length_slice(main_eval.reshape(-1))
+        chip_openings[chip.name] = ChipEvaluation(
+            main_trace_evaluations=main_eval,
+            preprocessed_trace_evaluations=prep_eval,
+        )
+
+    return LogupGkrProof(
+        numerator_output=out_num_c,
+        denominator_output=out_den_c,
+        round_proofs=round_proofs,
+        logup_evaluations=LogUpEvaluations(
+            point=trace_point, chip_openings=chip_openings
+        ),
+        witness=witness,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verifier (host)
+# ---------------------------------------------------------------------------
+
+
+def verify_logup_gkr(
+    machine,
+    chips,
+    degrees,  # dict name -> (mlrc+1,) canonical bit array (big-endian height)
+    max_log_row_count: int,
+    proof: LogupGkrProof,
+    public_values,
+    challenger: DuplexChallenger,
+) -> bool:
+    """Reference: crates/hypercube/src/logup_gkr/verifier.rs:103."""
+    from ..air.builder import NpOps
+
+    max_arity = max(
+        (len(i.values) + 1 for c in chips for i in c.sends() + c.receives()),
+        default=1,
+    )
+    pv_arity = machine.max_pv_interaction_arity()
+    beta_seed_dim = log2_ceil(max(max_arity, pv_arity))
+
+    if not challenger.check_witness(GKR_GRINDING_BITS, proof.witness):
+        return False
+    alpha = challenger.sample_ext()
+    beta_seed = challenger.sample_ext_vec(beta_seed_dim)
+    pv_challenge = challenger.sample_ext()
+    betas = mle_ops.host.partial_lagrange_ext(beta_seed)
+
+    ok, pv_digest = machine.eval_public_values(
+        public_values, pv_challenge, alpha, betas
+    )
+    if not ok:
+        return False
+    cumulative_sum = E4.sub(np.zeros(4, np.uint32), pv_digest)
+
+    num_interactions = sum(len(c.sends()) + len(c.receives()) for c in chips)
+    iv = log2_ceil(num_interactions)
+    expected_size = 1 << (iv + 1)
+    numerator, denominator = proof.numerator_output, proof.denominator_output
+    if numerator.shape != (expected_size, 4) or denominator.shape != (expected_size, 4):
+        return False
+    challenger.observe_variable_length_slice(numerator.reshape(-1))
+    challenger.observe_variable_length_slice(denominator.reshape(-1))
+    if any(np.all(denominator[i] == 0) for i in range(expected_size)):
+        return False
+    out_sum = np.zeros(4, np.uint32)
+    for i in range(expected_size):
+        out_sum = E4.add(out_sum, E4.mul(numerator[i], E4.inv(denominator[i])))
+    if not np.array_equal(out_sum, cumulative_sum):
+        return False
+
+    first_eval_point = challenger.sample_ext_vec(iv + 1)
+    numerator_eval = mle_ops.host.eval_ext_mle(numerator, first_eval_point)
+    denominator_eval = mle_ops.host.eval_ext_mle(denominator, first_eval_point)
+    eval_point = first_eval_point
+
+    if len(proof.round_proofs) + 1 != max_log_row_count:
+        return False
+
+    for i, rp in enumerate(proof.round_proofs):
+        lam = challenger.sample_ext()
+        expected_claim = E4.add(E4.mul(numerator_eval, lam), denominator_eval)
+        if not np.array_equal(rp.sumcheck_proof.claimed_sum, expected_claim):
+            return False
+        if not sc.partially_verify_sumcheck_proof(
+            rp.sumcheck_proof, challenger, i + iv + 1, 3
+        ):
+            return False
+        point = rp.sumcheck_proof.point
+        final_eval = rp.sumcheck_proof.eval
+        eq_eval = mle_ops.host.eq_points(point, eval_point)
+        num_sc = E4.add(
+            E4.mul(rp.numerator_0, rp.denominator_1),
+            E4.mul(rp.numerator_1, rp.denominator_0),
+        )
+        den_sc = E4.mul(rp.denominator_0, rp.denominator_1)
+        expected_final = E4.mul(eq_eval, E4.add(E4.mul(num_sc, lam), den_sc))
+        if not np.array_equal(final_eval, expected_final):
+            return False
+        challenger.observe_slice(rp.numerator_0)
+        challenger.observe_slice(rp.numerator_1)
+        challenger.observe_slice(rp.denominator_0)
+        challenger.observe_slice(rp.denominator_1)
+        eval_point = point
+        last_coord = challenger.sample_ext()
+        numerator_eval = E4.add(
+            rp.numerator_0, E4.mul(E4.sub(rp.numerator_1, rp.numerator_0), last_coord)
+        )
+        denominator_eval = E4.add(
+            rp.denominator_0,
+            E4.mul(E4.sub(rp.denominator_1, rp.denominator_0), last_coord),
+        )
+        eval_point = np.concatenate([eval_point, last_coord[None]], axis=0)
+
+    interaction_point = eval_point[:iv]
+    trace_point = eval_point[iv:]
+    if trace_point.shape[0] != max_log_row_count:
+        return False
+    le = proof.logup_evaluations
+    if not np.array_equal(le.point, trace_point):
+        return False
+
+    # Reconstruct last-layer leaf evaluations from the trace openings.
+    numerator_values, denominator_values = [], []
+    point_extended = np.concatenate(
+        [le.point, np.zeros((1, 4), np.uint32)], axis=0
+    )
+    challenger.observe(len(chips))
+    ops = NpOps()
+    for chip in chips:
+        openings = le.chip_openings.get(chip.name)
+        if openings is None:
+            return False
+        prep_eval = openings.preprocessed_trace_evaluations
+        if prep_eval is not None:
+            challenger.observe_variable_length_slice(prep_eval.reshape(-1))
+            if prep_eval.shape[0] != chip.preprocessed_width:
+                return False
+        elif chip.preprocessed_width != 0:
+            return False
+        challenger.observe_variable_length_slice(
+            openings.main_trace_evaluations.reshape(-1)
+        )
+        if openings.main_trace_evaluations.shape[0] != chip.width:
+            return False
+        threshold = degrees[chip.name]
+        if threshold.shape[0] != point_extended.shape[0]:
+            return False
+        geq_eval = full_geq_host(threshold, point_extended)
+        main_evals = [openings.main_trace_evaluations[i] for i in range(chip.width)]
+        prep_evals = (
+            [prep_eval[i] for i in range(chip.preprocessed_width)]
+            if prep_eval is not None
+            else []
+        )
+        zero_main = [ops.zero()] * chip.width
+        zero_prep = [ops.zero()] * chip.preprocessed_width
+        alpha_v = alpha
+        betas_v = [betas[k] for k in range(betas.shape[0])]
+        for inter, is_send in [(i, True) for i in chip.sends()] + [
+            (i, False) for i in chip.receives()
+        ]:
+            real_n, real_d = inter.eval(prep_evals, main_evals, alpha_v, betas_v, ops)
+            pad_n, pad_d = inter.eval(zero_prep, zero_main, alpha_v, betas_v, ops)
+            n_eval = E4.sub(real_n, E4.mul(pad_n, geq_eval))
+            d_eval = E4.add(real_d, E4.mul(E4.sub(ops.one(), pad_d), geq_eval))
+            if not is_send:
+                n_eval = E4.sub(ops.zero(), n_eval)
+            numerator_values.append(n_eval)
+            denominator_values.append(d_eval)
+    target = 1 << iv
+    while len(numerator_values) < target:
+        numerator_values.append(np.zeros(4, np.uint32))
+        denominator_values.append(NpOps.one())
+    expected_num = mle_ops.host.eval_ext_mle(
+        np.stack(numerator_values), interaction_point
+    )
+    expected_den = mle_ops.host.eval_ext_mle(
+        np.stack(denominator_values), interaction_point
+    )
+    if not np.array_equal(numerator_eval, expected_num):
+        return False
+    if not np.array_equal(denominator_eval, expected_den):
+        return False
+    return True

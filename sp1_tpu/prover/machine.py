@@ -1,0 +1,468 @@
+"""Machine-level shard prover and verifier, TPU-native.
+
+Ties together trace commitment (jagged PCS), the LogUp GKR interaction
+argument, the zerocheck constraint sumcheck, and the PCS opening proof
+(reference: crates/hypercube/src/prover/shard.rs `prove_shard_with_data`,
+crates/hypercube/src/verifier/shard.rs `verify_shard`).
+
+A `Machine` is an ordered set of chips (sorted by name, mirroring the
+reference's BTreeSet ordering) plus the public-values constraint hook.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..field import extension as ext
+from ..field import koalabear as kb
+from ..iop import sumcheck as sc
+from ..iop.challenger import DuplexChallenger
+from ..ops import mle as mle_ops
+from ..pcs import jagged
+from ..pcs.jagged import JaggedConfig, full_geq_host, point_from_usize
+from . import logup_gkr as gkr
+from . import zerocheck as zc
+
+E4 = ext.npext4
+
+
+def _to_monty_np(x):
+    return ((np.asarray(x, np.uint64) << 32) % kb.P).astype(np.uint32)
+
+
+class Machine:
+    """An ordered collection of chips + public-values hook."""
+
+    def __init__(self, chips: list, num_pv_elts: int = 0, max_num_pvs: int = 187):
+        self.chips = sorted(chips, key=lambda c: c.name)
+        self.num_pv_elts_ = num_pv_elts
+        self.max_num_pvs = max_num_pvs
+
+    def chip(self, name: str):
+        for c in self.chips:
+            if c.name == name:
+                return c
+        return None
+
+    def num_pv_elts(self) -> int:
+        return self.num_pv_elts_
+
+    def max_pv_interaction_arity(self) -> int:
+        """Max values+1 over interactions appearing in eval_public_values."""
+        return 1
+
+    def eval_public_values(self, public_values, challenge, alpha, betas):
+        """Returns (constraints_ok, local_interaction_digest).
+
+        Default: no public-value constraints, zero digest (balanced
+        interactions). Reference: LogUpGkrVerifier::verify_public_values.
+        """
+        return True, np.zeros(4, np.uint32)
+
+
+@dataclass
+class MachineVerifyingKey:
+    pc_start: np.ndarray  # (3,) canonical (reference uses a multi-limb pc)
+    initial_global_cumulative_sum: np.ndarray  # (14,) canonical septic (x, y)
+    preprocessed_commit: np.ndarray  # (8,) canonical digest
+    enable_untrusted_programs: int = 0
+
+    def observe_into(self, challenger: DuplexChallenger):
+        """Reference: crates/hypercube/src/verifier/config.rs:97."""
+        challenger.observe_digest(self.preprocessed_commit)
+        challenger.observe_slice(self.pc_start)
+        challenger.observe_slice(self.initial_global_cumulative_sum[:7])
+        challenger.observe_slice(self.initial_global_cumulative_sum[7:])
+        challenger.observe(self.enable_untrusted_programs)
+        challenger.observe_slice(np.zeros(6, np.uint32))
+
+
+@dataclass
+class ProvingKey:
+    vk: MachineVerifyingKey
+    preprocessed_data: object  # JaggedProverData or None
+    preprocessed_traces: dict  # name -> (2^mlrc, Wp) monty jnp
+    preprocessed_heights: dict
+
+
+@dataclass
+class ChipOpenedValues:
+    preprocessed: np.ndarray  # (Wp, 4)
+    main: np.ndarray  # (W, 4)
+    degree: np.ndarray  # (mlrc+1,) bits
+
+
+@dataclass
+class ShardProof:
+    public_values: list
+    main_commitment: np.ndarray
+    logup_gkr_proof: gkr.LogupGkrProof
+    zerocheck_proof: sc.PartialSumcheckProof
+    opened_values: dict  # name -> ChipOpenedValues (chip order)
+    evaluation_proof: jagged.JaggedPcsProof
+
+
+class ShardProver:
+    def __init__(self, machine: Machine, config: JaggedConfig):
+        self.machine = machine
+        self.config = config
+
+    # -- setup --------------------------------------------------------------
+    def setup(self, pc_start=None, preprocessed_traces: dict | None = None) -> ProvingKey:
+        """Commit the preprocessed traces of all chips that have them."""
+        mlrc = self.config.max_log_row_count
+        preprocessed_traces = preprocessed_traces or {}
+        prep_mles, prep_heights, names = [], {}, []
+        for chip in self.machine.chips:
+            if chip.preprocessed_width > 0:
+                trace, h = preprocessed_traces[chip.name]
+                assert int(trace.shape[0]) == 1 << mlrc
+                prep_mles.append(trace)
+                prep_heights[chip.name] = h
+                names.append(chip.name)
+        if prep_mles:
+            heights = [prep_heights[n] for n in names]
+            commit, data = jagged.commit_multilinears(prep_mles, heights, self.config)
+        else:
+            # Commit a single dummy zero table so the preprocessed round exists
+            # (the reference machine always has preprocessed chips).
+            dummy = jnp.zeros((1 << mlrc, 1), jnp.uint32)
+            commit, data = jagged.commit_multilinears([dummy], [1], self.config)
+            prep_heights["__dummy__"] = 1
+        vk = MachineVerifyingKey(
+            pc_start=np.asarray(pc_start if pc_start is not None else [0, 0, 0], np.uint32),
+            initial_global_cumulative_sum=np.zeros(14, np.uint32),
+            preprocessed_commit=commit,
+        )
+        traces = {n: preprocessed_traces[n][0] for n in names}
+        return ProvingKey(
+            vk=vk,
+            preprocessed_data=data,
+            preprocessed_traces=traces,
+            preprocessed_heights=prep_heights,
+        )
+
+    # -- prove --------------------------------------------------------------
+    def prove_shard(
+        self,
+        pk: ProvingKey,
+        traces: dict,  # name -> ((2^mlrc, W) monty jnp, height)
+        public_values: list,
+        challenger: DuplexChallenger,
+    ) -> ShardProof:
+        machine = self.machine
+        mlrc = self.config.max_log_row_count
+        chips = [c for c in machine.chips if c.name in traces]
+        heights = {n: traces[n][1] for n in traces}
+        trace_mles = {n: traces[n][0] for n in traces}
+
+        public_values = list(public_values) + [0] * (
+            machine.max_num_pvs - len(public_values)
+        )
+
+        challenger.observe_slice(np.asarray(public_values, np.uint32))
+
+        # Commit main traces (in chip order).
+        main_mles = [trace_mles[c.name] for c in chips]
+        main_heights = [heights[c.name] for c in chips]
+        main_commit, main_data = jagged.commit_multilinears(
+            main_mles, main_heights, self.config
+        )
+        challenger.observe_digest(main_commit)
+        challenger.observe(len(chips))
+        for c in chips:
+            challenger.observe(heights[c.name])
+            challenger.observe(len(c.name))
+            for b in c.name.encode():
+                challenger.observe(b)
+
+        logup_proof = gkr.prove_logup_gkr(
+            machine,
+            chips,
+            pk.preprocessed_traces,
+            trace_mles,
+            heights,
+            public_values,
+            challenger,
+        )
+
+        batching_challenge = challenger.sample_ext()  # alpha for constraints
+        gkr_batch_challenge = challenger.sample_ext()
+
+        # Zerocheck.
+        zeta = logup_proof.logup_evaluations.point
+        polys, claims = [], []
+        for chip in chips:
+            opening = logup_proof.logup_evaluations.chip_openings[chip.name]
+            poly = zc.make_zerocheck_poly(
+                chip,
+                trace_mles[chip.name],
+                pk.preprocessed_traces.get(chip.name),
+                heights[chip.name],
+                zeta,
+                batching_challenge,
+                gkr_batch_challenge,
+                public_values,
+            )
+            polys.append(poly)
+            # claim: gkrc-batched openings (main then preprocessed)
+            claim = np.zeros(4, np.uint32)
+            p = gkr_batch_challenge
+            evals = [
+                opening.main_trace_evaluations[i] for i in range(chip.width)
+            ]
+            if opening.preprocessed_trace_evaluations is not None:
+                evals += [
+                    opening.preprocessed_trace_evaluations[i]
+                    for i in range(chip.preprocessed_width)
+                ]
+            for e in evals:
+                claim = E4.add(claim, E4.mul(e, p))
+                p = E4.mul(p, gkr_batch_challenge)
+            claims.append(claim)
+
+        lam = challenger.sample_ext()
+        zerocheck_proof, component_evals = sc.reduce_sumcheck_to_evaluation(
+            polys, challenger, claims, lam
+        )
+
+        challenger.observe(len(chips))
+        opened_values = {}
+        for chip, evals in zip(chips, component_evals):
+            prep_evals = np.stack(evals[: chip.preprocessed_width]) if chip.preprocessed_width else np.zeros((0, 4), np.uint32)
+            main_evals = np.stack(evals[chip.preprocessed_width :])
+            challenger.observe_variable_length_slice(prep_evals.reshape(-1))
+            challenger.observe_variable_length_slice(main_evals.reshape(-1))
+            opened_values[chip.name] = ChipOpenedValues(
+                preprocessed=prep_evals,
+                main=main_evals,
+                degree=point_from_usize(heights[chip.name], mlrc + 1),
+            )
+
+        # PCS opening proof.
+        eval_point = zerocheck_proof.point
+        prep_claims = [
+            opened_values[c.name].preprocessed
+            for c in chips
+            if c.preprocessed_width > 0
+        ]
+        if not prep_claims:
+            prep_claims = [np.zeros((1, 4), np.uint32)]  # dummy table
+        main_claims = [opened_values[c.name].main for c in chips]
+        evaluation_proof = jagged.prove_trusted_evaluations(
+            eval_point,
+            [prep_claims, main_claims],
+            [pk.preprocessed_data, main_data],
+            self.config,
+            challenger,
+        )
+
+        return ShardProof(
+            public_values=public_values,
+            main_commitment=main_commit,
+            logup_gkr_proof=logup_proof,
+            zerocheck_proof=zerocheck_proof,
+            opened_values=opened_values,
+            evaluation_proof=evaluation_proof,
+        )
+
+
+class ShardVerifier:
+    def __init__(self, machine: Machine, config: JaggedConfig):
+        self.machine = machine
+        self.config = config
+
+    def verify_shard(
+        self, vk: MachineVerifyingKey, proof: ShardProof, challenger: DuplexChallenger
+    ) -> bool:
+        machine = self.machine
+        mlrc = self.config.max_log_row_count
+        public_values = proof.public_values
+        if len(public_values) != machine.max_num_pvs:
+            return False
+        if any(int(v) != 0 for v in public_values[machine.num_pv_elts():]):
+            return False
+
+        chip_names = list(proof.opened_values.keys())
+        chips = [c for c in machine.chips if c.name in chip_names]
+        if len(chips) != len(chip_names) or not chips:
+            return False
+        if [c.name for c in chips] != chip_names:
+            return False
+
+        challenger.observe_slice(np.asarray(public_values, np.uint32))
+        challenger.observe_digest(proof.main_commitment)
+        challenger.observe(len(chips))
+        degrees = {}
+        for name, ov in proof.opened_values.items():
+            if ov.degree.shape[0] != mlrc + 1 or ov.degree.shape[0] >= 30:
+                return False
+            if any(int(b) not in (0, 1) for b in ov.degree):
+                return False
+            # height <= 2^mlrc: if top bit set, all others must be zero
+            if int(ov.degree[0]) == 1 and any(int(b) for b in ov.degree[1:]):
+                return False
+            height = 0
+            for b in ov.degree:
+                height = int(b) + 2 * height
+            degrees[name] = ov.degree
+            challenger.observe(height)
+            challenger.observe(len(name))
+            for b in name.encode():
+                challenger.observe(b)
+
+        # GKR verification.
+        if len(proof.logup_gkr_proof.logup_evaluations.chip_openings) != len(chips):
+            return False
+        if not gkr.verify_logup_gkr(
+            machine,
+            chips,
+            degrees,
+            mlrc,
+            proof.logup_gkr_proof,
+            public_values,
+            challenger,
+        ):
+            return False
+
+        # Zerocheck verification.
+        if not self._verify_zerocheck(
+            chips, proof, public_values, challenger
+        ):
+            return False
+
+        # PCS opening proof.
+        prep_claims = [
+            proof.opened_values[c.name].preprocessed
+            for c in chips
+            if c.preprocessed_width > 0
+        ]
+        if not prep_claims:
+            prep_claims = [np.zeros((1, 4), np.uint32)]
+        main_claims = [proof.opened_values[c.name].main for c in chips]
+        return jagged.verify_trusted_evaluations(
+            [vk.preprocessed_commit, proof.main_commitment],
+            proof.zerocheck_proof.point,
+            [prep_claims, main_claims],
+            proof.evaluation_proof,
+            self.config,
+            challenger,
+        )
+
+    def _verify_zerocheck(self, chips, proof, public_values, challenger) -> bool:
+        """Reference: crates/hypercube/src/verifier/shard.rs:288."""
+        mlrc = self.config.max_log_row_count
+        gkr_evals = proof.logup_gkr_proof.logup_evaluations
+        alpha = challenger.sample_ext()
+        gkr_batch_challenge = challenger.sample_ext()
+        lam = challenger.sample_ext()
+
+        if gkr_evals.point.shape[0] != mlrc:
+            return False
+        if proof.zerocheck_proof.point.shape[0] != mlrc:
+            return False
+        zerocheck_eq_val = mle_ops.host.eq_points(
+            gkr_evals.point, proof.zerocheck_proof.point
+        )
+
+        rlc_eval = np.zeros(4, np.uint32)
+        for chip in chips:
+            ov = proof.opened_values[chip.name]
+            if ov.preprocessed.shape[0] != chip.preprocessed_width:
+                return False
+            if ov.main.shape[0] != chip.width:
+                return False
+            point_extended = np.concatenate(
+                [proof.zerocheck_proof.point, np.zeros((1, 4), np.uint32)]
+            )
+            geq_val = full_geq_host(ov.degree, point_extended)
+            adj = zc.padded_row_adjustment_host(chip, public_values, alpha)
+            main_rows = [ov.main[i] for i in range(chip.width)]
+            prep_rows = [ov.preprocessed[i] for i in range(chip.preprocessed_width)]
+            constraint_eval = zc.eval_constraints_host(
+                chip, prep_rows, main_rows, public_values, alpha
+            )
+            constraint_eval = E4.sub(constraint_eval, E4.mul(adj, geq_val))
+            batch = np.zeros(4, np.uint32)
+            p = gkr_batch_challenge
+            for e in main_rows + prep_rows:
+                batch = E4.add(batch, E4.mul(e, p))
+                p = E4.mul(p, gkr_batch_challenge)
+            chip_term = E4.mul(zerocheck_eq_val, E4.add(constraint_eval, batch))
+            rlc_eval = E4.add(E4.mul(rlc_eval, lam), chip_term)
+
+        if not np.array_equal(proof.zerocheck_proof.eval, rlc_eval):
+            return False
+
+        # claimed sum must equal the lambda-Horner of the gkrc-batched GKR evals
+        mods = []
+        for chip in chips:
+            opening = gkr_evals.chip_openings[chip.name]
+            evals = [opening.main_trace_evaluations[i] for i in range(chip.width)]
+            if opening.preprocessed_trace_evaluations is not None:
+                evals += [
+                    opening.preprocessed_trace_evaluations[i]
+                    for i in range(chip.preprocessed_width)
+                ]
+            m = np.zeros(4, np.uint32)
+            p = gkr_batch_challenge
+            for e in evals:
+                m = E4.add(m, E4.mul(e, p))
+                p = E4.mul(p, gkr_batch_challenge)
+            mods.append(m)
+        expected_claim = np.zeros(4, np.uint32)
+        for m in mods:
+            expected_claim = E4.add(E4.mul(expected_claim, lam), m)
+        if not np.array_equal(proof.zerocheck_proof.claimed_sum, expected_claim):
+            return False
+
+        if not sc.partially_verify_sumcheck_proof(
+            proof.zerocheck_proof, challenger, mlrc, zc.MAX_CONSTRAINT_DEGREE + 1
+        ):
+            return False
+
+        challenger.observe(len(chips))
+        for chip in chips:
+            ov = proof.opened_values[chip.name]
+            challenger.observe_variable_length_slice(ov.preprocessed.reshape(-1))
+            challenger.observe_variable_length_slice(ov.main.reshape(-1))
+        return True
+
+
+def debug_constraints(machine, chips, preprocessed, traces, heights, public_values):
+    """Row-by-row constraint check on real traces (host, canonical).
+
+    Returns list of (chip, row) violations. Reference:
+    crates/hypercube/src/debug.rs:27.
+    """
+    from ..air.builder import NpOps
+
+    violations = []
+    alpha = NpOps.one()
+    for chip in chips:
+        mt = np.asarray(
+            kb.from_monty(jnp.asarray(traces[chip.name]).reshape(-1)), np.uint32
+        ).reshape(traces[chip.name].shape)
+        pt = None
+        if chip.name in preprocessed:
+            pt = np.asarray(
+                kb.from_monty(jnp.asarray(preprocessed[chip.name]).reshape(-1)),
+                np.uint32,
+            ).reshape(preprocessed[chip.name].shape)
+        for r in range(heights[chip.name]):
+            main_row = [NpOps.const(int(mt[r, i])) for i in range(chip.width)]
+            prep_row = (
+                [NpOps.const(int(pt[r, i])) for i in range(chip.preprocessed_width)]
+                if pt is not None
+                else []
+            )
+            acc = zc.eval_constraints_host(
+                chip, prep_row, main_row, public_values, alpha
+            )
+            if np.any(acc != 0):
+                violations.append((chip.name, r))
+    return violations

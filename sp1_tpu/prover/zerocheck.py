@@ -1,0 +1,307 @@
+"""Zerocheck: per-chip constraint sumcheck, TPU-native.
+
+For each chip, the polynomial over the max_log_row_count trace variables
+
+  Z(x) = eq(zeta, x) * [ C_alpha(x) - adj * geq(h, x)
+                         + sum_k gkrc^(k+1) * trace_k(x) ]
+
+is sumchecked (degree 4 = MAX_CONSTRAINT_DEGREE + 1), batched across
+chips with lambda (reference: crates/hypercube/src/prover/shard.rs:474
+`zerocheck`, crates/hypercube/src/prover/zerocheck/). Here
+  * zeta = the LogUp GKR output point; the claims are the gkrc-batched
+    GKR trace openings,
+  * C_alpha = Horner-in-alpha accumulation of the chip constraints,
+  * adj = the constraints evaluated on the all-zero row ("padded row
+    adjustment") and geq the [row >= height] indicator MLE, cancelling
+    the padded region's contribution,
+  * the trailing sum ties the same trace columns opened by the GKR proof
+    to the zerocheck's final evaluation point.
+
+Device work: one fused kernel per chip per round computes the 5
+restricted-sum evaluations (X = 0..4) — the chip constraint function is
+traced by JAX and fused by XLA over all rows (no bytecode interpreter,
+unlike the reference GPU's zerocheck kernels).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..air.builder import ConstraintFolder, JnpOps, NpOps
+from ..field import extension as ext
+from ..field import koalabear as kb
+from ..iop import sumcheck as sc
+from ..ops import mle as mle_ops
+
+E4 = ext.npext4
+
+MAX_CONSTRAINT_DEGREE = 3
+
+
+def _to_monty_np(x):
+    return ((np.asarray(x, np.uint64) << 32) % kb.P).astype(np.uint32)
+
+
+def _from_monty_np(x):
+    return np.asarray(kb.from_monty(jnp.asarray(x)), np.uint32)
+
+
+_VINV_CACHE = {}
+
+
+def interp_coeffs(ys: list) -> np.ndarray:
+    """Coefficient form of the degree-(n-1) poly through ((0..n-1), ys)."""
+    n = len(ys)
+    if n not in _VINV_CACHE:
+        m = [[pow(x, k, kb.P) for k in range(n)] for x in range(n)]
+        inv = [[1 if i == j else 0 for j in range(n)] for i in range(n)]
+        for col in range(n):
+            piv = next(r for r in range(col, n) if m[r][col] % kb.P != 0)
+            m[col], m[piv] = m[piv], m[col]
+            inv[col], inv[piv] = inv[piv], inv[col]
+            pinv = pow(m[col][col], kb.P - 2, kb.P)
+            m[col] = [v * pinv % kb.P for v in m[col]]
+            inv[col] = [v * pinv % kb.P for v in inv[col]]
+            for r in range(n):
+                if r != col and m[r][col] % kb.P:
+                    f = m[r][col] % kb.P
+                    m[r] = [(a - f * b) % kb.P for a, b in zip(m[r], m[col])]
+                    inv[r] = [(a - f * b) % kb.P for a, b in zip(inv[r], inv[col])]
+        _VINV_CACHE[n] = np.array(inv, np.uint32)
+    vinv = _VINV_CACHE[n]
+    coeffs = []
+    for k in range(n):
+        acc = np.zeros(4, np.uint32)
+        for x in range(n):
+            acc = E4.add(acc, kb.npf.mul(np.asarray(ys[x], np.uint32), vinv[k][x]))
+        coeffs.append(acc)
+    return np.stack(coeffs)
+
+
+def _pv_host(public_values) -> list:
+    out = []
+    for v in public_values:
+        if isinstance(v, np.ndarray) and v.shape == (4,):
+            out.append(np.asarray(v, np.uint32))
+        else:
+            out.append(NpOps.const(int(v)))
+    return out
+
+
+def eval_constraints_host(chip, prep_row, main_row, public_values, alpha):
+    """Single-row constraint accumulation (canonical, for the verifier).
+
+    Reference: crates/hypercube/src/verifier/shard.rs:237 eval_constraints.
+    """
+    ops = NpOps()
+    folder = ConstraintFolder(
+        ops, prep_row, main_row, _pv_host(public_values), alpha
+    )
+    chip.eval(folder)
+    return folder.accumulator
+
+
+def padded_row_adjustment_host(chip, public_values, alpha):
+    ops = NpOps()
+    zero_prep = [ops.zero()] * chip.preprocessed_width
+    zero_main = [ops.zero()] * chip.width
+    folder = ConstraintFolder(
+        ops, zero_prep, zero_main, _pv_host(public_values), alpha
+    )
+    chip.eval(folder)
+    return folder.accumulator
+
+
+def _make_round_kernel(chip, num_points: int):
+    """Build the jit kernel computing the restricted sums for one chip."""
+
+    @partial(jax.jit, static_argnums=())
+    def kernel(eq, geq, main, prep, alpha_m, adj_m, gkr_powers_m, pv_m):
+        # tables: eq (2m,4), geq (2m,4), main (2m, W, 4), prep (2m, Wp, 4)
+        outs = []
+        eqv = eq.reshape(-1, 2, 4)
+        geqv = geq.reshape(-1, 2, 4)
+        mainv = main.reshape(-1, 2, main.shape[1], 4)
+        prepv = prep.reshape(-1, 2, prep.shape[1], 4) if prep.shape[1] else None
+        m = eqv.shape[0]
+        for x in range(num_points):
+            def at_x(t):
+                lo, hi = t[:, 0], t[:, 1]
+                if x == 0:
+                    return lo
+                if x == 1:
+                    return hi
+                diff = kb.sub(hi, lo)
+                v = hi
+                for _ in range(x - 1):
+                    v = kb.add(v, diff)
+                return v
+
+            eq_x = at_x(eqv)
+            geq_x = at_x(geqv)
+            main_x = at_x(mainv)  # (m, W, 4)
+            prep_x = at_x(prepv) if prepv is not None else None
+            ops = JnpOps(m)
+            main_cols = [main_x[:, i] for i in range(main_x.shape[1])]
+            prep_cols = (
+                [prep_x[:, i] for i in range(prep_x.shape[1])]
+                if prep_x is not None
+                else []
+            )
+            alpha_b = jnp.broadcast_to(alpha_m, (m, 4))
+            pv_vals = [
+                jnp.broadcast_to(pv_m[i], (m, 4)) for i in range(pv_m.shape[0])
+            ]
+            folder = ConstraintFolder(ops, prep_cols, main_cols, pv_vals, alpha_b)
+            chip.eval(folder)
+            constr = folder.accumulator
+            # padded-row adjustment
+            constr = ext.ext4_sub(
+                constr, ext.ext4_mul(geq_x, jnp.broadcast_to(adj_m, (m, 4)))
+            )
+            # gkr openings batch: main then preprocessed, powers skip(1)
+            batch = jnp.zeros((m, 4), jnp.uint32)
+            for k, col in enumerate(main_cols + prep_cols):
+                batch = ext.ext4_add(
+                    batch,
+                    ext.ext4_mul(col, jnp.broadcast_to(gkr_powers_m[k], (m, 4))),
+                )
+            total = ext.ext4_mul(eq_x, ext.ext4_add(constr, batch))
+            outs.append(mle_ops._sum_ext_axis0(total))
+        return outs
+
+    return kernel
+
+
+@jax.jit
+def _fix_last_tables(eq, geq, main, prep, alpha):
+    out = []
+    for t in (eq, geq):
+        out.append(mle_ops.fix_last_variable_ext(t, alpha))
+    for t in (main, prep):
+        v = t.reshape((-1, 2) + t.shape[1:])
+        lo, hi = v[:, 0], v[:, 1]
+        diff = ext.ext4_sub(hi, lo)
+        out.append(
+            ext.ext4_add(lo, ext.ext4_mul(diff, jnp.broadcast_to(alpha, diff.shape)))
+        )
+    return tuple(out)
+
+
+class ZeroCheckPoly:
+    degree = MAX_CONSTRAINT_DEGREE + 1
+
+    def __init__(self, chip, eq, geq, main, prep, alpha_m, adj_m, gkr_powers_m, pv_m):
+        self.chip = chip
+        self.eq = eq
+        self.geq = geq
+        self.main = main  # (2^k, W, 4) monty
+        self.prep = prep  # (2^k, Wp, 4) monty (Wp may be 0)
+        self.alpha_m = alpha_m
+        self.adj_m = adj_m
+        self.gkr_powers_m = gkr_powers_m
+        self.pv_m = pv_m
+        self._kernel = _make_round_kernel(chip, self.degree + 1)
+
+    @property
+    def num_variables(self):
+        return int(self.eq.shape[0]).bit_length() - 1
+
+    def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
+        sums = self._kernel(
+            self.eq,
+            self.geq,
+            self.main,
+            self.prep,
+            self.alpha_m,
+            self.adj_m,
+            self.gkr_powers_m,
+            self.pv_m,
+        )
+        ys = [_from_monty_np(s) for s in sums]
+        return interp_coeffs(ys)
+
+    def fix_last_variable(self, alpha) -> "ZeroCheckPoly":
+        am = jnp.asarray(_to_monty_np(alpha))
+        eq, geq, main, prep = _fix_last_tables(
+            self.eq, self.geq, self.main, self.prep, am
+        )
+        poly = object.__new__(ZeroCheckPoly)
+        poly.chip = self.chip
+        poly.eq, poly.geq, poly.main, poly.prep = eq, geq, main, prep
+        poly.alpha_m = self.alpha_m
+        poly.adj_m = self.adj_m
+        poly.gkr_powers_m = self.gkr_powers_m
+        poly.pv_m = self.pv_m
+        poly._kernel = self._kernel
+        return poly
+
+    def get_component_poly_evals(self) -> list:
+        """[preprocessed col evals..., main col evals...] at the final point.
+
+        Reference: crates/hypercube/src/prover/zerocheck/mod.rs:95.
+        """
+        out = []
+        for i in range(self.prep.shape[1]):
+            out.append(_from_monty_np(self.prep[0, i]))
+        for i in range(self.main.shape[1]):
+            out.append(_from_monty_np(self.main[0, i]))
+        return out
+
+
+def make_zerocheck_poly(
+    chip,
+    main_trace,  # (2^mlrc, W) base monty jnp, zero-padded
+    prep_trace,  # (2^mlrc, Wp) or None
+    height: int,
+    zeta: np.ndarray,  # (mlrc, 4) canonical — GKR point
+    alpha: np.ndarray,
+    gkr_batch_challenge: np.ndarray,
+    public_values: list,
+) -> ZeroCheckPoly:
+    n = int(main_trace.shape[0])
+    mlrc = n.bit_length() - 1
+    eq = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(zeta)))
+    # geq table: [row >= height] indicator, ext4-embedded
+    idx = jnp.arange(n)
+    one = np.zeros(4, np.uint32)
+    one[0] = kb.to_monty_i(1)
+    geq = jnp.where(
+        (idx >= height)[:, None],
+        jnp.broadcast_to(jnp.asarray(one), (n, 4)),
+        jnp.zeros((n, 4), jnp.uint32),
+    )
+    main_e = jnp.stack(
+        [mle_ops.ext4_embed(main_trace[:, i]) for i in range(main_trace.shape[1])],
+        axis=1,
+    )
+    if prep_trace is not None and int(prep_trace.shape[1]) > 0:
+        prep_e = jnp.stack(
+            [mle_ops.ext4_embed(prep_trace[:, i]) for i in range(prep_trace.shape[1])],
+            axis=1,
+        )
+    else:
+        prep_e = jnp.zeros((n, 0, 4), jnp.uint32)
+    alpha_m = jnp.asarray(_to_monty_np(alpha))
+    adj = padded_row_adjustment_host(chip, public_values, alpha)
+    adj_m = jnp.asarray(_to_monty_np(adj))
+    # gkr powers: gkrc^1, gkrc^2, ... for main+prep columns
+    w_total = chip.width + chip.preprocessed_width
+    powers = []
+    p = np.asarray(gkr_batch_challenge, np.uint32)
+    for _ in range(w_total):
+        powers.append(p)
+        p = E4.mul(p, gkr_batch_challenge)
+    gkr_powers_m = jnp.asarray(_to_monty_np(np.stack(powers)))
+    pv_arr = np.zeros((len(public_values), 4), np.uint32)
+    for i, v in enumerate(public_values):
+        pv_arr[i, 0] = int(v) % kb.P
+    pv_m = jnp.asarray(_to_monty_np(pv_arr))
+    return ZeroCheckPoly(
+        chip, eq, geq, main_e, prep_e, alpha_m, adj_m, gkr_powers_m, pv_m
+    )
