@@ -1,0 +1,422 @@
+// RV64IM interpreter with timestamped-memory event recording.
+//
+// The native executor for the TPU proving framework: executes a guest
+// program and streams per-cycle event records that Python tracegen turns
+// into AIR trace matrices. Mirrors the role of the reference's executor
+// family (reference: crates/core/executor/src/vm.rs CoreVM +
+// crates/core/jit — we use a portable C++ interpreter instead of an
+// x86-64 JIT for the first revision; the event schema is our own).
+//
+// Memory model: 8-byte words, timestamped. Every register/memory access
+// records the previous timestamp (and previous value for writes), which
+// is exactly what the memory LogUp argument needs. Registers live at
+// "addresses" 0..31 in a separate register file; RAM is sparse.
+//
+// Timestamps: ts = clk*8 + slot (slot 1: rs1 read, 2: rs2 read,
+// 3: memory access, 4: rd write).
+//
+// Build: g++ -O2 -shared -fPIC -o libsp1executor.so executor.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Event {
+    uint64_t clk;        // cycle count (1-based)
+    uint64_t pc;
+    uint64_t instr;      // raw 32-bit instruction word
+    uint64_t next_pc;
+    uint64_t a;          // rd result value (after execute)
+    uint64_t b;          // rs1 value
+    uint64_t c;          // rs2 value or immediate
+    uint64_t rs1_prev_ts;
+    uint64_t rs2_prev_ts;
+    uint64_t rd_prev_ts;
+    uint64_t rd_prev_val;
+    uint64_t mem_addr;     // 0 if no memory access
+    uint64_t mem_prev_ts;
+    uint64_t mem_prev_val;
+    uint64_t mem_val;      // value after access (== prev for loads)
+    uint64_t flags;        // bit0: is_mem_op, bit1: is_store, bit2: halted
+};
+
+struct MemCell {
+    uint64_t value = 0;
+    uint64_t ts = 0;
+};
+
+struct VM {
+    std::vector<uint32_t> program;
+    uint64_t pc_base = 0;
+    uint64_t pc = 0;
+    uint64_t clk = 0;
+    uint64_t regs[32] = {0};
+    uint64_t reg_ts[32] = {0};
+    std::unordered_map<uint64_t, MemCell> memory;
+    std::vector<Event> events;
+    bool halted = false;
+    uint64_t exit_code = 0;
+    std::vector<uint8_t> output;       // bytes written via write syscall
+    std::vector<uint64_t> input_queue; // words read via read syscall
+    size_t input_pos = 0;
+};
+
+inline int64_t sext(uint64_t v, int bits) {
+    int shift = 64 - bits;
+    return ((int64_t)(v << shift)) >> shift;
+}
+
+// Fetch a word-aligned 8-byte cell; addr is byte address.
+MemCell& cell(VM& vm, uint64_t byte_addr) { return vm.memory[byte_addr & ~7ULL]; }
+
+uint64_t load_sized(VM& vm, uint64_t addr, int size_log, bool sign, Event& ev) {
+    MemCell& c = cell(vm, addr);
+    ev.mem_addr = addr & ~7ULL;
+    ev.mem_prev_ts = c.ts;
+    ev.mem_prev_val = c.value;
+    uint64_t word = c.value;
+    c.ts = vm.clk * 8 + 3;
+    ev.mem_val = c.value;
+    ev.flags |= 1;
+    int off = addr & 7;
+    uint64_t v;
+    switch (size_log) {
+        case 0: v = (word >> (off * 8)) & 0xffULL; return sign ? (uint64_t)sext(v, 8) : v;
+        case 1: v = (word >> (off * 8)) & 0xffffULL; return sign ? (uint64_t)sext(v, 16) : v;
+        case 2: v = (word >> (off * 8)) & 0xffffffffULL; return sign ? (uint64_t)sext(v, 32) : v;
+        default: return word;
+    }
+}
+
+void store_sized(VM& vm, uint64_t addr, uint64_t val, int size_log, Event& ev) {
+    MemCell& c = cell(vm, addr);
+    ev.mem_addr = addr & ~7ULL;
+    ev.mem_prev_ts = c.ts;
+    ev.mem_prev_val = c.value;
+    int off = addr & 7;
+    uint64_t word = c.value;
+    switch (size_log) {
+        case 0: {
+            uint64_t mask = 0xffULL << (off * 8);
+            word = (word & ~mask) | ((val & 0xff) << (off * 8));
+            break;
+        }
+        case 1: {
+            uint64_t mask = 0xffffULL << (off * 8);
+            word = (word & ~mask) | ((val & 0xffff) << (off * 8));
+            break;
+        }
+        case 2: {
+            uint64_t mask = 0xffffffffULL << (off * 8);
+            word = (word & ~mask) | ((val & 0xffffffff) << (off * 8));
+            break;
+        }
+        default: word = val; break;
+    }
+    c.value = word;
+    c.ts = vm.clk * 8 + 3;
+    ev.mem_val = word;
+    ev.flags |= 1 | 2;
+}
+
+bool step(VM& vm) {
+    uint64_t idx = (vm.pc - vm.pc_base) / 4;
+    if (idx >= vm.program.size()) return false;
+    uint32_t instr = vm.program[idx];
+    vm.clk += 1;
+
+    Event ev{};
+    ev.clk = vm.clk;
+    ev.pc = vm.pc;
+    ev.instr = instr;
+
+    uint32_t opcode = instr & 0x7f;
+    uint32_t rd = (instr >> 7) & 0x1f;
+    uint32_t funct3 = (instr >> 12) & 0x7;
+    uint32_t rs1 = (instr >> 15) & 0x1f;
+    uint32_t rs2 = (instr >> 20) & 0x1f;
+    uint32_t funct7 = (instr >> 25) & 0x7f;
+
+    // Read operands with timestamp bookkeeping.
+    auto read_reg = [&](uint32_t r, int slot) -> uint64_t {
+        uint64_t prev = vm.reg_ts[r];
+        vm.reg_ts[r] = vm.clk * 8 + slot;
+        return vm.regs[r];
+    };
+
+    uint64_t b = 0, c = 0, a = 0;
+    uint64_t next_pc = vm.pc + 4;
+    bool wr = false;
+
+    int64_t imm_i = sext(instr >> 20, 12);
+    int64_t imm_s = sext(((instr >> 25) << 5) | ((instr >> 7) & 0x1f), 12);
+    int64_t imm_b = sext((((instr >> 31) & 1) << 12) | (((instr >> 7) & 1) << 11) |
+                             (((instr >> 25) & 0x3f) << 5) | (((instr >> 8) & 0xf) << 1),
+                         13);
+    int64_t imm_u = (int64_t)(int32_t)(instr & 0xfffff000u);
+    int64_t imm_j = sext((((instr >> 31) & 1) << 20) | (((instr >> 12) & 0xff) << 12) |
+                             (((instr >> 20) & 1) << 11) | (((instr >> 21) & 0x3ff) << 1),
+                         21);
+
+    switch (opcode) {
+        case 0x33: {  // R-type ALU
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            ev.rs2_prev_ts = vm.reg_ts[rs2]; c = read_reg(rs2, 2);
+            wr = true;
+            if (funct7 == 0x01) {  // M extension
+                switch (funct3) {
+                    case 0: a = b * c; break;                                     // mul
+                    case 1: a = (uint64_t)(((__int128)(int64_t)b * (int64_t)c) >> 64); break;  // mulh
+                    case 2: a = (uint64_t)(((__int128)(int64_t)b * (unsigned __int128)c) >> 64); break; // mulhsu
+                    case 3: a = (uint64_t)(((unsigned __int128)b * c) >> 64); break;  // mulhu
+                    case 4: a = c == 0 ? ~0ULL : (c == ~0ULL && (int64_t)b == INT64_MIN) ? b : (uint64_t)((int64_t)b / (int64_t)c); break; // div
+                    case 5: a = c == 0 ? ~0ULL : b / c; break;                    // divu
+                    case 6: a = c == 0 ? b : (c == ~0ULL && (int64_t)b == INT64_MIN) ? 0 : (uint64_t)((int64_t)b % (int64_t)c); break; // rem
+                    case 7: a = c == 0 ? b : b % c; break;                        // remu
+                }
+            } else {
+                switch (funct3) {
+                    case 0: a = funct7 == 0x20 ? b - c : b + c; break;
+                    case 1: a = b << (c & 63); break;
+                    case 2: a = (int64_t)b < (int64_t)c; break;
+                    case 3: a = b < c; break;
+                    case 4: a = b ^ c; break;
+                    case 5: a = funct7 == 0x20 ? (uint64_t)((int64_t)b >> (c & 63)) : b >> (c & 63); break;
+                    case 6: a = b | c; break;
+                    case 7: a = b & c; break;
+                }
+            }
+            break;
+        }
+        case 0x3b: {  // R-type W (32-bit)
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            ev.rs2_prev_ts = vm.reg_ts[rs2]; c = read_reg(rs2, 2);
+            wr = true;
+            uint32_t b32 = (uint32_t)b, c32 = (uint32_t)c;
+            if (funct7 == 0x01) {
+                switch (funct3) {
+                    case 0: a = (uint64_t)sext((uint32_t)(b32 * c32), 32); break;  // mulw
+                    case 4: a = c32 == 0 ? ~0ULL : (uint64_t)sext((uint32_t)((int32_t)b32 / (c32 == ~0u && (int32_t)b32 == INT32_MIN ? 1 : (int32_t)c32)), 32); break; // divw
+                    case 5: a = c32 == 0 ? ~0ULL : (uint64_t)sext(b32 / c32, 32); break;  // divuw
+                    case 6: a = c32 == 0 ? (uint64_t)sext(b32, 32) : (uint64_t)sext((uint32_t)((c32 == ~0u && (int32_t)b32 == INT32_MIN) ? 0 : (int32_t)b32 % (int32_t)c32), 32); break; // remw
+                    case 7: a = c32 == 0 ? (uint64_t)sext(b32, 32) : (uint64_t)sext(b32 % c32, 32); break;  // remuw
+                }
+            } else {
+                switch (funct3) {
+                    case 0: a = (uint64_t)sext((uint32_t)(funct7 == 0x20 ? b32 - c32 : b32 + c32), 32); break;
+                    case 1: a = (uint64_t)sext((uint32_t)(b32 << (c & 31)), 32); break;
+                    case 5: a = funct7 == 0x20 ? (uint64_t)sext((uint32_t)((int32_t)b32 >> (c & 31)), 32)
+                                              : (uint64_t)sext(b32 >> (c & 31), 32); break;
+                }
+            }
+            break;
+        }
+        case 0x13: {  // I-type ALU
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            c = (uint64_t)imm_i;
+            wr = true;
+            switch (funct3) {
+                case 0: a = b + c; break;
+                case 1: a = b << (c & 63); break;
+                case 2: a = (int64_t)b < (int64_t)c; break;
+                case 3: a = b < c; break;
+                case 4: a = b ^ c; break;
+                case 5: a = ((instr >> 26) & 0x3f) == 0x10 ? (uint64_t)((int64_t)b >> (c & 63)) : b >> (c & 63); break;
+                case 6: a = b | c; break;
+                case 7: a = b & c; break;
+            }
+            break;
+        }
+        case 0x1b: {  // I-type W
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            c = (uint64_t)imm_i;
+            wr = true;
+            uint32_t b32 = (uint32_t)b;
+            switch (funct3) {
+                case 0: a = (uint64_t)sext((uint32_t)(b32 + (uint32_t)c), 32); break;
+                case 1: a = (uint64_t)sext((uint32_t)(b32 << (c & 31)), 32); break;
+                case 5: a = ((instr >> 26) & 0x3f) == 0x10 ? (uint64_t)sext((uint32_t)((int32_t)b32 >> (c & 31)), 32)
+                                                          : (uint64_t)sext(b32 >> (c & 31), 32); break;
+            }
+            break;
+        }
+        case 0x03: {  // loads
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            uint64_t addr = b + (uint64_t)imm_i;
+            wr = true;
+            switch (funct3) {
+                case 0: a = load_sized(vm, addr, 0, true, ev); break;   // lb
+                case 1: a = load_sized(vm, addr, 1, true, ev); break;   // lh
+                case 2: a = load_sized(vm, addr, 2, true, ev); break;   // lw
+                case 3: a = load_sized(vm, addr, 3, false, ev); break;  // ld
+                case 4: a = load_sized(vm, addr, 0, false, ev); break;  // lbu
+                case 5: a = load_sized(vm, addr, 1, false, ev); break;  // lhu
+                case 6: a = load_sized(vm, addr, 2, false, ev); break;  // lwu
+            }
+            c = (uint64_t)imm_i;
+            break;
+        }
+        case 0x23: {  // stores
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            ev.rs2_prev_ts = vm.reg_ts[rs2]; c = read_reg(rs2, 2);
+            uint64_t addr = b + (uint64_t)imm_s;
+            switch (funct3) {
+                case 0: store_sized(vm, addr, c, 0, ev); break;
+                case 1: store_sized(vm, addr, c, 1, ev); break;
+                case 2: store_sized(vm, addr, c, 2, ev); break;
+                case 3: store_sized(vm, addr, c, 3, ev); break;
+            }
+            a = 0;
+            break;
+        }
+        case 0x63: {  // branches
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            ev.rs2_prev_ts = vm.reg_ts[rs2]; c = read_reg(rs2, 2);
+            bool take = false;
+            switch (funct3) {
+                case 0: take = b == c; break;
+                case 1: take = b != c; break;
+                case 4: take = (int64_t)b < (int64_t)c; break;
+                case 5: take = (int64_t)b >= (int64_t)c; break;
+                case 6: take = b < c; break;
+                case 7: take = b >= c; break;
+            }
+            if (take) next_pc = vm.pc + (uint64_t)imm_b;
+            break;
+        }
+        case 0x6f: {  // jal
+            a = vm.pc + 4;
+            wr = true;
+            next_pc = vm.pc + (uint64_t)imm_j;
+            break;
+        }
+        case 0x67: {  // jalr
+            ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
+            a = vm.pc + 4;
+            wr = true;
+            next_pc = (b + (uint64_t)imm_i) & ~1ULL;
+            break;
+        }
+        case 0x37: {  // lui
+            a = (uint64_t)imm_u;
+            wr = true;
+            break;
+        }
+        case 0x17: {  // auipc
+            a = vm.pc + (uint64_t)imm_u;
+            wr = true;
+            break;
+        }
+        case 0x73: {  // ecall
+            // a7 (x17) = syscall id; our ABI: 0 = HALT(code in a0),
+            // 2 = WRITE byte in a0, 3 = READ word -> a0.
+            // For the AIR, ecall reads a7 as rs1 (slot 1) and a0 as rs2
+            // (slot 2); READ writes a0 as rd (slot 4).
+            ev.rs1_prev_ts = vm.reg_ts[17]; b = read_reg(17, 1);
+            ev.rs2_prev_ts = vm.reg_ts[10]; c = read_reg(10, 2);
+            uint64_t id = b;
+            if (id == 0) {
+                vm.halted = true;
+                vm.exit_code = c;
+                ev.flags |= 4;
+            } else if (id == 2) {
+                vm.output.push_back((uint8_t)c);
+            } else if (id == 3) {
+                uint64_t v = vm.input_pos < vm.input_queue.size() ? vm.input_queue[vm.input_pos++] : 0;
+                rd = 10;
+                a = v;
+                wr = true;
+            }
+            break;
+        }
+        default:
+            return false;  // illegal instruction
+    }
+
+    if (wr && rd != 0) {
+        ev.rd_prev_ts = vm.reg_ts[rd];
+        ev.rd_prev_val = vm.regs[rd];
+        vm.regs[rd] = a;
+        vm.reg_ts[rd] = vm.clk * 8 + 4;
+    }
+    ev.a = (wr && rd != 0) ? a : 0;
+    ev.b = b;
+    ev.c = c;
+    ev.next_pc = next_pc;
+    vm.events.push_back(ev);
+    vm.pc = next_pc;
+    return !vm.halted;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ex_create(const uint32_t* words, uint64_t n, uint64_t pc_base) {
+    VM* vm = new VM();
+    vm->program.assign(words, words + n);
+    vm->pc_base = pc_base;
+    vm->pc = pc_base;
+    return vm;
+}
+
+void ex_set_input(void* h, const uint64_t* words, uint64_t n) {
+    VM* vm = (VM*)h;
+    vm->input_queue.assign(words, words + n);
+}
+
+void ex_write_memory(void* h, uint64_t addr, uint64_t value) {
+    VM* vm = (VM*)h;
+    cell(*vm, addr).value = value;
+}
+
+// Returns: 0 halted, 1 max_cycles reached, -1 illegal instruction / oob pc.
+int64_t ex_run(void* h, uint64_t max_cycles) {
+    VM* vm = (VM*)h;
+    while (!vm->halted && vm->clk < max_cycles) {
+        if (!step(*vm)) return vm->halted ? 0 : -1;
+    }
+    return vm->halted ? 0 : 1;
+}
+
+uint64_t ex_num_events(void* h) { return ((VM*)h)->events.size(); }
+
+void ex_get_events(void* h, uint64_t* out) {
+    VM* vm = (VM*)h;
+    static_assert(sizeof(Event) == 16 * 8, "event layout");
+    memcpy(out, vm->events.data(), vm->events.size() * sizeof(Event));
+}
+
+uint64_t ex_exit_code(void* h) { return ((VM*)h)->exit_code; }
+uint64_t ex_clk(void* h) { return ((VM*)h)->clk; }
+uint64_t ex_reg(void* h, uint64_t r) { return ((VM*)h)->regs[r & 31]; }
+uint64_t ex_reg_ts(void* h, uint64_t r) { return ((VM*)h)->reg_ts[r & 31]; }
+
+uint64_t ex_output_len(void* h) { return ((VM*)h)->output.size(); }
+void ex_get_output(void* h, uint8_t* out) {
+    VM* vm = (VM*)h;
+    memcpy(out, vm->output.data(), vm->output.size());
+}
+
+// Touched memory (for global init/final shards): returns count; fills
+// (addr, value, ts) triples when buffers are non-null.
+uint64_t ex_touched_memory(void* h, uint64_t* addrs, uint64_t* vals, uint64_t* tss) {
+    VM* vm = (VM*)h;
+    if (addrs) {
+        uint64_t i = 0;
+        for (auto& kv : vm->memory) {
+            addrs[i] = kv.first;
+            vals[i] = kv.second.value;
+            tss[i] = kv.second.ts;
+            i++;
+        }
+    }
+    return vm->memory.size();
+}
+
+void ex_destroy(void* h) { delete (VM*)h; }
+
+}  // extern "C"

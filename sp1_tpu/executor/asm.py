@@ -1,0 +1,214 @@
+"""Minimal RV64IM assembler for guest test programs.
+
+Supports labels, the base integer ISA (I + M + W-forms), and the
+framework syscall convention (a7 selects: 0 = HALT with code in a0,
+2 = WRITE byte from a0, 3 = READ word into a0). Standard RISC-V
+instruction encodings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+REG_NAMES = {f"x{i}": i for i in range(32)}
+REG_NAMES.update(
+    {
+        "zero": 0, "ra": 1, "sp": 2, "gp": 3, "tp": 4, "t0": 5, "t1": 6, "t2": 7,
+        "s0": 8, "fp": 8, "s1": 9, "a0": 10, "a1": 11, "a2": 12, "a3": 13,
+        "a4": 14, "a5": 15, "a6": 16, "a7": 17, "s2": 18, "s3": 19, "s4": 20,
+        "s5": 21, "s6": 22, "s7": 23, "s8": 24, "s9": 25, "s10": 26, "s11": 27,
+        "t3": 28, "t4": 29, "t5": 30, "t6": 31,
+    }
+)
+
+
+def _r(name):
+    return REG_NAMES[name.strip()]
+
+
+def _enc_r(opcode, rd, f3, rs1, rs2, f7):
+    return opcode | (rd << 7) | (f3 << 12) | (rs1 << 15) | (rs2 << 20) | (f7 << 25)
+
+
+def _enc_i(opcode, rd, f3, rs1, imm):
+    return opcode | (rd << 7) | (f3 << 12) | (rs1 << 15) | ((imm & 0xFFF) << 20)
+
+
+def _enc_s(opcode, f3, rs1, rs2, imm):
+    return (
+        opcode
+        | ((imm & 0x1F) << 7)
+        | (f3 << 12)
+        | (rs1 << 15)
+        | (rs2 << 20)
+        | (((imm >> 5) & 0x7F) << 25)
+    )
+
+
+def _enc_b(opcode, f3, rs1, rs2, imm):
+    return (
+        opcode
+        | (((imm >> 11) & 1) << 7)
+        | (((imm >> 1) & 0xF) << 8)
+        | (f3 << 12)
+        | (rs1 << 15)
+        | (rs2 << 20)
+        | (((imm >> 5) & 0x3F) << 25)
+        | (((imm >> 12) & 1) << 31)
+    )
+
+
+def _enc_u(opcode, rd, imm):
+    return opcode | (rd << 7) | (imm & 0xFFFFF000)
+
+
+def _enc_j(opcode, rd, imm):
+    return (
+        opcode
+        | (rd << 7)
+        | (((imm >> 12) & 0xFF) << 12)
+        | (((imm >> 11) & 1) << 20)
+        | (((imm >> 1) & 0x3FF) << 21)
+        | (((imm >> 20) & 1) << 31)
+    )
+
+
+R_OPS = {
+    "add": (0x33, 0, 0x00), "sub": (0x33, 0, 0x20), "sll": (0x33, 1, 0x00),
+    "slt": (0x33, 2, 0x00), "sltu": (0x33, 3, 0x00), "xor": (0x33, 4, 0x00),
+    "srl": (0x33, 5, 0x00), "sra": (0x33, 5, 0x20), "or": (0x33, 6, 0x00),
+    "and": (0x33, 7, 0x00),
+    "mul": (0x33, 0, 0x01), "mulh": (0x33, 1, 0x01), "mulhsu": (0x33, 2, 0x01),
+    "mulhu": (0x33, 3, 0x01), "div": (0x33, 4, 0x01), "divu": (0x33, 5, 0x01),
+    "rem": (0x33, 6, 0x01), "remu": (0x33, 7, 0x01),
+    "addw": (0x3B, 0, 0x00), "subw": (0x3B, 0, 0x20), "sllw": (0x3B, 1, 0x00),
+    "srlw": (0x3B, 5, 0x00), "sraw": (0x3B, 5, 0x20), "mulw": (0x3B, 0, 0x01),
+    "divw": (0x3B, 4, 0x01), "divuw": (0x3B, 5, 0x01), "remw": (0x3B, 6, 0x01),
+    "remuw": (0x3B, 7, 0x01),
+}
+
+I_OPS = {
+    "addi": (0x13, 0), "slti": (0x13, 2), "sltiu": (0x13, 3), "xori": (0x13, 4),
+    "ori": (0x13, 6), "andi": (0x13, 7), "addiw": (0x1B, 0), "jalr": (0x67, 0),
+    "lb": (0x03, 0), "lh": (0x03, 1), "lw": (0x03, 2), "ld": (0x03, 3),
+    "lbu": (0x03, 4), "lhu": (0x03, 5), "lwu": (0x03, 6),
+}
+
+S_OPS = {"sb": (0x23, 0), "sh": (0x23, 1), "sw": (0x23, 2), "sd": (0x23, 3)}
+B_OPS = {"beq": 0, "bne": 1, "blt": 4, "bge": 5, "bltu": 6, "bgeu": 7}
+
+
+def assemble(source: str, pc_base: int = 0) -> np.ndarray:
+    """Assemble source text into an array of uint32 instruction words."""
+    lines = []
+    for raw in source.strip().splitlines():
+        line = raw.split("#")[0].strip()
+        if line:
+            lines.append(line)
+    # first pass: labels
+    labels, instrs = {}, []
+    for line in lines:
+        while ":" in line:
+            label, _, rest = line.partition(":")
+            labels[label.strip()] = pc_base + 4 * len(instrs)
+            line = rest.strip()
+            if not line:
+                break
+        if line:
+            instrs.append(line)
+
+    def parse_imm(tok, pc):
+        tok = tok.strip()
+        if tok in labels:
+            return labels[tok] - pc
+        return int(tok, 0)
+
+    words = []
+    for i, line in enumerate(instrs):
+        pc = pc_base + 4 * i
+        parts = line.replace(",", " ").split()
+        op = parts[0]
+        if op in R_OPS:
+            opc, f3, f7 = R_OPS[op]
+            words.append(_enc_r(opc, _r(parts[1]), f3, _r(parts[2]), _r(parts[3]), f7))
+        elif op in ("slli", "srli", "srai", "slliw", "srliw", "sraiw"):
+            sh = int(parts[3], 0)
+            w = op.endswith("w")
+            opc = 0x1B if w else 0x13
+            f3 = 1 if op.startswith("sl") else 5
+            top = 0x10 if "a" in op[2:] else 0x00  # srai/sraiw
+            imm = (top << 6) | (sh & (31 if w else 63))
+            words.append(_enc_i(opc, _r(parts[1]), f3, _r(parts[2]), imm))
+        elif op in I_OPS and op not in ("lb", "lh", "lw", "ld", "lbu", "lhu", "lwu", "jalr"):
+            opc, f3 = I_OPS[op]
+            words.append(
+                _enc_i(opc, _r(parts[1]), f3, _r(parts[2]), parse_imm(parts[3], pc))
+            )
+        elif op in ("lb", "lh", "lw", "ld", "lbu", "lhu", "lwu"):
+            opc, f3 = I_OPS[op]
+            off, reg = parts[2].split("(")
+            words.append(_enc_i(opc, _r(parts[1]), f3, _r(reg.rstrip(")")), int(off, 0)))
+        elif op in S_OPS:
+            opc, f3 = S_OPS[op]
+            off, reg = parts[2].split("(")
+            words.append(
+                _enc_s(opc, f3, _r(reg.rstrip(")")), _r(parts[1]), int(off, 0))
+            )
+        elif op in B_OPS:
+            words.append(
+                _enc_b(
+                    0x63, B_OPS[op], _r(parts[1]), _r(parts[2]), parse_imm(parts[3], pc)
+                )
+            )
+        elif op == "jal":
+            if len(parts) == 2:  # jal label -> rd = ra
+                words.append(_enc_j(0x6F, 1, parse_imm(parts[1], pc)))
+            else:
+                words.append(_enc_j(0x6F, _r(parts[1]), parse_imm(parts[2], pc)))
+        elif op == "jalr" and len(parts) >= 3:
+            opc, f3 = I_OPS["jalr"]
+            if "(" in parts[2]:
+                off, reg = parts[2].split("(")
+                words.append(_enc_i(opc, _r(parts[1]), f3, _r(reg.rstrip(")")), int(off, 0)))
+            else:
+                words.append(_enc_i(opc, _r(parts[1]), f3, _r(parts[2]), int(parts[3], 0)))
+        elif op == "lui":
+            words.append(_enc_u(0x37, _r(parts[1]), int(parts[2], 0) << 12))
+        elif op == "auipc":
+            words.append(_enc_u(0x17, _r(parts[1]), int(parts[2], 0) << 12))
+        elif op == "ecall":
+            words.append(0x73)
+        elif op == "li":  # pseudo: small immediates only
+            v = int(parts[2], 0)
+            assert -2048 <= v < 2048, "li supports 12-bit immediates only"
+            words.append(_enc_i(0x13, _r(parts[1]), 0, 0, v))
+        elif op == "mv":
+            words.append(_enc_i(0x13, _r(parts[1]), 0, _r(parts[2]), 0))
+        elif op == "j":
+            words.append(_enc_j(0x6F, 0, parse_imm(parts[1], pc)))
+        elif op == "nop":
+            words.append(0x13)
+        else:
+            raise ValueError(f"unknown instruction: {line}")
+    return np.array(words, np.uint32)
+
+
+FIBONACCI = """
+    # fib(n): n in a0 via READ; result via HALT code (mod 2^64)
+    li a7, 3
+    ecall            # a0 = n
+    mv t0, a0        # t0 = counter
+    li t1, 0         # t1 = fib(i)
+    li t2, 1         # t2 = fib(i+1)
+loop:
+    beq t0, zero, done
+    add t3, t1, t2
+    mv t1, t2
+    mv t2, t3
+    addi t0, t0, -1
+    j loop
+done:
+    mv a0, t1
+    li a7, 0
+    ecall            # halt with fib(n)
+"""

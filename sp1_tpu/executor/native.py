@@ -1,0 +1,170 @@
+"""ctypes binding for the native RV64IM executor (native/executor.cpp).
+
+Builds the shared library on demand with g++ (cached by mtime). The
+events come back as a structured numpy array matching the C++ `Event`
+layout — the input to trace generation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "executor.cpp")
+_LIB = os.path.join(_REPO, "native", "libsp1executor.so")
+
+EVENT_DTYPE = np.dtype(
+    [
+        ("clk", np.uint64),
+        ("pc", np.uint64),
+        ("instr", np.uint64),
+        ("next_pc", np.uint64),
+        ("a", np.uint64),
+        ("b", np.uint64),
+        ("c", np.uint64),
+        ("rs1_prev_ts", np.uint64),
+        ("rs2_prev_ts", np.uint64),
+        ("rd_prev_ts", np.uint64),
+        ("rd_prev_val", np.uint64),
+        ("mem_addr", np.uint64),
+        ("mem_prev_ts", np.uint64),
+        ("mem_prev_val", np.uint64),
+        ("mem_val", np.uint64),
+        ("flags", np.uint64),
+    ]
+)
+
+FLAG_MEM = 1
+FLAG_STORE = 2
+FLAG_HALT = 4
+
+_lib = None
+
+
+def _build():
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+        check=True,
+    )
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        lib.ex_create.restype = ctypes.c_void_p
+        lib.ex_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+        ]
+        lib.ex_set_input.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_uint64,
+        ]
+        lib.ex_write_memory.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64]
+        lib.ex_run.restype = ctypes.c_int64
+        lib.ex_run.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ex_num_events.restype = ctypes.c_uint64
+        lib.ex_num_events.argtypes = [ctypes.c_void_p]
+        lib.ex_get_events.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+        lib.ex_exit_code.restype = ctypes.c_uint64
+        lib.ex_exit_code.argtypes = [ctypes.c_void_p]
+        lib.ex_clk.restype = ctypes.c_uint64
+        lib.ex_clk.argtypes = [ctypes.c_void_p]
+        lib.ex_reg.restype = ctypes.c_uint64
+        lib.ex_reg.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ex_reg_ts.restype = ctypes.c_uint64
+        lib.ex_reg_ts.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ex_output_len.restype = ctypes.c_uint64
+        lib.ex_output_len.argtypes = [ctypes.c_void_p]
+        lib.ex_get_output.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.ex_touched_memory.restype = ctypes.c_uint64
+        lib.ex_touched_memory.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.ex_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+class ExecutionResult:
+    def __init__(self, events, exit_code, cycles, output, touched, regs):
+        self.events = events  # structured np array (EVENT_DTYPE)
+        self.exit_code = exit_code
+        self.cycles = cycles
+        self.output = output
+        self.touched_memory = touched  # (addrs, vals, tss)
+        self.regs = regs
+
+
+def execute(
+    program_words: np.ndarray,
+    pc_base: int = 0,
+    inputs: list | None = None,
+    memory: dict | None = None,
+    max_cycles: int = 1 << 24,
+) -> ExecutionResult:
+    lib = get_lib()
+    words = np.ascontiguousarray(program_words, np.uint32)
+    vm = lib.ex_create(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(words), pc_base
+    )
+    try:
+        if inputs:
+            arr = np.asarray(inputs, np.uint64)
+            lib.ex_set_input(
+                vm, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(arr)
+            )
+        if memory:
+            for addr, val in memory.items():
+                lib.ex_write_memory(vm, addr, val)
+        rc = lib.ex_run(vm, max_cycles)
+        if rc != 0:
+            raise RuntimeError(f"execution did not halt cleanly (rc={rc})")
+        n = lib.ex_num_events(vm)
+        events = np.zeros(n, EVENT_DTYPE)
+        if n:
+            lib.ex_get_events(
+                vm, events.ctypes.data.__index__() and events.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+            )
+        out_len = lib.ex_output_len(vm)
+        output = np.zeros(out_len, np.uint8)
+        if out_len:
+            lib.ex_get_output(vm, output.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        ntouched = lib.ex_touched_memory(vm, None, None, None)
+        addrs = np.zeros(ntouched, np.uint64)
+        vals = np.zeros(ntouched, np.uint64)
+        tss = np.zeros(ntouched, np.uint64)
+        if ntouched:
+            lib.ex_touched_memory(
+                vm,
+                addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                tss.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            )
+        regs = np.array([lib.ex_reg(vm, r) for r in range(32)], np.uint64)
+        reg_ts = np.array([lib.ex_reg_ts(vm, r) for r in range(32)], np.uint64)
+        res = ExecutionResult(
+            events=events,
+            exit_code=lib.ex_exit_code(vm),
+            cycles=lib.ex_clk(vm),
+            output=bytes(output.tobytes()),
+            touched=(addrs, vals, tss),
+            regs=regs,
+        )
+        res.reg_ts = reg_ts
+        return res
+    finally:
+        lib.ex_destroy(vm)

@@ -38,8 +38,10 @@ from ..field import extension as ext
 from ..field import koalabear as kb
 from ..field.domain import bit_reverse_indices, pow_vector, two_adic_generator
 from ..iop.challenger import DuplexChallenger
+from ..ops import hostmle
 from ..ops import mle as mle_ops
 from ..ops import ntt
+from ..ops.hostmle import HOST_THRESH
 from . import merkle
 
 E4 = ext.npext4
@@ -160,6 +162,21 @@ def _fold_codeword(code, beta, log_n: int):
     return kb.add(e0, ext.ext4_mul(bmx, slope))
 
 
+def _fold_codeword_host(code: np.ndarray, beta: np.ndarray, log_n: int) -> np.ndarray:
+    """Host mirror of _fold_codeword on canonical arrays."""
+    x_t, inv_t = _fold_tables(log_n)
+    x_c = hostmle.from_monty_host(x_t)
+    inv_c = hostmle.from_monty_host(inv_t)
+    v = code.reshape(-1, 2, 4)
+    e0, e1 = v[:, 0], v[:, 1]
+    x_e = np.zeros((x_c.shape[0], 4), np.uint32)
+    x_e[:, 0] = x_c
+    bmx = E4.sub(np.broadcast_to(beta, e0.shape), x_e)
+    diff = E4.sub(e1, e0)
+    slope = kb.npf.mul(diff, inv_c[:, None])
+    return E4.add(e0, E4.mul(bmx, slope))
+
+
 @jax.jit
 def _pair_leaves(code):
     """(2m, 4) ext codeword -> (m, 8) base leaves for the round commit."""
@@ -262,10 +279,22 @@ def prove_trusted_evaluations(
     betas = []
 
     challenger.observe(num_vars)
+    host_mode = False
     for _ in range(num_vars):
+        if not host_mode and int(current_code.shape[0]) <= HOST_THRESH:
+            current_code = hostmle.dev_to_host(current_code)
+            current_mle = hostmle.dev_to_host(current_mle)
+            host_mode = True
         last_coord = point[-1]
         point = point[:-1]
-        zero_val = _fixed_at_zero_host(current_mle, point)
+        if host_mode:
+            zero_val = (
+                hostmle.eval_at_point(current_mle[0::2], point)
+                if point.shape[0]
+                else np.asarray(current_mle[0], np.uint32)
+            )
+        else:
+            zero_val = _fixed_at_zero_host(current_mle, point)
         one_val = E4.add(
             E4.mul(E4.sub(claim, zero_val), E4.inv(last_coord)), zero_val
         )
@@ -273,21 +302,33 @@ def prove_trusted_evaluations(
         challenger.observe_slice(zero_val)
         challenger.observe_slice(one_val)
 
-        leaves = _pair_leaves(current_code)
-        tree = merkle.commit_tensors([leaves])
+        if host_mode:
+            leaves = current_code.reshape(-1, 8)
+            tree = merkle.commit_tensors_host(leaves)
+        else:
+            leaves = _pair_leaves(current_code)
+            tree = merkle.commit_tensors([leaves])
         fri_commitments.append(tree.root)
         fri_trees.append((tree, leaves))
         challenger.observe_digest(tree.root)
         beta = challenger.sample_ext()
         betas.append(beta)
-        beta_m = jnp.asarray(_to_monty_np(beta))
 
         cur_log = int(current_code.shape[0]).bit_length() - 1
-        current_code = _fold_codeword(current_code, beta_m, cur_log)
-        current_mle = mle_ops.fold_ext(current_mle, beta_m)
+        if host_mode:
+            current_code = _fold_codeword_host(current_code, beta, cur_log)
+            current_mle = hostmle.fold(current_mle, beta)
+        else:
+            beta_m = jnp.asarray(_to_monty_np(beta))
+            current_code = _fold_codeword(current_code, beta_m, cur_log)
+            current_mle = mle_ops.fold_ext(current_mle, beta_m)
         claim = E4.add(zero_val, E4.mul(beta, one_val))
 
-    final_poly = _from_monty_np(current_code[0])
+    final_poly = (
+        np.asarray(current_code[0], np.uint32)
+        if host_mode
+        else _from_monty_np(current_code[0])
+    )
     challenger.observe_slice(final_poly)
 
     pow_witness = challenger.grind(config.proof_of_work_bits)
@@ -308,7 +349,10 @@ def prove_trusted_evaluations(
     indices = list(query_indices)
     for tree, leaves in fri_trees:
         indices = [i >> 1 for i in indices]
-        values = merkle.compute_openings([leaves], indices)
+        if isinstance(leaves, np.ndarray):
+            values = leaves[np.asarray(indices, np.int64)]
+        else:
+            values = merkle.compute_openings([leaves], indices)
         proof = merkle.open_at_indices(tree, indices, 8)
         query_openings.append(MerkleOpeningAndProof(values=values, proof=proof))
 

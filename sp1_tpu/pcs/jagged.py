@@ -36,7 +36,9 @@ from ..field import extension as ext
 from ..field import koalabear as kb
 from ..iop import sumcheck as sc
 from ..iop.challenger import DuplexChallenger
+from ..ops import hostmle
 from ..ops import mle as mle_ops
+from ..ops.hostmle import HOST_THRESH
 from ..ops import poseidon2 as p2
 from . import stacked
 from .basefold import FriConfig
@@ -292,17 +294,30 @@ class HadamardPoly:
 
     degree = 2
 
-    def __init__(self, a, b):
-        self.a = a  # (2^n, 4) monty ext
+    def __init__(self, a, b, host=False):
+        self.a = a  # (2^n, 4) ext: monty jnp (device) or canonical np (host)
         self.b = b
+        self.host = host
+        if not host and int(a.shape[0]) <= HOST_THRESH:
+            self.a = hostmle.dev_to_host(a)
+            self.b = hostmle.dev_to_host(b)
+            self.host = True
 
     @property
     def num_variables(self) -> int:
         return int(self.a.shape[0]).bit_length() - 1
 
     def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
-        s0, s1, s2 = _hadamard_round_sums(self.a, self.b)
-        v0, v1, v2 = (_from_monty_np(s) for s in (s0, s1, s2))
+        if self.host:
+            v0, v1, v2 = (
+                hostmle.sum0_fast(
+                    E4.mul(hostmle.at_x(self.a, x), hostmle.at_x(self.b, x))
+                )
+                for x in range(3)
+            )
+        else:
+            s0, s1, s2 = _hadamard_round_sums(self.a, self.b)
+            v0, v1, v2 = (_from_monty_np(s) for s in (s0, s1, s2))
         inv2 = np.uint32(pow(2, kb.P - 2, kb.P))
         t = E4.sub(E4.add(v2, v0), E4.add(v1, v1))
         c2 = kb.npf.mul(t, inv2)
@@ -310,11 +325,20 @@ class HadamardPoly:
         return np.stack([v0, c1, c2])
 
     def fix_last_variable(self, alpha: np.ndarray) -> "HadamardPoly":
+        if self.host:
+            alpha = np.asarray(alpha, np.uint32)
+            return HadamardPoly(
+                hostmle.fix_last(self.a, alpha),
+                hostmle.fix_last(self.b, alpha),
+                host=True,
+            )
         am = jnp.asarray(_to_monty_np(alpha))
         return HadamardPoly(_fix_last(self.a, am), _fix_last(self.b, am))
 
-    def final_evals(self):
-        return _from_monty_np(self.a[0]), _from_monty_np(self.b[0])
+    def get_component_poly_evals(self):
+        if self.host:
+            return [np.asarray(self.a[0], np.uint32), np.asarray(self.b[0], np.uint32)]
+        return [_from_monty_np(self.a[0]), _from_monty_np(self.b[0])]
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,26 @@ def commit_tensors(tensors: list) -> MerkleTree:
     return MerkleTree(layers=layers, height=h)
 
 
+def commit_tensors_host(leaves_canon: np.ndarray) -> MerkleTree:
+    """Host Merkle commit over CANONICAL (H, W) numpy leaf rows.
+
+    Used for the small FRI tail rounds where device dispatch would be
+    compile-bound. Layers are stored in monty form to match the device
+    tree layout used by open_at_indices.
+    """
+    from ..ops.hostmle import to_monty_host
+
+    h = leaves_canon.shape[0]
+    assert h & (h - 1) == 0
+    layer = p2.hostp2.hash_rows(leaves_canon)
+    layers = [to_monty_host(layer)]
+    while layer.shape[0] > 1:
+        pairs = layer.reshape(-1, 16)
+        layer = p2.hostp2.permute(pairs)[:, : p2.DIGEST]
+        layers.append(to_monty_host(layer))
+    return MerkleTree(layers=layers, height=h)
+
+
 def open_at_indices(tree: MerkleTree, indices: list, width: int) -> MerkleProof:
     """Sibling paths (bottom-up) for leaf indices, canonical digests."""
     depth = len(tree.layers) - 1

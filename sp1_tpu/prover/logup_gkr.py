@@ -33,6 +33,8 @@ from ..field import koalabear as kb
 from ..iop import sumcheck as sc
 from ..iop.challenger import DuplexChallenger
 from ..ops import mle as mle_ops
+from ..ops import hostmle
+from ..ops.hostmle import HOST_THRESH
 from ..pcs.jagged import full_geq_host, log2_ceil, point_from_usize
 
 E4 = ext.npext4
@@ -209,26 +211,64 @@ class LogupRoundPoly:
 
     degree = 3
 
-    def __init__(self, eq, n0, n1, d0, d1, lam_m):
+    def __init__(self, eq, n0, n1, d0, d1, lam_m, lam_c=None, host=False):
         self.tabs = (eq, n0, n1, d0, d1)
         self.lam_m = lam_m
+        self.lam_c = lam_c
+        self.host = host
 
     @property
     def num_variables(self):
         return int(self.tabs[0].shape[0]).bit_length() - 1
 
+    def _host_sums(self) -> list:
+        eq, n0, n1, d0, d1 = self.tabs
+        ys = []
+        for x in range(4):
+            eq_x = hostmle.at_x(eq, x)
+            n0_x = hostmle.at_x(n0, x)
+            n1_x = hostmle.at_x(n1, x)
+            d0_x = hostmle.at_x(d0, x)
+            d1_x = hostmle.at_x(d1, x)
+            lam_b = np.broadcast_to(self.lam_c, n0_x.shape)
+            inner = E4.add(
+                E4.mul(
+                    E4.add(E4.mul(n0_x, d1_x), E4.mul(n1_x, d0_x)), lam_b
+                ),
+                E4.mul(d0_x, d1_x),
+            )
+            ys.append(hostmle.sum0_fast(E4.mul(eq_x, inner)))
+        return ys
+
     def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
+        if self.host:
+            return _interp4(self._host_sums())
         sums = _gkr_round_sums(*self.tabs, self.lam_m)
         ys = [_from_monty_np(s) for s in sums]
         return _interp4(ys)
 
     def fix_last_variable(self, alpha) -> "LogupRoundPoly":
+        if self.host:
+            alpha = np.asarray(alpha, np.uint32)
+            tabs = tuple(hostmle.fix_last(t, alpha) for t in self.tabs)
+            return LogupRoundPoly(*tabs, self.lam_m, self.lam_c, host=True)
         am = jnp.asarray(_to_monty_np(alpha))
-        return LogupRoundPoly(*_fix_last_5(*self.tabs, am), self.lam_m)
+        tabs = _fix_last_5(*self.tabs, am)
+        if int(tabs[0].shape[0]) <= HOST_THRESH:
+            tabs = tuple(hostmle.dev_to_host(t) for t in tabs)
+            return LogupRoundPoly(*tabs, self.lam_m, self.lam_c, host=True)
+        return LogupRoundPoly(*tabs, self.lam_m, self.lam_c)
 
     def get_component_poly_evals(self) -> list:
         # [n0, d0, n1, d1] at the final point
         _, n0, n1, d0, d1 = self.tabs
+        if self.host:
+            return [
+                np.asarray(n0[0], np.uint32),
+                np.asarray(d0[0], np.uint32),
+                np.asarray(n1[0], np.uint32),
+                np.asarray(d1[0], np.uint32),
+            ]
         return [
             _from_monty_np(n0[0]),
             _from_monty_np(d0[0]),
@@ -304,15 +344,33 @@ def prove_logup_gkr(
     )
     mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
 
-    # Build all layers down to row-variables == 1.
-    layers = [(num, den)]
+    # Build all layers down to row-variables == 1. Small layers transition
+    # on the host (canonical form) to avoid per-shape compiles.
+    host = False
+    layers = [(num, den, host)]
     for _ in range(mlrc - 1):
-        num, den = _layer_transition(num, den)
-        layers.append((num, den))
+        if not host and int(num.shape[0]) // 2 <= HOST_THRESH:
+            num = hostmle.dev_to_host(num)
+            den = hostmle.dev_to_host(den)
+            host = True
+        if host:
+            nv = num.reshape(-1, 2, 4)
+            dv = den.reshape(-1, 2, 4)
+            num = E4.add(
+                E4.mul(nv[:, 0], dv[:, 1]), E4.mul(nv[:, 1], dv[:, 0])
+            )
+            den = E4.mul(dv[:, 0], dv[:, 1])
+        else:
+            num, den = _layer_transition(num, den)
+        layers.append((num, den, host))
 
-    out_num, out_den = layers[-1]  # (2^(iv+1), 4)
-    out_num_c = _from_monty_np(np.asarray(out_num).reshape(-1)).reshape(-1, 4)
-    out_den_c = _from_monty_np(np.asarray(out_den).reshape(-1)).reshape(-1, 4)
+    out_num, out_den, out_host = layers[-1]  # (2^(iv+1), 4)
+    if out_host:
+        out_num_c = np.asarray(out_num, np.uint32)
+        out_den_c = np.asarray(out_den, np.uint32)
+    else:
+        out_num_c = _from_monty_np(np.asarray(out_num).reshape(-1)).reshape(-1, 4)
+        out_den_c = _from_monty_np(np.asarray(out_den).reshape(-1)).reshape(-1, 4)
     challenger.observe_variable_length_slice(out_num_c.reshape(-1))
     challenger.observe_variable_length_slice(out_den_c.reshape(-1))
 
@@ -324,13 +382,31 @@ def prove_logup_gkr(
     round_proofs = []
     # Rounds process layers from second-smallest upward.
     for layer_idx in range(len(layers) - 2, -1, -1):
-        lnum, lden = layers[layer_idx]
+        lnum, lden, lhost = layers[layer_idx]
         lam = challenger.sample_ext()
         lam_m = jnp.asarray(_to_monty_np(lam))
-        eq = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(eval_point)))
-        nv = lnum.reshape(-1, 2, 4)
-        dv = lden.reshape(-1, 2, 4)
-        poly = LogupRoundPoly(eq, nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1], lam_m)
+        if lhost or int(lnum.shape[0]) // 2 <= HOST_THRESH:
+            eq_c = mle_ops.host.partial_lagrange_ext(np.asarray(eval_point, np.uint32))
+            ln = (
+                np.asarray(lnum, np.uint32)
+                if lhost
+                else hostmle.dev_to_host(lnum)
+            ).reshape(-1, 2, 4)
+            ld = (
+                np.asarray(lden, np.uint32)
+                if lhost
+                else hostmle.dev_to_host(lden)
+            ).reshape(-1, 2, 4)
+            poly = LogupRoundPoly(
+                eq_c, ln[:, 0], ln[:, 1], ld[:, 0], ld[:, 1], lam_m, lam, host=True
+            )
+        else:
+            eq = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(eval_point)))
+            nv = lnum.reshape(-1, 2, 4)
+            dv = lden.reshape(-1, 2, 4)
+            poly = LogupRoundPoly(
+                eq, nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1], lam_m, lam
+            )
         claim = E4.add(E4.mul(numerator_eval, lam), denominator_eval)
         proof, comp_evals = sc.reduce_sumcheck_to_evaluation(
             [poly], challenger, [claim], lam
@@ -495,8 +571,9 @@ def verify_logup_gkr(
 
     # Reconstruct last-layer leaf evaluations from the trace openings.
     numerator_values, denominator_values = [], []
+    # add_dimension prepends at the FRONT (MSB).
     point_extended = np.concatenate(
-        [le.point, np.zeros((1, 4), np.uint32)], axis=0
+        [np.zeros((1, 4), np.uint32), le.point], axis=0
     )
     challenger.observe(len(chips))
     ops = NpOps()

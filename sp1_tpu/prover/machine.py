@@ -376,8 +376,10 @@ class ShardVerifier:
                 return False
             if ov.main.shape[0] != chip.width:
                 return False
+            # add_dimension prepends a zero at the FRONT (MSB) — reference
+            # Point::add_dimension semantics.
             point_extended = np.concatenate(
-                [proof.zerocheck_proof.point, np.zeros((1, 4), np.uint32)]
+                [np.zeros((1, 4), np.uint32), proof.zerocheck_proof.point]
             )
             geq_val = full_geq_host(ov.degree, point_extended)
             adj = zc.padded_row_adjustment_host(chip, public_values, alpha)

@@ -36,7 +36,9 @@ from ..air.builder import ConstraintFolder, JnpOps, NpOps
 from ..field import extension as ext
 from ..field import koalabear as kb
 from ..iop import sumcheck as sc
+from ..ops import hostmle
 from ..ops import mle as mle_ops
+from ..ops.hostmle import HOST_THRESH, NpVecOps
 
 E4 = ext.npext4
 
@@ -126,8 +128,12 @@ def _make_round_kernel(chip, num_points: int):
         outs = []
         eqv = eq.reshape(-1, 2, 4)
         geqv = geq.reshape(-1, 2, 4)
-        mainv = main.reshape(-1, 2, main.shape[1], 4)
-        prepv = prep.reshape(-1, 2, prep.shape[1], 4) if prep.shape[1] else None
+        mainv = main.reshape(main.shape[0] // 2, 2, main.shape[1], 4)
+        prepv = (
+            prep.reshape(prep.shape[0] // 2, 2, prep.shape[1], 4)
+            if prep.shape[1]
+            else None
+        )
         m = eqv.shape[0]
         for x in range(num_points):
             def at_x(t):
@@ -184,7 +190,7 @@ def _fix_last_tables(eq, geq, main, prep, alpha):
     for t in (eq, geq):
         out.append(mle_ops.fix_last_variable_ext(t, alpha))
     for t in (main, prep):
-        v = t.reshape((-1, 2) + t.shape[1:])
+        v = t.reshape((t.shape[0] // 2, 2) + t.shape[1:])
         lo, hi = v[:, 0], v[:, 1]
         diff = ext.ext4_sub(hi, lo)
         out.append(
@@ -196,23 +202,62 @@ def _fix_last_tables(eq, geq, main, prep, alpha):
 class ZeroCheckPoly:
     degree = MAX_CONSTRAINT_DEGREE + 1
 
-    def __init__(self, chip, eq, geq, main, prep, alpha_m, adj_m, gkr_powers_m, pv_m):
+    def __init__(self, chip, eq, geq, main, prep, alpha_m, adj_m, gkr_powers_m, pv_m,
+                 alpha_c=None, adj_c=None, gkr_powers_c=None, pv_c=None):
         self.chip = chip
         self.eq = eq
         self.geq = geq
-        self.main = main  # (2^k, W, 4) monty
-        self.prep = prep  # (2^k, Wp, 4) monty (Wp may be 0)
+        self.main = main  # (2^k, W, 4) monty (device) or canonical (host)
+        self.prep = prep  # (2^k, Wp, 4)
         self.alpha_m = alpha_m
         self.adj_m = adj_m
         self.gkr_powers_m = gkr_powers_m
         self.pv_m = pv_m
-        self._kernel = _make_round_kernel(chip, self.degree + 1)
+        self.alpha_c = alpha_c
+        self.adj_c = adj_c
+        self.gkr_powers_c = gkr_powers_c
+        self.pv_c = pv_c
+        self.host = isinstance(eq, np.ndarray)
+        self._kernel = None if self.host else _make_round_kernel(chip, self.degree + 1)
 
     @property
     def num_variables(self):
         return int(self.eq.shape[0]).bit_length() - 1
 
+    def _host_sums(self) -> list:
+        n2 = self.eq.shape[0] // 2
+        ys = []
+        for x in range(self.degree + 1):
+            eq_x = hostmle.at_x(self.eq, x)
+            geq_x = hostmle.at_x(self.geq, x)
+            main_x = hostmle.at_x(self.main, x)
+            prep_x = hostmle.at_x(self.prep, x) if self.prep.shape[1] else self.prep[:n2]
+            ops = NpVecOps(n2)
+            main_cols = [main_x[:, i] for i in range(main_x.shape[1])]
+            prep_cols = [prep_x[:, i] for i in range(prep_x.shape[1])]
+            alpha_b = np.broadcast_to(self.alpha_c, (n2, 4))
+            pv_vals = [
+                np.broadcast_to(self.pv_c[i], (n2, 4))
+                for i in range(self.pv_c.shape[0])
+            ]
+            folder = ConstraintFolder(ops, prep_cols, main_cols, pv_vals, alpha_b)
+            self.chip.eval(folder)
+            E = ext.npext4
+            constr = E.sub(
+                folder.accumulator,
+                E.mul(geq_x, np.broadcast_to(self.adj_c, (n2, 4))),
+            )
+            batch = np.zeros((n2, 4), np.uint32)
+            for k, col in enumerate(main_cols + prep_cols):
+                batch = E.add(
+                    batch, E.mul(col, np.broadcast_to(self.gkr_powers_c[k], (n2, 4)))
+                )
+            ys.append(hostmle.sum0_fast(E.mul(eq_x, E.add(constr, batch))))
+        return ys
+
     def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
+        if self.host:
+            return interp_coeffs(self._host_sums())
         sums = self._kernel(
             self.eq,
             self.geq,
@@ -226,19 +271,43 @@ class ZeroCheckPoly:
         ys = [_from_monty_np(s) for s in sums]
         return interp_coeffs(ys)
 
+    def _to_host(self):
+        self.eq = hostmle.dev_to_host(self.eq)
+        self.geq = hostmle.dev_to_host(self.geq)
+        self.main = hostmle.dev_to_host(self.main)
+        self.prep = hostmle.dev_to_host(self.prep)
+        self.host = True
+        self._kernel = None
+
     def fix_last_variable(self, alpha) -> "ZeroCheckPoly":
-        am = jnp.asarray(_to_monty_np(alpha))
-        eq, geq, main, prep = _fix_last_tables(
-            self.eq, self.geq, self.main, self.prep, am
-        )
         poly = object.__new__(ZeroCheckPoly)
         poly.chip = self.chip
-        poly.eq, poly.geq, poly.main, poly.prep = eq, geq, main, prep
         poly.alpha_m = self.alpha_m
         poly.adj_m = self.adj_m
         poly.gkr_powers_m = self.gkr_powers_m
         poly.pv_m = self.pv_m
+        poly.alpha_c = self.alpha_c
+        poly.adj_c = self.adj_c
+        poly.gkr_powers_c = self.gkr_powers_c
+        poly.pv_c = self.pv_c
+        if self.host:
+            alpha = np.asarray(alpha, np.uint32)
+            poly.eq = hostmle.fix_last(self.eq, alpha)
+            poly.geq = hostmle.fix_last(self.geq, alpha)
+            poly.main = hostmle.fix_last(self.main, alpha)
+            poly.prep = hostmle.fix_last(self.prep, alpha)
+            poly.host = True
+            poly._kernel = None
+            return poly
+        am = jnp.asarray(_to_monty_np(alpha))
+        eq, geq, main, prep = _fix_last_tables(
+            self.eq, self.geq, self.main, self.prep, am
+        )
+        poly.eq, poly.geq, poly.main, poly.prep = eq, geq, main, prep
+        poly.host = False
         poly._kernel = self._kernel
+        if int(eq.shape[0]) <= HOST_THRESH:
+            poly._to_host()
         return poly
 
     def get_component_poly_evals(self) -> list:
@@ -248,9 +317,11 @@ class ZeroCheckPoly:
         """
         out = []
         for i in range(self.prep.shape[1]):
-            out.append(_from_monty_np(self.prep[0, i]))
+            v = self.prep[0, i]
+            out.append(np.asarray(v, np.uint32) if self.host else _from_monty_np(v))
         for i in range(self.main.shape[1]):
-            out.append(_from_monty_np(self.main[0, i]))
+            v = self.main[0, i]
+            out.append(np.asarray(v, np.uint32) if self.host else _from_monty_np(v))
         return out
 
 
@@ -302,6 +373,13 @@ def make_zerocheck_poly(
     for i, v in enumerate(public_values):
         pv_arr[i, 0] = int(v) % kb.P
     pv_m = jnp.asarray(_to_monty_np(pv_arr))
-    return ZeroCheckPoly(
-        chip, eq, geq, main_e, prep_e, alpha_m, adj_m, gkr_powers_m, pv_m
+    poly = ZeroCheckPoly(
+        chip, eq, geq, main_e, prep_e, alpha_m, adj_m, gkr_powers_m, pv_m,
+        alpha_c=np.asarray(alpha, np.uint32),
+        adj_c=np.asarray(adj, np.uint32),
+        gkr_powers_c=np.stack(powers),
+        pv_c=pv_arr,
     )
+    if n <= HOST_THRESH:
+        poly._to_host()
+    return poly

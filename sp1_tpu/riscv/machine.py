@@ -1,0 +1,511 @@
+"""The RISC-V zkVM machine: chips, decode, and trace generation.
+
+A reduced-but-sound RV64 machine proving real executions from the native
+executor (reference architecture: crates/core/machine/src/riscv/mod.rs's
+122-chip RiscvAir; this first revision folds the per-class ALU chips into
+one wide Cpu chip — the interaction structure (program ROM lookups,
+timestamped-memory register file, range-check table) follows the same
+design, at reduced chip granularity; the set widens in later revisions).
+
+Word model: 64-bit values as NUM_LIMBS limbs of LIMB_BITS bits (SP1 uses
+16-bit limbs on KoalaBear; tests may use 8-bit limbs for a smaller range
+table). Registers live in timestamped memory at addresses 0..31; every
+access receives the (addr, prev_ts, prev_value) tuple and sends
+(addr, new_ts, new_value), with Init/Final chips closing the telescope
+and ts-difference range checks enforcing ordering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..air.builder import (
+    Affine,
+    Chip,
+    Interaction,
+    KIND_MEMORY,
+    KIND_PROGRAM,
+    KIND_RANGE,
+    main_col,
+    prep_col,
+)
+from ..field import koalabear as kb
+from ..prover.machine import Machine
+
+
+@dataclass(frozen=True)
+class WordSpec:
+    limb_bits: int = 16
+
+    @property
+    def num_limbs(self) -> int:
+        return 64 // self.limb_bits
+
+    @property
+    def ts_limbs(self) -> int:
+        # timestamps < 2^(3*limb_bits) (enforced by max cycle count)
+        return 3
+
+    @property
+    def pc_limbs(self) -> int:
+        """Limbs needed to cover pc+4 < 2^25."""
+        return -(-25 // self.limb_bits)
+
+
+# Opcode ids (our machine's decode vocabulary).
+OP_ADD, OP_ADDI, OP_SUB, OP_BEQ, OP_BNE, OP_JAL, OP_ECALL = range(7)
+NUM_OPS = 7
+
+SEL_NAMES = ["add", "addi", "sub", "beq", "bne", "jal", "ecall"]
+
+
+class Cols:
+    """Column layout helper: allocate named columns/slices."""
+
+    def __init__(self):
+        self.names = {}
+        self.n = 0
+
+    def col(self, name):
+        self.names[name] = self.n
+        self.n += 1
+        return self.names[name]
+
+    def cols(self, name, k):
+        self.names[name] = slice(self.n, self.n + k)
+        self.n += k
+        return self.names[name]
+
+    def __getitem__(self, name):
+        return self.names[name]
+
+
+def cpu_layout(ws: WordSpec) -> Cols:
+    c = Cols()
+    c.col("is_real")
+    c.col("clk")
+    c.col("pc")
+    c.col("next_pc")
+    for s in SEL_NAMES:
+        c.col(f"sel_{s}")
+    c.col("rd")
+    c.col("rs1")
+    c.col("rs2")
+    c.col("imm_f")
+    nl = ws.num_limbs
+    c.cols("imm", nl)
+    c.cols("b", nl)
+    c.cols("c", nl)
+    c.cols("a", nl)
+    c.cols("rd_prev_val", nl)
+    c.col("rs1_prev_ts")
+    c.col("rs2_prev_ts")
+    c.col("rd_prev_ts")
+    c.cols("tsd_rs1", ws.ts_limbs)
+    c.cols("tsd_rs2", ws.ts_limbs)
+    c.cols("tsd_rd", ws.ts_limbs)
+    c.cols("carry", nl)
+    c.cols("eqf", nl)  # per-limb equality flags
+    c.cols("eqi", nl)  # inverse witnesses
+    if nl > 2:
+        c.cols("eqchain", nl - 2)
+    c.col("taken")
+    c.col("is_halt")
+    c.col("is_read")
+    c.col("rd_nonzero")
+    c.col("rd_inv")
+    c.col("rd_write_mult")
+    return c
+
+
+def _aff(idx, w=1):
+    return Affine.col(main_col(idx), w)
+
+
+def _aff_sum(idxs, consts=0):
+    terms = tuple((main_col(i), 1) for i in idxs)
+    return Affine(consts % kb.P, terms)
+
+
+class CpuChip(Chip):
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+        self.layout = cpu_layout(ws)
+        self.name = "Cpu"
+        self.width = self.layout.n
+        self.preprocessed_width = 0
+
+    # -- constraints --------------------------------------------------------
+    def eval(self, f):
+        ws, L = self.ws, self.layout
+        nl = ws.num_limbs
+        ops = f.ops
+        m = f.main
+
+        def g(name):
+            v = L[name]
+            if isinstance(v, slice):
+                return [m[i] for i in range(v.start, v.stop)]
+            return m[v]
+
+        one = ops.one()
+        base = ops.const(1 << ws.limb_bits)
+
+        is_real = g("is_real")
+        sels = {s: g(f"sel_{s}") for s in SEL_NAMES}
+        # selectors boolean; sum == is_real
+        total = ops.zero()
+        for s in SEL_NAMES:
+            f.assert_bool(sels[s])
+            total = ops.add(total, sels[s])
+        f.assert_eq(total, is_real)
+        f.assert_bool(is_real)
+
+        clk, pc, next_pc = g("clk"), g("pc"), g("next_pc")
+        b, c, a = g("b"), g("c"), g("a")
+        imm = g("imm")
+        imm_f = g("imm_f")
+        carry = g("carry")
+
+        sel_alu_add = ops.add(sels["add"], sels["addi"])
+
+        # addi uses c = imm
+        for i in range(nl):
+            f.assert_zero(ops.mul(sels["addi"], ops.sub(c[i], imm[i])))
+
+        # add/addi: b + c = a with carries
+        for i in range(nl):
+            cin = carry[i - 1] if i > 0 else ops.zero()
+            expr = ops.sub(
+                ops.add(ops.add(b[i], c[i]), cin),
+                ops.add(a[i], ops.mul(carry[i], base)),
+            )
+            f.assert_zero(ops.mul(sel_alu_add, expr))
+            f.assert_bool(carry[i])
+        # sub: b - c = a with borrows (reuse carry columns)
+        for i in range(nl):
+            bin_ = carry[i - 1] if i > 0 else ops.zero()
+            expr = ops.sub(
+                ops.sub(ops.sub(b[i], c[i]), bin_),
+                ops.sub(a[i], ops.mul(carry[i], base)),
+            )
+            f.assert_zero(ops.mul(sels["sub"], expr))
+
+        # equality flags for branches
+        eqf, eqi = g("eqf"), g("eqi")
+        sel_br = ops.add(sels["beq"], sels["bne"])
+        for i in range(nl):
+            d = ops.sub(b[i], c[i])
+            f.assert_bool(eqf[i])
+            f.assert_zero(ops.mul(eqf[i], d))
+            # (1-eqf)*(d*eqi - 1) = 0, gated by branch selector would be
+            # degree 4; instead require globally (padded rows have all-zero
+            # aux so (1-0)*(0-1) = -1 ... must gate). Use is_real gate at
+            # degree 3: is_real*(1-eqf) * (d*eqi - 1) is degree 4 — too
+            # high. Re-arrange: tracegen sets eqf=1, d=0 on non-branch
+            # rows is wrong. Instead: constrain d*eqi == 1 - eqf (degree
+            # 2, ungated): on padded rows d=0, eqi=0, eqf... need eqf=1.
+            # Tracegen sets eqf=1 everywhere except differing limbs on
+            # branch rows; eqi = inverse(d) there.
+            f.assert_eq(ops.mul(d, eqi[i]), ops.sub(one, eqf[i]))
+        # all_eq chain
+        if nl > 2:
+            chain = g("eqchain")
+            f.assert_eq(chain[0], ops.mul(eqf[0], eqf[1]))
+            for k in range(1, nl - 2):
+                f.assert_eq(chain[k], ops.mul(chain[k - 1], eqf[k + 1]))
+            all_eq = ops.mul(chain[nl - 3], eqf[nl - 1])
+        else:
+            all_eq = ops.mul(eqf[0], eqf[1]) if nl == 2 else eqf[0]
+        taken = g("taken")
+        f.assert_bool(taken)
+        f.assert_zero(ops.mul(sels["beq"], ops.sub(taken, all_eq)))
+        f.assert_zero(ops.mul(sels["bne"], ops.sub(taken, ops.sub(one, all_eq))))
+
+        # next_pc
+        four = ops.const(4)
+        seq_sels = ops.add(
+            ops.add(sel_alu_add, sels["sub"]), sels["ecall"]
+        )
+        f.assert_zero(
+            ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
+        )
+        f.assert_zero(
+            ops.mul(sels["jal"], ops.sub(next_pc, ops.add(pc, imm_f)))
+        )
+        br_target = ops.add(pc, imm_f)
+        br_next = ops.add(
+            ops.mul(taken, br_target),
+            ops.mul(ops.sub(one, taken), ops.add(pc, four)),
+        )
+        f.assert_zero(ops.mul(sel_br, ops.sub(next_pc, br_next)))
+
+        # jal: a = pc + 4 decomposed into the low pc_limbs (only when the
+        # link register is actually written, i.e. rd != 0)
+        rd_nonzero_c = g("rd_nonzero")
+        pcl = ws.pc_limbs
+        acc = ops.zero()
+        for i in range(pcl):
+            acc = ops.add(acc, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
+        f.assert_zero(
+            ops.mul(
+                ops.mul(sels["jal"], rd_nonzero_c), ops.sub(acc, ops.add(pc, four))
+            )
+        )
+        for i in range(pcl, nl):
+            f.assert_zero(ops.mul(sels["jal"], a[i]))
+
+        # ecall routing: runtime witness bits select HALT (a7==0) or
+        # READ (a7==3); exactly one must be set on ecall rows, which makes
+        # any other syscall id unprovable.
+        is_halt, is_read = g("is_halt"), g("is_read")
+        f.assert_bool(is_halt)
+        f.assert_bool(is_read)
+        f.assert_eq(ops.add(is_halt, is_read), sels["ecall"])
+        for i in range(nl):
+            f.assert_zero(ops.mul(is_halt, b[i]))
+            if i == 0:
+                f.assert_zero(ops.mul(is_read, ops.sub(b[0], ops.const(3))))
+            else:
+                f.assert_zero(ops.mul(is_read, b[i]))
+        # ecall register indices fixed by ROM decode (rs1=17, rs2=10, rd=10)
+
+        # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
+        uses_rs1 = self._uses_rs1(sels, ops)
+        uses_rs2 = self._uses_rs2(sels, ops)
+        eight = ops.const(8)
+        ts1 = ops.add(ops.mul(clk, eight), one)
+        ts2 = ops.add(ops.mul(clk, eight), ops.const(2))
+        ts4 = ops.add(ops.mul(clk, eight), four)
+        for nm, uses, newts, prevts in (
+            ("tsd_rs1", uses_rs1, ts1, g("rs1_prev_ts")),
+            ("tsd_rs2", uses_rs2, ts2, g("rs2_prev_ts")),
+            ("tsd_rd", g("rd_write_mult"), ts4, g("rd_prev_ts")),
+        ):
+            tsd = g(nm)
+            acc = ops.zero()
+            for i in range(ws.ts_limbs):
+                acc = ops.add(acc, ops.scale_base(tsd[i], 1 << (ws.limb_bits * i)))
+            f.assert_zero(
+                ops.mul(uses, ops.sub(ops.sub(ops.sub(newts, prevts), one), acc))
+            )
+
+        # rd-nonzero machinery
+        rd = g("rd")
+        rd_nonzero, rd_inv = g("rd_nonzero"), g("rd_inv")
+        f.assert_bool(rd_nonzero)
+        f.assert_eq(ops.mul(rd, rd_inv), rd_nonzero)
+        f.assert_zero(ops.mul(ops.sub(one, rd_nonzero), rd))
+        writes = ops.add(
+            ops.add(ops.add(sel_alu_add, sels["sub"]), sels["jal"]), is_read
+        )
+        f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
+
+    def _uses_rs1(self, sels, ops):
+        acc = ops.zero()
+        for s in ("add", "addi", "sub", "beq", "bne", "ecall"):
+            acc = ops.add(acc, sels[s])
+        return acc
+
+    def _uses_rs2(self, sels, ops):
+        acc = ops.zero()
+        for s in ("add", "sub", "beq", "bne", "ecall"):
+            acc = ops.add(acc, sels[s])
+        return acc
+
+    # -- interactions -------------------------------------------------------
+    def _uses_rs1_aff(self):
+        L = self.layout
+        return _aff_sum([L[f"sel_{s}"] for s in ("add", "addi", "sub", "beq", "bne", "ecall")])
+
+    def _uses_rs2_aff(self):
+        L = self.layout
+        return _aff_sum([L[f"sel_{s}"] for s in ("add", "sub", "beq", "bne", "ecall")])
+
+    def sends(self) -> list:
+        ws, L = self.ws, self.layout
+        nl = ws.num_limbs
+        out = []
+        # program lookup
+        op_id = Affine(
+            0,
+            tuple(
+                (main_col(L[f"sel_{s}"]), k) for k, s in enumerate(SEL_NAMES) if k > 0
+            ),
+        )
+        values = [
+            _aff(L["pc"]),
+            op_id,
+            _aff(L["rd"]),
+            _aff(L["rs1"]),
+            _aff(L["rs2"]),
+            _aff(L["imm_f"]),
+        ] + [_aff(L["imm"].start + i) for i in range(nl)]
+        out.append(
+            Interaction(tuple(values), _aff(L["is_real"]), KIND_PROGRAM)
+        )
+        # register writes (memory sends of the new state)
+        clk8_1 = Affine(1, ((main_col(L["clk"]), 8),))
+        clk8_2 = Affine(2, ((main_col(L["clk"]), 8),))
+        clk8_4 = Affine(4, ((main_col(L["clk"]), 8),))
+        bvals = [_aff(L["b"].start + i) for i in range(nl)]
+        cvals = [_aff(L["c"].start + i) for i in range(nl)]
+        avals = [_aff(L["a"].start + i) for i in range(nl)]
+        out.append(
+            Interaction(
+                tuple([_aff(L["rs1"]), clk8_1] + bvals),
+                self._uses_rs1_aff(),
+                KIND_MEMORY,
+            )
+        )
+        out.append(
+            Interaction(
+                tuple([_aff(L["rs2"]), clk8_2] + cvals),
+                self._uses_rs2_aff(),
+                KIND_MEMORY,
+            )
+        )
+        out.append(
+            Interaction(
+                tuple([_aff(L["rd"]), clk8_4] + avals),
+                _aff(L["rd_write_mult"]),
+                KIND_MEMORY,
+            )
+        )
+        # range checks: a limbs (on writes), ts diff limbs
+        writes = _aff_sum(
+            [L[f"sel_{s}"] for s in ("add", "addi", "sub", "jal")] + [L["is_read"]]
+        )
+        for i in range(nl):
+            out.append(
+                Interaction((_aff(L["a"].start + i),), writes, KIND_RANGE)
+            )
+        for nm, mult in (
+            ("tsd_rs1", self._uses_rs1_aff()),
+            ("tsd_rs2", self._uses_rs2_aff()),
+            ("tsd_rd", _aff(L["rd_write_mult"])),
+        ):
+            for i in range(ws.ts_limbs):
+                out.append(
+                    Interaction((_aff(L[nm].start + i),), mult, KIND_RANGE)
+                )
+        return out
+
+    def receives(self) -> list:
+        ws, L = self.ws, self.layout
+        nl = ws.num_limbs
+        out = []
+        bvals = [_aff(L["b"].start + i) for i in range(nl)]
+        cvals = [_aff(L["c"].start + i) for i in range(nl)]
+        pvals = [_aff(L["rd_prev_val"].start + i) for i in range(nl)]
+        out.append(
+            Interaction(
+                tuple([_aff(L["rs1"]), _aff(L["rs1_prev_ts"])] + bvals),
+                self._uses_rs1_aff(),
+                KIND_MEMORY,
+            )
+        )
+        out.append(
+            Interaction(
+                tuple([_aff(L["rs2"]), _aff(L["rs2_prev_ts"])] + cvals),
+                self._uses_rs2_aff(),
+                KIND_MEMORY,
+            )
+        )
+        out.append(
+            Interaction(
+                tuple([_aff(L["rd"]), _aff(L["rd_prev_ts"])] + pvals),
+                _aff(L["rd_write_mult"]),
+                KIND_MEMORY,
+            )
+        )
+        return out
+
+
+class ProgramChip(Chip):
+    """Preprocessed decoded-instruction ROM; main = fetch multiplicity."""
+
+    name = "Program"
+    width = 1
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+        self.preprocessed_width = 6 + ws.num_limbs + 1  # + is_real
+
+    def eval(self, f):
+        pass
+
+    def receives(self) -> list:
+        nl = self.ws.num_limbs
+        values = [Affine.col(prep_col(i)) for i in range(6 + nl)]
+        return [Interaction(tuple(values), Affine.col(main_col(0)), KIND_PROGRAM)]
+
+
+class RangeChip(Chip):
+    """Preprocessed 0..2^L-1 value table; main = multiplicity."""
+
+    name = "Range"
+    width = 1
+    preprocessed_width = 1
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+
+    def eval(self, f):
+        pass
+
+    def receives(self) -> list:
+        return [
+            Interaction((Affine.col(prep_col(0)),), Affine.col(main_col(0)), KIND_RANGE)
+        ]
+
+
+class MemoryInitChip(Chip):
+    """Sends the initial (addr, ts=0, value=0) state of touched cells."""
+
+    name = "MemoryInit"
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+        self.width = 2  # addr, is_real
+
+    def eval(self, f):
+        f.assert_bool(f.main[1])
+
+    def sends(self) -> list:
+        nl = self.ws.num_limbs
+        values = [Affine.col(main_col(0)), Affine.const(0)] + [
+            Affine.const(0) for _ in range(nl)
+        ]
+        return [Interaction(tuple(values), Affine.col(main_col(1)), KIND_MEMORY)]
+
+
+class MemoryFinalChip(Chip):
+    """Receives the final (addr, ts, value) state of touched cells."""
+
+    name = "MemoryFinal"
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+        self.width = 2 + 1 + ws.num_limbs  # addr, is_real, ts, value limbs
+
+    def eval(self, f):
+        f.assert_bool(f.main[1])
+
+    def receives(self) -> list:
+        nl = self.ws.num_limbs
+        values = [Affine.col(main_col(0)), Affine.col(main_col(2))] + [
+            Affine.col(main_col(3 + i)) for i in range(nl)
+        ]
+        return [Interaction(tuple(values), Affine.col(main_col(1)), KIND_MEMORY)]
+
+
+def build_machine(ws: WordSpec = WordSpec()) -> Machine:
+    return Machine(
+        [CpuChip(ws), ProgramChip(ws), RangeChip(ws), MemoryInitChip(ws), MemoryFinalChip(ws)],
+        num_pv_elts=0,
+    )

@@ -1,0 +1,336 @@
+"""Trace generation: executor events -> AIR trace matrices.
+
+Vectorized numpy over the event arrays, then one conversion to monty
+jnp per chip (reference role: crates/core/machine per-chip trace.rs and
+crates/hypercube/src/prover/trace.rs DefaultTraceGenerator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..field import koalabear as kb
+from .machine import (
+    NUM_OPS,
+    OP_ADD,
+    OP_ADDI,
+    OP_BEQ,
+    OP_BNE,
+    OP_ECALL,
+    OP_JAL,
+    OP_SUB,
+    SEL_NAMES,
+    WordSpec,
+    cpu_layout,
+)
+
+
+def to_monty(x):
+    return ((np.asarray(x, np.uint64) << 32) % kb.P).astype(np.uint32)
+
+
+def limbs_of(vals: np.ndarray, ws: WordSpec) -> np.ndarray:
+    """(N,) uint64 -> (N, num_limbs) limbs, little-endian."""
+    out = np.zeros((len(vals), ws.num_limbs), np.uint32)
+    mask = np.uint64((1 << ws.limb_bits) - 1)
+    v = vals.copy()
+    for i in range(ws.num_limbs):
+        out[:, i] = (v & mask).astype(np.uint32)
+        v = v >> np.uint64(ws.limb_bits)
+    return out
+
+
+def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
+    """Decode instruction words into ROM rows.
+
+    Returns dict with arrays: pc, op_id, rd, rs1, rs2, imm_f, imm_limbs.
+    Raises on instructions outside the supported set.
+    """
+    n = len(words)
+    pc = pc_base + 4 * np.arange(n, dtype=np.uint64)
+    op_id = np.zeros(n, np.uint32)
+    rd = np.zeros(n, np.uint32)
+    rs1 = np.zeros(n, np.uint32)
+    rs2 = np.zeros(n, np.uint32)
+    imm_f = np.zeros(n, np.uint32)
+    imm = np.zeros((n, ws.num_limbs), np.uint32)
+
+    def sext(v, bits):
+        v = int(v)
+        if v >> (bits - 1):
+            v -= 1 << bits
+        return v
+
+    for i, w in enumerate(int(x) for x in words):
+        opc = w & 0x7F
+        f3 = (w >> 12) & 7
+        f7 = (w >> 25) & 0x7F
+        rd_i = (w >> 7) & 31
+        rs1_i = (w >> 15) & 31
+        rs2_i = (w >> 20) & 31
+        if opc == 0x33 and f7 in (0x00, 0x20) and f3 == 0:
+            op_id[i] = OP_ADD if f7 == 0 else OP_SUB
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x13 and f3 == 0:
+            op_id[i] = OP_ADDI
+            rd[i], rs1[i] = rd_i, rs1_i
+            v = sext(w >> 20, 12)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x63 and f3 in (0, 1):
+            op_id[i] = OP_BEQ if f3 == 0 else OP_BNE
+            rs1[i], rs2[i] = rs1_i, rs2_i
+            off = sext(
+                (((w >> 31) & 1) << 12)
+                | (((w >> 7) & 1) << 11)
+                | (((w >> 25) & 0x3F) << 5)
+                | (((w >> 8) & 0xF) << 1),
+                13,
+            )
+            imm_f[i] = off % kb.P
+        elif opc == 0x6F:
+            op_id[i] = OP_JAL
+            rd[i] = rd_i
+            off = sext(
+                (((w >> 31) & 1) << 20)
+                | (((w >> 12) & 0xFF) << 12)
+                | (((w >> 20) & 1) << 11)
+                | (((w >> 21) & 0x3FF) << 1),
+                21,
+            )
+            imm_f[i] = off % kb.P
+        elif opc == 0x73:
+            op_id[i] = OP_ECALL
+            rd[i], rs1[i], rs2[i] = 10, 17, 10
+        else:
+            raise ValueError(f"unsupported instruction for proving: {w:#010x}")
+    return {
+        "pc": pc,
+        "op_id": op_id,
+        "rd": rd,
+        "rs1": rs1,
+        "rs2": rs2,
+        "imm_f": imm_f,
+        "imm": imm,
+    }
+
+
+def _pad_pow2(n: int, mlrc: int) -> int:
+    assert n <= 1 << mlrc, f"trace height {n} exceeds 2^{mlrc}"
+    return 1 << mlrc
+
+
+def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
+    """Build all chip traces from an ExecutionResult.
+
+    Returns (traces, preprocessed) dicts: name -> (monty jnp array, height)
+    """
+    ev = result.events
+    n = len(ev)
+    rom = decode_program(program_words, pc_base, ws)
+    L = cpu_layout(ws)
+    nl = ws.num_limbs
+    height = _pad_pow2(n, mlrc)
+
+    cpu = np.zeros((height, L.n), np.uint32)
+
+    def setc(name, val):
+        idx = L[name]
+        cpu[:n, idx] = val
+
+    pc_idx = ((ev["pc"] - pc_base) // 4).astype(np.int64)
+    op = rom["op_id"][pc_idx]
+
+    setc("is_real", 1)
+    setc("clk", ev["clk"].astype(np.uint32))
+    setc("pc", ev["pc"].astype(np.uint32))
+    setc("next_pc", ev["next_pc"].astype(np.uint32))
+    for k, s in enumerate(SEL_NAMES):
+        cpu[:n, L[f"sel_{s}"]] = (op == k).astype(np.uint32)
+    setc("rd", rom["rd"][pc_idx])
+    setc("rs1", rom["rs1"][pc_idx])
+    setc("rs2", rom["rs2"][pc_idx])
+    setc("imm_f", rom["imm_f"][pc_idx])
+    cpu[:n, L["imm"]] = rom["imm"][pc_idx]
+    b_l = limbs_of(ev["b"], ws)
+    c_l = limbs_of(ev["c"], ws)
+    a_l = limbs_of(ev["a"], ws)
+    cpu[:n, L["b"]] = b_l
+    cpu[:n, L["c"]] = c_l
+    cpu[:n, L["a"]] = a_l
+    cpu[:n, L["rd_prev_val"]] = limbs_of(ev["rd_prev_val"], ws)
+    setc("rs1_prev_ts", ev["rs1_prev_ts"].astype(np.uint32))
+    setc("rs2_prev_ts", ev["rs2_prev_ts"].astype(np.uint32))
+    setc("rd_prev_ts", ev["rd_prev_ts"].astype(np.uint32))
+
+    is_addi = op == OP_ADDI
+    # addi rows: c = imm (executor already sets c = imm) — verify
+    # carries for add/addi: (b + c) limb-wise
+    is_add = (op == OP_ADD) | is_addi
+    is_sub = op == OP_SUB
+    carry = np.zeros((n, nl), np.uint64)
+    acc = np.zeros(n, np.uint64)
+    for i in range(nl):
+        s = b_l[:, i].astype(np.uint64) + c_l[:, i] + acc
+        carry[:, i] = s >> np.uint64(ws.limb_bits)
+        acc = carry[:, i]
+    borrow = np.zeros((n, nl), np.uint64)
+    acc = np.zeros(n, np.uint64)
+    for i in range(nl):
+        d = b_l[:, i].astype(np.int64) - c_l[:, i].astype(np.int64) - acc.astype(np.int64)
+        borrow[:, i] = (d < 0).astype(np.uint64)
+        acc = borrow[:, i]
+    cpu[:n, L["carry"]] = np.where(
+        is_sub[:, None], borrow, np.where(is_add[:, None], carry, 0)
+    ).astype(np.uint32)
+
+    # equality aux (for all real rows)
+    d = (b_l.astype(np.int64) - c_l.astype(np.int64)) % kb.P
+    eqf = (d == 0).astype(np.uint32)
+    eqi = np.zeros_like(d)
+    nz = d != 0
+    # vectorized modular inverse via pow
+    dd = d[nz].astype(np.uint64)
+    inv = np.ones_like(dd)
+    base_ = dd.copy()
+    e = kb.P - 2
+    while e:
+        if e & 1:
+            inv = inv * base_ % kb.P
+        base_ = base_ * base_ % kb.P
+        e >>= 1
+    eqi[nz] = inv
+    cpu[:n, L["eqf"]] = eqf
+    cpu[:n, L["eqi"]] = eqi.astype(np.uint32)
+    if nl > 2:
+        chain = np.zeros((n, nl - 2), np.uint32)
+        chain[:, 0] = eqf[:, 0] * eqf[:, 1]
+        for k in range(1, nl - 2):
+            chain[:, k] = chain[:, k - 1] * eqf[:, k + 1]
+        cpu[:n, L["eqchain"]] = chain
+        all_eq = chain[:, nl - 3] * eqf[:, nl - 1]
+    else:
+        all_eq = eqf[:, 0] * eqf[:, 1] if nl == 2 else eqf[:, 0]
+
+    is_br = (op == OP_BEQ) | (op == OP_BNE)
+    taken = np.where(
+        op == OP_BEQ, all_eq, np.where(op == OP_BNE, 1 - all_eq, 0)
+    )
+    cpu[:n, L["taken"]] = np.where(is_br, taken, 0)
+
+    is_ecall = op == OP_ECALL
+    cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
+    cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
+
+    rd_arr = rom["rd"][pc_idx]
+    rd_nonzero = (rd_arr != 0).astype(np.uint32)
+    cpu[:n, L["rd_nonzero"]] = rd_nonzero
+    rd_inv = np.zeros(n, np.uint64)
+    nz = rd_arr != 0
+    rr = rd_arr[nz].astype(np.uint64)
+    inv = np.ones_like(rr)
+    base_ = rr.copy()
+    e = kb.P - 2
+    while e:
+        if e & 1:
+            inv = inv * base_ % kb.P
+        base_ = base_ * base_ % kb.P
+        e >>= 1
+    rd_inv[nz] = inv
+    cpu[:n, L["rd_inv"]] = rd_inv.astype(np.uint32)
+    writes = (
+        is_add.astype(np.uint32)
+        + is_sub.astype(np.uint32)
+        + (op == OP_JAL).astype(np.uint32)
+        + cpu[:n, L["is_read"]]
+    )
+    rd_write_mult = writes * rd_nonzero
+    cpu[:n, L["rd_write_mult"]] = rd_write_mult
+
+    # ts diffs
+    uses_rs1 = (is_add | is_addi | is_sub | is_br | is_ecall).astype(np.uint32)
+    uses_rs2 = ((op == OP_ADD) | is_sub | is_br | is_ecall).astype(np.uint32)
+    for nm, uses, slot, prev in (
+        ("tsd_rs1", uses_rs1, 1, ev["rs1_prev_ts"]),
+        ("tsd_rs2", uses_rs2, 2, ev["rs2_prev_ts"]),
+        ("tsd_rd", rd_write_mult, 4, ev["rd_prev_ts"]),
+    ):
+        newts = ev["clk"] * 8 + slot
+        diff = np.where(uses > 0, newts - prev - 1, 0).astype(np.uint64)
+        dl = np.zeros((n, ws.ts_limbs), np.uint32)
+        v = diff.copy()
+        for i in range(ws.ts_limbs):
+            dl[:, i] = (v & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
+            v >>= np.uint64(ws.limb_bits)
+        assert np.all(v == 0), "ts diff exceeds range limbs"
+        cpu[:n, L[nm]] = dl
+
+    # Padded rows must be all-zero (they are, by construction).
+
+    # --- Program ROM (preprocessed) + multiplicity main trace -------------
+    rom_h = _pad_pow2(len(program_words), mlrc)
+    prep_prog = np.zeros((rom_h, 7 + nl), np.uint32)
+    np_rows = len(program_words)
+    prep_prog[:np_rows, 0] = rom["pc"].astype(np.uint32)
+    prep_prog[:np_rows, 1] = rom["op_id"]
+    prep_prog[:np_rows, 2] = rom["rd"]
+    prep_prog[:np_rows, 3] = rom["rs1"]
+    prep_prog[:np_rows, 4] = rom["rs2"]
+    prep_prog[:np_rows, 5] = rom["imm_f"]
+    prep_prog[:np_rows, 6 : 6 + nl] = rom["imm"]
+    prep_prog[:np_rows, 6 + nl] = 1  # is_real
+    prog_mult = np.zeros((rom_h, 1), np.uint32)
+    counts = np.bincount(pc_idx, minlength=np_rows)
+    prog_mult[:np_rows, 0] = counts[:np_rows]
+
+    # --- Range table (preprocessed) + multiplicity ------------------------
+    rng_h = _pad_pow2(1 << ws.limb_bits, mlrc)
+    prep_rng = np.zeros((rng_h, 1), np.uint32)
+    prep_rng[: 1 << ws.limb_bits, 0] = np.arange(1 << ws.limb_bits)
+    rng_mult = np.zeros((rng_h, 1), np.uint32)
+    lookups = []
+    # a-limb range sends use the UNGATED writes selector sum (matching the
+    # interaction multiplicity in CpuChip.sends) — a jal with rd=x0 still
+    # sends its (zero) result limbs to the range table.
+    for i in range(nl):
+        lookups.append((a_l[:, i], writes))
+    for nm, uses in (
+        ("tsd_rs1", uses_rs1),
+        ("tsd_rs2", uses_rs2),
+        ("tsd_rd", rd_write_mult),
+    ):
+        sl = L[nm]
+        for i in range(ws.ts_limbs):
+            lookups.append((cpu[:n, sl.start + i], uses))
+    for vals, mult in lookups:
+        rng_mult[:, 0] += np.bincount(
+            vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
+        )[:rng_h].astype(np.uint32)
+
+    # --- Memory init/final ------------------------------------------------
+    touched_regs = [r for r in range(32) if result.reg_ts[r] > 0]
+    m = len(touched_regs)
+    mem_h = _pad_pow2(max(m, 1), mlrc)
+    init = np.zeros((mem_h, 2), np.uint32)
+    fin = np.zeros((mem_h, 3 + nl), np.uint32)
+    for j, r in enumerate(touched_regs):
+        init[j, 0] = r
+        init[j, 1] = 1
+        fin[j, 0] = r
+        fin[j, 1] = 1
+        fin[j, 2] = result.reg_ts[r]
+        fin[j, 3 : 3 + nl] = limbs_of(np.array([result.regs[r]], np.uint64), ws)[0]
+
+    traces = {
+        "Cpu": (jnp.asarray(to_monty(cpu)), n),
+        "Program": (jnp.asarray(to_monty(prog_mult)), np_rows),
+        "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
+        "MemoryInit": (jnp.asarray(to_monty(init)), m),
+        "MemoryFinal": (jnp.asarray(to_monty(fin)), m),
+    }
+    preprocessed = {
+        "Program": (jnp.asarray(to_monty(prep_prog)), np_rows),
+        "Range": (jnp.asarray(to_monty(prep_rng)), 1 << ws.limb_bits),
+    }
+    return traces, preprocessed

@@ -1,0 +1,81 @@
+"""End-to-end RISC-V zkVM test: execute fibonacci natively, generate
+traces, debug-check constraints, prove the shard, verify it."""
+
+import numpy as np
+import pytest
+
+from sp1_tpu.executor import asm, native
+from sp1_tpu.iop.challenger import DuplexChallenger
+from sp1_tpu.pcs.basefold import FriConfig
+from sp1_tpu.pcs.jagged import JaggedConfig
+from sp1_tpu.prover import machine as mm
+from sp1_tpu.riscv import tracegen
+from sp1_tpu.riscv.machine import WordSpec, build_machine
+
+WS = WordSpec(limb_bits=8)
+MLRC = 8
+CONFIG = JaggedConfig(
+    FriConfig(log_blowup=1, num_queries=6, proof_of_work_bits=2),
+    log_stacking_height=11,
+    max_log_row_count=MLRC,
+)
+
+
+@pytest.fixture(scope="module")
+def fib_execution():
+    prog = asm.assemble(asm.FIBONACCI)
+    res = native.execute(prog, inputs=[10])
+    assert res.exit_code == 55
+    return prog, res
+
+
+class TestRiscvTracegen:
+    def test_traces_satisfy_constraints(self, fib_execution):
+        prog, res = fib_execution
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        machine = build_machine(WS)
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            [0] * 187,
+        )
+        assert violations == [], violations[:10]
+
+
+class TestRiscvProve:
+    def test_fibonacci_prove_verify(self, fib_execution):
+        prog, res = fib_execution
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        machine = build_machine(WS)
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pch = DuplexChallenger()
+        pk.vk.observe_into(pch)
+        proof = prover.prove_shard(pk, traces, [], pch)
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        vch = DuplexChallenger()
+        pk.vk.observe_into(vch)
+        assert verifier.verify_shard(pk.vk, proof, vch)
+
+    def test_tampered_execution_rejected(self, fib_execution):
+        prog, res = fib_execution
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        # Tamper: claim a different result in the final register state.
+        import jax.numpy as jnp
+
+        fin = np.asarray(traces["MemoryFinal"][0]).copy()
+        fin[0, 3] ^= 1
+        traces["MemoryFinal"] = (jnp.asarray(fin), traces["MemoryFinal"][1])
+        machine = build_machine(WS)
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pch = DuplexChallenger()
+        pk.vk.observe_into(pch)
+        proof = prover.prove_shard(pk, traces, [], pch)
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        vch = DuplexChallenger()
+        pk.vk.observe_into(vch)
+        assert not verifier.verify_shard(pk.vk, proof, vch)
