@@ -28,28 +28,32 @@ def main():
     from sp1_tpu.riscv import tracegen
     from sp1_tpu.riscv.machine import WordSpec, build_machine
 
+    import os
+
     ws = WordSpec(limb_bits=8)
-    mlrc = 10
+    mlrc = int(os.environ.get("SP1_BENCH_MLRC", "12"))
     config = JaggedConfig(
         FriConfig(log_blowup=1, num_queries=84, proof_of_work_bits=16),
-        log_stacking_height=13,
+        log_stacking_height=min(13, mlrc + 3),
         max_log_row_count=mlrc,
     )
 
     prog = asm.assemble(asm.FIBONACCI)
-    # ~1000 cycles of execution (fits 2^10 rows)
-    res = native.execute(prog, inputs=[168])
+    # fibonacci loop is 6 cycles/iteration + 9 fixed; fill the shard
+    n_iters = ((1 << mlrc) - 9) // 6
+    res = native.execute(prog, inputs=[n_iters])
     traces, prep = tracegen.generate_traces(res, prog, 0, ws, mlrc)
     machine = build_machine(ws)
     prover = mm.ShardProver(machine, config)
     pk = prover.setup(preprocessed_traces=prep)
 
     # Warm-up run (compilation), then timed run.
+    pv = tracegen.make_public_values(res, 0, ws)
     for timed in (False, True):
         ch = DuplexChallenger()
         pk.vk.observe_into(ch)
         t0 = time.time()
-        proof = prover.prove_shard(pk, traces, [], ch)
+        proof = prover.prove_shard(pk, traces, pv, ch)
         dt = time.time() - t0
         if timed:
             prove_secs = dt

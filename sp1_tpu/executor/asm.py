@@ -212,3 +212,30 @@ done:
     li a7, 0
     ecall            # halt with fib(n)
 """
+
+
+MIXED_OPS = """
+    # exercise ld/sd/and/or/xor/mul/slli; result via HALT code
+    li a7, 3
+    ecall            # a0 = x
+    mv t0, a0
+    li t1, 0x155
+    and t2, t0, t1   # t2 = x & 0x155
+    or t3, t0, t1    # t3 = x | 0x155
+    xor t4, t2, t3   # t4 = (x&m) ^ (x|m)
+    mul t5, t0, t4   # t5 = x * t4
+    slli t5, t5, 3   # t5 <<= 3
+    li s0, 0x100
+    sd t5, 8(s0)     # store
+    ld s1, 8(s0)     # load back
+    add a0, s1, t0
+    li a7, 0
+    ecall
+"""
+
+
+def mixed_ops_expected(x: int) -> int:
+    m = 0x155
+    t4 = (x & m) ^ (x | m)
+    t5 = (x * t4 << 3) % (1 << 64)
+    return (t5 + x) % (1 << 64)

@@ -143,23 +143,24 @@ class npext4:
 
     @staticmethod
     def mul(a, b):
-        f = kb.npf
-        a = np.asarray(a, np.uint32)
-        b = np.asarray(b, np.uint32)
-        c = [None] * 4
-        for k in range(4):
-            acc = np.zeros(np.broadcast_shapes(a[..., 0].shape, b[..., 0].shape), np.uint32)
-            for i in range(4):
-                j = k - i
-                if 0 <= j < 4:
-                    acc = f.add(acc, f.mul(a[..., i], b[..., j]))
-            over = np.zeros_like(acc)
-            for i in range(4):
-                j = k + 4 - i
-                if 0 <= j < 4:
-                    over = f.add(over, f.mul(a[..., i], b[..., j]))
-            c[k] = f.add(acc, f.mul(over, np.uint32(W4)))
-        return np.stack(c, axis=-1)
+        """Schoolbook product via one outer-product einsum.
+
+        prod[..., i, j] < p after the mod; each output coefficient sums at
+        most 4 direct + 3*W4-weighted terms (< 10p < 2^35), safe in uint64.
+        """
+        a64 = np.asarray(a, np.uint64)
+        b64 = np.asarray(b, np.uint64)
+        if a64.shape != b64.shape:
+            shape = np.broadcast_shapes(a64.shape, b64.shape)
+            a64 = np.broadcast_to(a64, shape)
+            b64 = np.broadcast_to(b64, shape)
+        prod = np.einsum("...i,...j->...ij", a64, b64) % kb.P
+        w = np.uint64(W4)
+        c0 = prod[..., 0, 0] + w * (prod[..., 1, 3] + prod[..., 2, 2] + prod[..., 3, 1])
+        c1 = prod[..., 0, 1] + prod[..., 1, 0] + w * (prod[..., 2, 3] + prod[..., 3, 2])
+        c2 = prod[..., 0, 2] + prod[..., 1, 1] + prod[..., 2, 0] + w * prod[..., 3, 3]
+        c3 = prod[..., 0, 3] + prod[..., 1, 2] + prod[..., 2, 1] + prod[..., 3, 0]
+        return (np.stack([c0, c1, c2, c3], axis=-1) % kb.P).astype(np.uint32)
 
     @staticmethod
     def add(a, b):

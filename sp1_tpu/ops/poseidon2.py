@@ -134,23 +134,45 @@ def _internal_layer(state):
     return kb.add(scaled, total[..., None])
 
 
+def _ext_round(state, rc):
+    state = kb.add(state, rc)
+    state = _sbox(state)
+    return _external_layer(state), None
+
+
+def _int_round(state, rc):
+    s0 = _sbox(kb.add(state[..., 0], rc))
+    state = jnp.concatenate([s0[..., None], state[..., 1:]], axis=-1)
+    return _internal_layer(state), None
+
+
 def permute(state):
-    """Poseidon2 permutation on monty-form uint32 arrays of shape (..., 16)."""
+    """Poseidon2 permutation on monty-form uint32 arrays of shape (..., 16).
+
+    Rounds run under lax.scan (compile-time friendly; each round body is a
+    single fused elementwise kernel over the batch)."""
+    import jax
+
+    ext_rc = jnp.asarray(_EXT_RC_M)
+    int_rc = jnp.asarray(_INT_RC_M)
+    state = _external_layer(state)
+    state, _ = jax.lax.scan(_ext_round, state, ext_rc[: ROUNDS_F // 2])
+    state, _ = jax.lax.scan(_int_round, state, int_rc)
+    state, _ = jax.lax.scan(_ext_round, state, ext_rc[ROUNDS_F // 2 :])
+    return state
+
+
+def permute_unrolled(state):
+    """Fully unrolled variant (larger trace, potentially faster on TPU)."""
     ext_rc = jnp.asarray(_EXT_RC_M)
     int_rc = jnp.asarray(_INT_RC_M)
     state = _external_layer(state)
     for r in range(ROUNDS_F // 2):
-        state = kb.add(state, ext_rc[r])
-        state = _sbox(state)
-        state = _external_layer(state)
+        state, _ = _ext_round(state, ext_rc[r])
     for r in range(ROUNDS_P):
-        s0 = _sbox(kb.add(state[..., 0], int_rc[r]))
-        state = jnp.concatenate([s0[..., None], state[..., 1:]], axis=-1)
-        state = _internal_layer(state)
+        state, _ = _int_round(state, int_rc[r])
     for r in range(ROUNDS_F // 2, ROUNDS_F):
-        state = kb.add(state, ext_rc[r])
-        state = _sbox(state)
-        state = _external_layer(state)
+        state, _ = _ext_round(state, ext_rc[r])
     return state
 
 
@@ -160,19 +182,25 @@ def hash_rows(rows):
     Absorbs `rows` in rate-8 chunks into a zero-initialised width-16 state
     (reference: PaddingFreeSponge<KoalaPerm, 16, 8, 8>,
     slop/crates/koala-bear/src/koala_bear_poseidon2.rs:33). The final chunk is
-    zero-padded (no domain padding, matching the padding-free sponge).
+    zero-padded (no domain padding, matching the padding-free sponge). The
+    chunk loop runs under lax.scan to keep traces small.
     """
+    import jax
+
     n = rows.shape[-1]
     batch = rows.shape[:-1]
-    state = jnp.zeros(batch + (WIDTH,), dtype=jnp.uint32)
-    for start in range(0, n, RATE):
-        chunk = rows[..., start:start + RATE]
-        csize = chunk.shape[-1]
-        if csize < RATE:
-            pad = jnp.zeros(batch + (RATE - csize,), dtype=jnp.uint32)
-            chunk = jnp.concatenate([chunk, pad], axis=-1)
+    nchunks = -(-n // RATE)
+    if n % RATE:
+        pad = jnp.zeros(batch + (nchunks * RATE - n,), dtype=jnp.uint32)
+        rows = jnp.concatenate([rows, pad], axis=-1)
+    chunks = jnp.moveaxis(rows.reshape(batch + (nchunks, RATE)), -2, 0)
+
+    def absorb(state, chunk):
         state = jnp.concatenate([chunk, state[..., RATE:]], axis=-1)
-        state = permute(state)
+        return permute(state), None
+
+    state = jnp.zeros(batch + (WIDTH,), dtype=jnp.uint32)
+    state, _ = jax.lax.scan(absorb, state, chunks)
     return state[..., :DIGEST]
 
 

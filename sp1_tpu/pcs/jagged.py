@@ -113,6 +113,28 @@ _TRANSITION = _build_transition()
 _SUCCESS_STATE = 0 + 2 * 1  # carry=0, comparison=1
 _INITIAL_STATE = 0
 
+_GROUP_MATRIX = None
+
+
+def _transition_group_matrix() -> np.ndarray:
+    """(16, 16) 0/1 matrix G with G[i, mem*4 + out] = 1 when the bit
+    pattern i (row*8 + idx*4 + cur*2 + nxt) transitions `mem` -> `out`."""
+    global _GROUP_MATRIX
+    if _GROUP_MATRIX is None:
+        g = np.zeros((16, 16), np.uint64)
+        for i in range(16):
+            row_b = (i >> 3) & 1
+            idx_b = (i >> 2) & 1
+            cur_b = (i >> 1) & 1
+            nxt_b = i & 1
+            bit_idx = row_b + 2 * idx_b + 4 * cur_b + 8 * nxt_b
+            for mem in range(4):
+                out = _TRANSITION[mem, bit_idx]
+                if out >= 0:
+                    g[i, mem * 4 + out] = 1
+        _GROUP_MATRIX = g
+    return _GROUP_MATRIX
+
 
 class BranchingProgram:
     """Vectorized BP evaluation (reference: slop/crates/jagged/src/poly.rs:389).
@@ -139,11 +161,18 @@ class BranchingProgram:
         return np.ascontiguousarray(coord)
 
     def eval(self, prefix: np.ndarray, next_prefix: np.ndarray) -> np.ndarray:
-        """prefix/next_prefix: (C, m, 4). Returns (C, 4)."""
+        """prefix/next_prefix: (C, m, 4). Returns (C, 4).
+
+        Per layer: the 16-entry four-variable eq table is built by three
+        outer-product ext muls; the transition step groups eq entries by
+        (memory state, output state) with one 0/1 matmul, then does 16
+        ext muls against the 4 running state values.
+        """
         C = prefix.shape[0]
         one = np.broadcast_to(E4.one(), (C, 4)).copy()
         results = np.zeros((4, C, 4), np.uint32)
         results[_SUCCESS_STATE] = one
+        group = _transition_group_matrix()  # (16, 16) uint64 0/1
         for layer in range(self.num_vars, -1, -1):
             pts = [
                 self._lsb_val(self.z_row, layer, C),
@@ -151,35 +180,28 @@ class BranchingProgram:
                 self._lsb_val(prefix, layer, C),
                 self._lsb_val(next_prefix, layer, C),
             ]
-            # four-var eq table: (C, 16, 4); bit index matches _TRANSITION
-            # (row LSB ... next MSB); partial_lagrange is big-endian, so
-            # enumerate manually to match the reference's indexing (the
-            # reference indexes four_var_eq by i with bit_states enumerated
-            # row-major: row, index, curr, next nested loops — row slowest).
-            # all_bit_states(): row_bit outermost flat_map -> index i =
-            # row*8 + index*4 + curr*2 + next.
-            eq16 = np.zeros((C, 16, 4), np.uint32)
-            for i in range(16):
-                row_b = (i >> 3) & 1
-                idx_b = (i >> 2) & 1
-                cur_b = (i >> 1) & 1
-                nxt_b = i & 1
-                term = one
-                for b, x in zip((row_b, idx_b, cur_b, nxt_b), pts):
-                    term = E4.mul(term, x if b else E4.sub(one, x))
-                eq16[:, i] = term
+            # eq over (row, idx, cur, nxt) with row the slowest bit:
+            # index i = row*8 + idx*4 + cur*2 + nxt.
+            eq = None
+            for x in pts:
+                pair = np.stack([E4.sub(one, x), x], axis=1)  # (C, 2, 4)
+                if eq is None:
+                    eq = pair
+                else:
+                    k = eq.shape[1]
+                    eq = E4.mul(
+                        eq[:, :, None, :].repeat(2, axis=2).reshape(C, 2 * k, 4),
+                        np.tile(pair, (1, k, 1)),
+                    )
+            # grouped sums: (C, 4coords, 16) @ (16, 16 groups) -> mod p
+            eqt = eq.transpose(0, 2, 1).astype(np.uint64)  # (C, 4, 16)
+            grouped = (eqt @ group) % kb.P  # (C, 4, 16): [mem*4 + out]
             new_results = np.zeros_like(results)
             for mem in range(4):
                 acc = np.zeros((C, 4), np.uint32)
-                for i in range(16):
-                    row_b = (i >> 3) & 1
-                    idx_b = (i >> 2) & 1
-                    cur_b = (i >> 1) & 1
-                    nxt_b = i & 1
-                    bit_idx = row_b + 2 * idx_b + 4 * cur_b + 8 * nxt_b
-                    out = _TRANSITION[mem, bit_idx]
-                    if out >= 0:
-                        acc = E4.add(acc, E4.mul(eq16[:, i], results[out]))
+                for out in range(4):
+                    g = grouped[:, :, mem * 4 + out].astype(np.uint32)  # (C,4)
+                    acc = E4.add(acc, E4.mul(g, results[out]))
                 new_results[mem] = acc
             results = new_results
         return results[_INITIAL_STATE]
@@ -251,15 +273,19 @@ def partial_jagged_mle(params: JaggedParams, z_row: np.ndarray, z_col: np.ndarra
     kc = log2_ceil(num_cols)
     z_col_k = z_col[len(z_col) - kc :] if kc else z_col[:0]
     z_row_k = z_row[len(z_row) - params.max_log_row_count :]
-    eq_col = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(z_col_k)))
-    eq_row = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(z_row_k)))
     return _jtable_kernel(
-        eq_col, eq_row, jnp.asarray(col_of), jnp.asarray(row_of), jnp.asarray(valid)
+        jnp.asarray(_to_monty_np(z_col_k)),
+        jnp.asarray(_to_monty_np(z_row_k)),
+        jnp.asarray(col_of),
+        jnp.asarray(row_of),
+        jnp.asarray(valid),
     )
 
 
 @jax.jit
-def _jtable_kernel(eq_col, eq_row, col_of, row_of, valid):
+def _jtable_kernel(z_col_m, z_row_m, col_of, row_of, valid):
+    eq_col = mle_ops.partial_lagrange_ext(z_col_m)
+    eq_row = mle_ops.partial_lagrange_ext(z_row_m)
     vals = ext.ext4_mul(eq_col[col_of], eq_row[row_of])
     return jnp.where(valid[:, None], vals, jnp.zeros_like(vals))
 

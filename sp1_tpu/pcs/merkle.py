@@ -60,23 +60,31 @@ def _compress_layer(layer):
     return p2.permute(pairs)[:, : p2.DIGEST]
 
 
+@jax.jit
+def _commit_kernel(rows):
+    """Leaf hash + full tree in ONE compile (levels unrolled in-trace)."""
+    layer = p2.hash_rows(rows)
+    layers = [layer]
+    while layer.shape[0] > 1:
+        layer = p2.permute(layer.reshape(-1, 16))[:, : p2.DIGEST]
+        layers.append(layer)
+    return layers
+
+
 def commit_tensors(tensors: list) -> MerkleTree:
     """Commit to tensors [(H, W_i) monty uint32 jnp arrays], same H.
 
     Rows are concatenated across tensors before hashing
     (reference: slop/crates/merkle-tree/src/tcs.rs:146 hash_iter_slices).
+    One jit per (H, total_W) shape covers the whole tree build.
     """
     tensors = [jnp.asarray(t, jnp.uint32) for t in tensors]
     h = tensors[0].shape[0]
     assert h & (h - 1) == 0, "height must be a power of two"
     assert all(t.shape[0] == h for t in tensors)
     rows = jnp.concatenate([t.reshape(h, -1) for t in tensors], axis=1)
-    layer = _leaf_hash(rows)
-    layers = [np.asarray(layer)]
-    while layer.shape[0] > 1:
-        layer = _compress_layer(layer)
-        layers.append(np.asarray(layer))
-    return MerkleTree(layers=layers, height=h)
+    layers = _commit_kernel(rows)
+    return MerkleTree(layers=[np.asarray(l) for l in layers], height=h)
 
 
 def commit_tensors_host(leaves_canon: np.ndarray) -> MerkleTree:
@@ -141,16 +149,14 @@ def verify_openings(
         return False
     if proof.paths.shape != (len(indices), proof.log_height, p2.DIGEST):
         return False
-    for q, idx in enumerate(indices):
-        digest = p2.hostp2.hash_rows(values[q])
-        i = int(idx)
-        for lvl in range(proof.log_height):
-            sib = proof.paths[q, lvl]
-            if i & 1:
-                digest = p2.hostp2.compress(sib, digest)
-            else:
-                digest = p2.hostp2.compress(digest, sib)
-            i >>= 1
-        if not np.array_equal(digest, np.asarray(root, np.uint32)):
-            return False
-    return True
+    # Vectorized over all queries: one batched Poseidon2 per tree level.
+    digests = p2.hostp2.hash_rows(np.asarray(values, np.uint32))  # (Q, 8)
+    idx = np.asarray(indices, np.int64)
+    for lvl in range(proof.log_height):
+        sibs = proof.paths[:, lvl]
+        odd = (idx & 1).astype(bool)[:, None]
+        left = np.where(odd, sibs, digests)
+        right = np.where(odd, digests, sibs)
+        digests = p2.hostp2.compress(left, right)
+        idx >>= 1
+    return bool(np.all(digests == np.asarray(root, np.uint32)[None, :]))

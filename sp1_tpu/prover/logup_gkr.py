@@ -39,6 +39,9 @@ from ..pcs.jagged import full_geq_host, log2_ceil, point_from_usize
 
 E4 = ext.npext4
 
+_pl_jit = jax.jit(mle_ops.partial_lagrange_ext)
+_eval_mle_jit = jax.jit(mle_ops.eval_mle_at_point_ext)
+
 GKR_GRINDING_BITS = 12
 
 
@@ -55,6 +58,84 @@ def _from_monty_np(x):
 # ---------------------------------------------------------------------------
 
 
+def _chip_first_layer_kernel(chip):
+    """One jit per chip computing all its interaction fraction tables."""
+    if getattr(chip, "_fl_kernel", None) is not None:
+        return chip._fl_kernel
+
+    from ..air.builder import JnpOps
+
+    @jax.jit
+    def kernel(main, prep, alpha_m, betas_m, real_mask):
+        n_rows = main.shape[0]
+        ops = JnpOps(n_rows)
+        one = np.zeros(4, np.uint32)
+        one[0] = kb.to_monty_i(1)
+        main_cols = [mle_ops.ext4_embed(main[:, i]) for i in range(chip.width)]
+        prep_cols = [
+            mle_ops.ext4_embed(prep[:, i]) for i in range(chip.preprocessed_width)
+        ]
+        alpha_b = jnp.broadcast_to(alpha_m, (n_rows, 4))
+        betas_b = [
+            jnp.broadcast_to(betas_m[i], (n_rows, 4)) for i in range(betas_m.shape[0])
+        ]
+        real = real_mask[:, None]
+        nums, dens = [], []
+        for inter, is_send in [(i, True) for i in chip.sends()] + [
+            (i, False) for i in chip.receives()
+        ]:
+            mult, fp = inter.eval(prep_cols, main_cols, alpha_b, betas_b, ops)
+            if not is_send:
+                mult = ext.ext4_neg(mult)
+            nums.append(jnp.where(real, mult, jnp.zeros_like(mult)))
+            dens.append(
+                jnp.where(real, fp, jnp.broadcast_to(jnp.asarray(one), fp.shape))
+            )
+        return jnp.concatenate(nums, axis=0), jnp.concatenate(dens, axis=0)
+
+    chip._fl_kernel = kernel
+    return kernel
+
+
+def _host_first_layer(chip, main, prep, h, alpha, betas, n_rows):
+    """Canonical numpy first-layer tables for one chip (no compiles)."""
+    from ..ops.hostmle import NpVecOps, dev_to_host
+
+    main_c = dev_to_host(main)
+    prep_c = dev_to_host(prep) if prep is not None else None
+    ops = NpVecOps(n_rows)
+    main_cols = [
+        np.stack([main_c[:, i]] + [np.zeros(n_rows, np.uint32)] * 3, axis=-1)
+        for i in range(chip.width)
+    ]
+    prep_cols = (
+        [
+            np.stack([prep_c[:, i]] + [np.zeros(n_rows, np.uint32)] * 3, axis=-1)
+            for i in range(chip.preprocessed_width)
+        ]
+        if prep_c is not None
+        else []
+    )
+    alpha_b = np.broadcast_to(np.asarray(alpha, np.uint32), (n_rows, 4))
+    betas_b = [
+        np.broadcast_to(np.asarray(betas[i], np.uint32), (n_rows, 4))
+        for i in range(len(betas))
+    ]
+    real = (np.arange(n_rows) < h)[:, None]
+    one_row = np.zeros((1, 4), np.uint32)
+    one_row[0, 0] = 1
+    nums, dens = [], []
+    for inter, is_send in [(i, True) for i in chip.sends()] + [
+        (i, False) for i in chip.receives()
+    ]:
+        mult, fp = inter.eval(prep_cols, main_cols, alpha_b, betas_b, ops)
+        if not is_send:
+            mult = E4.sub(np.zeros_like(mult), mult)
+        nums.append(np.where(real, mult, 0).astype(np.uint32))
+        dens.append(np.where(real, fp, one_row).astype(np.uint32))
+    return np.concatenate(nums, axis=0), np.concatenate(dens, axis=0)
+
+
 def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
     """Build the leaf fraction tables.
 
@@ -64,8 +145,6 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
     Returns (num, den): (2^(iv+mlrc), 4) monty jnp arrays; padded
     interactions hold (0, 1).
     """
-    from ..air.builder import JnpOps
-
     mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
     num_interactions = sum(
         len(c.sends()) + len(c.receives()) for c in chips
@@ -73,36 +152,30 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
     iv = log2_ceil(num_interactions)
     n_rows = 1 << mlrc
     alpha_m = jnp.asarray(_to_monty_np(alpha))
-    betas_m = [jnp.asarray(_to_monty_np(b)) for b in betas]
+    betas_m = jnp.asarray(_to_monty_np(np.asarray(betas, np.uint32)))
 
     num_parts, den_parts = [], []
     one = np.zeros(4, np.uint32)
     one[0] = kb.to_monty_i(1)
+    host_small = n_rows <= HOST_THRESH
     for chip in chips:
         main = traces[chip.name]
         prep = preprocessed.get(chip.name)
         h = heights[chip.name]
-        ops = JnpOps(n_rows)
-        main_cols = [mle_ops.ext4_embed(main[:, i]) for i in range(chip.width)]
-        prep_cols = (
-            [mle_ops.ext4_embed(prep[:, i]) for i in range(chip.preprocessed_width)]
-            if prep is not None
-            else []
-        )
-        alpha_b = jnp.broadcast_to(alpha_m, (n_rows, 4))
-        betas_b = [jnp.broadcast_to(b, (n_rows, 4)) for b in betas_m]
-        row_idx = jnp.arange(n_rows)
-        real = (row_idx < h)[:, None]
-        for inter, is_send in [(i, True) for i in chip.sends()] + [
-            (i, False) for i in chip.receives()
-        ]:
-            mult, fp = inter.eval(prep_cols, main_cols, alpha_b, betas_b, ops)
-            if not is_send:
-                mult = ext.ext4_neg(mult)
-            num_parts.append(jnp.where(real, mult, jnp.zeros_like(mult)))
-            den_parts.append(
-                jnp.where(real, fp, jnp.broadcast_to(jnp.asarray(one), fp.shape))
+        if host_small:
+            nums_c, dens_c = _host_first_layer(
+                chip, main, prep, h, alpha, betas, n_rows
             )
+            num_parts.append(jnp.asarray(hostmle.to_monty_host(nums_c)))
+            den_parts.append(jnp.asarray(hostmle.to_monty_host(dens_c)))
+            continue
+        if prep is None:
+            prep = jnp.zeros((n_rows, 0), jnp.uint32)
+        real_mask = jnp.asarray(np.arange(n_rows) < h)
+        kernel = _chip_first_layer_kernel(chip)
+        nums, dens = kernel(main, prep, alpha_m, betas_m, real_mask)
+        num_parts.append(nums)
+        den_parts.append(dens)
     pad = (1 << iv) - num_interactions
     if pad:
         zeros = jnp.zeros((n_rows, 4), jnp.uint32)
@@ -401,7 +474,7 @@ def prove_logup_gkr(
                 eq_c, ln[:, 0], ln[:, 1], ld[:, 0], ld[:, 1], lam_m, lam, host=True
             )
         else:
-            eq = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(eval_point)))
+            eq = _pl_jit(jnp.asarray(_to_monty_np(eval_point)))
             nv = lnum.reshape(-1, 2, 4)
             dv = lden.reshape(-1, 2, 4)
             poly = LogupRoundPoly(
@@ -438,13 +511,13 @@ def prove_logup_gkr(
     chip_openings = {}
     for chip in chips:
         main_eval = _from_monty_np(
-            mle_ops.eval_mle_at_point_ext(traces[chip.name], tp_m).reshape(-1)
+            _eval_mle_jit(traces[chip.name], tp_m).reshape(-1)
         ).reshape(-1, 4)
         prep = preprocessed.get(chip.name)
         prep_eval = None
         if prep is not None:
             prep_eval = _from_monty_np(
-                mle_ops.eval_mle_at_point_ext(prep, tp_m).reshape(-1)
+                _eval_mle_jit(prep, tp_m).reshape(-1)
             ).reshape(-1, 4)
             challenger.observe_variable_length_slice(prep_eval.reshape(-1))
         challenger.observe_variable_length_slice(main_eval.reshape(-1))

@@ -185,6 +185,29 @@ def _make_round_kernel(chip, num_points: int):
 
 
 @jax.jit
+def _build_tables_kernel(main_trace, prep_trace, zeta_m, geq_mask):
+    """eq/geq/ext-embedded trace tables in one compile per shape."""
+    n = main_trace.shape[0]
+    eq = mle_ops.partial_lagrange_ext(zeta_m)
+    one = np.zeros(4, np.uint32)
+    one[0] = kb.to_monty_i(1)
+    geq = jnp.where(
+        geq_mask[:, None],
+        jnp.broadcast_to(jnp.asarray(one), (n, 4)),
+        jnp.zeros((n, 4), jnp.uint32),
+    )
+    main_e = jnp.stack(
+        [mle_ops.ext4_embed(main_trace[:, i]) for i in range(main_trace.shape[1])],
+        axis=1,
+    ) if main_trace.shape[1] else jnp.zeros((n, 0, 4), jnp.uint32)
+    prep_e = jnp.stack(
+        [mle_ops.ext4_embed(prep_trace[:, i]) for i in range(prep_trace.shape[1])],
+        axis=1,
+    ) if prep_trace.shape[1] else jnp.zeros((n, 0, 4), jnp.uint32)
+    return eq, geq, main_e, prep_e
+
+
+@jax.jit
 def _fix_last_tables(eq, geq, main, prep, alpha):
     out = []
     for t in (eq, geq):
@@ -337,27 +360,12 @@ def make_zerocheck_poly(
 ) -> ZeroCheckPoly:
     n = int(main_trace.shape[0])
     mlrc = n.bit_length() - 1
-    eq = mle_ops.partial_lagrange_ext(jnp.asarray(_to_monty_np(zeta)))
-    # geq table: [row >= height] indicator, ext4-embedded
-    idx = jnp.arange(n)
-    one = np.zeros(4, np.uint32)
-    one[0] = kb.to_monty_i(1)
-    geq = jnp.where(
-        (idx >= height)[:, None],
-        jnp.broadcast_to(jnp.asarray(one), (n, 4)),
-        jnp.zeros((n, 4), jnp.uint32),
+    if prep_trace is None or int(prep_trace.shape[1]) == 0:
+        prep_trace = jnp.zeros((n, 0), jnp.uint32)
+    geq_mask = jnp.asarray(np.arange(n) >= height)
+    eq, geq, main_e, prep_e = _build_tables_kernel(
+        main_trace, prep_trace, jnp.asarray(_to_monty_np(zeta)), geq_mask
     )
-    main_e = jnp.stack(
-        [mle_ops.ext4_embed(main_trace[:, i]) for i in range(main_trace.shape[1])],
-        axis=1,
-    )
-    if prep_trace is not None and int(prep_trace.shape[1]) > 0:
-        prep_e = jnp.stack(
-            [mle_ops.ext4_embed(prep_trace[:, i]) for i in range(prep_trace.shape[1])],
-            axis=1,
-        )
-    else:
-        prep_e = jnp.zeros((n, 0, 4), jnp.uint32)
     alpha_m = jnp.asarray(_to_monty_np(alpha))
     adj = padded_row_adjustment_host(chip, public_values, alpha)
     adj_m = jnp.asarray(_to_monty_np(adj))

@@ -27,9 +27,11 @@ from ..air.builder import (
     Affine,
     Chip,
     Interaction,
+    KIND_BYTE,
     KIND_MEMORY,
     KIND_PROGRAM,
     KIND_RANGE,
+    KIND_STATE,
     main_col,
     prep_col,
 )
@@ -56,11 +58,34 @@ class WordSpec:
         return -(-25 // self.limb_bits)
 
 
-# Opcode ids (our machine's decode vocabulary).
-OP_ADD, OP_ADDI, OP_SUB, OP_BEQ, OP_BNE, OP_JAL, OP_ECALL = range(7)
-NUM_OPS = 7
+# Public-values layout (within the padded 187-element vector; reference:
+# PROOF_MAX_NUM_PVS and the pc/timestamp chaining in
+# crates/prover/src/verify.rs):
+PV_PC_START = 0
+PV_NEXT_PC = 1
+PV_CLK_START = 2  # first row's clk (1 for a fresh execution)
+PV_CLK_END = 3  # last row's clk + 1
+PV_EXIT_CODE = 4  # NUM_LIMBS limbs of the halt code (a0)
+PV_IS_HALTED = 12  # boolean
+NUM_PV_ELTS = 16
 
-SEL_NAMES = ["add", "addi", "sub", "beq", "bne", "jal", "ecall"]
+
+# Opcode ids (our machine's decode vocabulary). `muli` is the internal
+# multiply-by-immediate used to realize slli (b << s == b * 2^s mod 2^64).
+(
+    OP_ADD, OP_ADDI, OP_SUB, OP_BEQ, OP_BNE, OP_JAL, OP_ECALL,
+    OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI, OP_XORI,
+    OP_MUL, OP_MULI,
+) = range(17)
+NUM_OPS = 17
+
+SEL_NAMES = [
+    "add", "addi", "sub", "beq", "bne", "jal", "ecall",
+    "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
+]
+BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
+CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld")
+MUL_SELS = ("mul", "muli")
 
 
 class Cols:
@@ -114,6 +139,19 @@ def cpu_layout(ws: WordSpec) -> Cols:
     if nl > 2:
         c.cols("eqchain", nl - 2)
     c.col("taken")
+    # memory-op columns
+    c.cols("maddr", nl)
+    c.col("maddr0_div")
+    c.col("mem_prev_ts")
+    c.cols("mem_prev_val", nl)
+    c.cols("tsd_mem", ws.ts_limbs)
+    # bitwise half-limb decompositions (L/2-bit halves)
+    c.cols("bh", 2 * nl)
+    c.cols("ch", 2 * nl)
+    c.cols("ah", 2 * nl)
+    # mul carry decompositions
+    c.cols("mc_lo", nl)
+    c.cols("mc_hi", nl)
     c.col("is_halt")
     c.col("is_read")
     c.col("rd_nonzero")
@@ -231,6 +269,8 @@ class CpuChip(Chip):
         seq_sels = ops.add(
             ops.add(sel_alu_add, sels["sub"]), sels["ecall"]
         )
+        for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli"):
+            seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
         )
@@ -273,6 +313,82 @@ class CpuChip(Chip):
             else:
                 f.assert_zero(ops.mul(is_read, b[i]))
         # ecall register indices fixed by ROM decode (rs1=17, rs2=10, rd=10)
+        # halt: the exit code (a0 = c) must match the public values, and the
+        # public halted flag must be set on a halt row.
+        pv = f.public_values
+        for i in range(nl):
+            f.assert_zero(ops.mul(is_halt, ops.sub(c[i], pv[PV_EXIT_CODE + i])))
+        f.assert_zero(ops.mul(is_halt, ops.sub(pv[PV_IS_HALTED], one)))
+
+        # c = imm for immediate-operand ops
+        sel_cimm = ops.zero()
+        for s in CIMM_SELS:
+            sel_cimm = ops.add(sel_cimm, sels[s])
+        for i in range(nl):
+            f.assert_zero(ops.mul(sel_cimm, ops.sub(c[i], imm[i])))
+
+        # ---- loads/stores (8-byte aligned) --------------------------------
+        sel_mem = ops.add(sels["ld"], sels["sd"])
+        maddr = g("maddr")
+        maddr0_div = g("maddr0_div")
+        mem_prev_val = g("mem_prev_val")
+        # addr = b + imm with the shared carry chain
+        for i in range(nl):
+            cin = carry[i - 1] if i > 0 else ops.zero()
+            expr = ops.sub(
+                ops.add(ops.add(b[i], imm[i]), cin),
+                ops.add(maddr[i], ops.mul(carry[i], base)),
+            )
+            f.assert_zero(ops.mul(sel_mem, expr))
+        # address space bound: limbs covering >= 24 bits must be zero
+        for i in range(nl):
+            if ws.limb_bits * i >= 24:
+                f.assert_zero(ops.mul(sel_mem, maddr[i]))
+        # 8-byte alignment: maddr_0 = 8 * maddr0_div (both range-checked)
+        f.assert_zero(
+            ops.mul(sel_mem, ops.sub(maddr[0], ops.scale_base(maddr0_div, 8)))
+        )
+        # ld result: a = loaded value
+        for i in range(nl):
+            f.assert_zero(ops.mul(sels["ld"], ops.sub(a[i], mem_prev_val[i])))
+
+        # ---- bitwise (half-limb decomposition; results via byte table) ----
+        sel_bw = ops.zero()
+        for s in BITWISE_SELS:
+            sel_bw = ops.add(sel_bw, sels[s])
+        bh, ch_, ah = g("bh"), g("ch"), g("ah")
+        half = ops.const(1 << (ws.limb_bits // 2))
+        for i in range(nl):
+            f.assert_zero(
+                ops.mul(sel_bw, ops.sub(b[i], ops.add(bh[2 * i], ops.mul(bh[2 * i + 1], half))))
+            )
+            f.assert_zero(
+                ops.mul(sel_bw, ops.sub(c[i], ops.add(ch_[2 * i], ops.mul(ch_[2 * i + 1], half))))
+            )
+            f.assert_zero(
+                ops.mul(sel_bw, ops.sub(a[i], ops.add(ah[2 * i], ops.mul(ah[2 * i + 1], half))))
+            )
+
+        # ---- mul (mod 2^64) ----------------------------------------------
+        sel_mul = ops.add(sels["mul"], sels["muli"])
+        mc_lo, mc_hi = g("mc_lo"), g("mc_hi")
+        for k in range(nl):
+            conv = ops.zero()
+            for i in range(k + 1):
+                j = k - i
+                conv = ops.add(conv, ops.mul(b[i], c[j]))
+            cin = (
+                ops.add(mc_lo[k - 1], ops.mul(mc_hi[k - 1], base))
+                if k > 0
+                else ops.zero()
+            )
+            cout = ops.add(mc_lo[k], ops.mul(mc_hi[k], base))
+            f.assert_zero(
+                ops.mul(
+                    sel_mul,
+                    ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
+                )
+            )
 
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
@@ -281,10 +397,12 @@ class CpuChip(Chip):
         ts1 = ops.add(ops.mul(clk, eight), one)
         ts2 = ops.add(ops.mul(clk, eight), ops.const(2))
         ts4 = ops.add(ops.mul(clk, eight), four)
+        ts3 = ops.add(ops.mul(clk, eight), ops.const(3))
         for nm, uses, newts, prevts in (
             ("tsd_rs1", uses_rs1, ts1, g("rs1_prev_ts")),
             ("tsd_rs2", uses_rs2, ts2, g("rs2_prev_ts")),
             ("tsd_rd", g("rd_write_mult"), ts4, g("rd_prev_ts")),
+            ("tsd_mem", sel_mem, ts3, g("mem_prev_ts")),
         ):
             tsd = g(nm)
             acc = ops.zero()
@@ -303,28 +421,58 @@ class CpuChip(Chip):
         writes = ops.add(
             ops.add(ops.add(sel_alu_add, sels["sub"]), sels["jal"]), is_read
         )
+        writes = ops.add(writes, sels["ld"])
+        writes = ops.add(writes, sel_bw)
+        writes = ops.add(writes, sel_mul)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
+
+    USES_RS1 = (
+        "add", "addi", "sub", "beq", "bne", "ecall",
+        "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
+    )
+    USES_RS2 = ("add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul")
 
     def _uses_rs1(self, sels, ops):
         acc = ops.zero()
-        for s in ("add", "addi", "sub", "beq", "bne", "ecall"):
+        for s in self.USES_RS1:
             acc = ops.add(acc, sels[s])
         return acc
 
     def _uses_rs2(self, sels, ops):
         acc = ops.zero()
-        for s in ("add", "sub", "beq", "bne", "ecall"):
+        for s in self.USES_RS2:
             acc = ops.add(acc, sels[s])
         return acc
 
     # -- interactions -------------------------------------------------------
     def _uses_rs1_aff(self):
         L = self.layout
-        return _aff_sum([L[f"sel_{s}"] for s in ("add", "addi", "sub", "beq", "bne", "ecall")])
+        return _aff_sum([L[f"sel_{s}"] for s in self.USES_RS1])
 
     def _uses_rs2_aff(self):
         L = self.layout
-        return _aff_sum([L[f"sel_{s}"] for s in ("add", "sub", "beq", "bne", "ecall")])
+        return _aff_sum([L[f"sel_{s}"] for s in self.USES_RS2])
+
+    def _word_addr_aff(self):
+        """32 + word index of the memory access, affine in address columns."""
+        ws, L = self.ws, self.layout
+        terms = [(main_col(L["maddr0_div"]), 1)]
+        for i in range(1, ws.num_limbs):
+            if ws.limb_bits * i < 24:
+                terms.append((main_col(L["maddr"].start + i), 1 << (ws.limb_bits * i - 3)))
+        return Affine(32, tuple(terms))
+
+    def _sel_mem_aff(self):
+        L = self.layout
+        return _aff_sum([L["sel_ld"], L["sel_sd"]])
+
+    def _sel_bw_aff(self):
+        L = self.layout
+        return _aff_sum([L[f"sel_{s}"] for s in BITWISE_SELS])
+
+    def _sel_mul_aff(self):
+        L = self.layout
+        return _aff_sum([L[f"sel_{s}"] for s in MUL_SELS])
 
     def sends(self) -> list:
         ws, L = self.ws, self.layout
@@ -347,6 +495,14 @@ class CpuChip(Chip):
         ] + [_aff(L["imm"].start + i) for i in range(nl)]
         out.append(
             Interaction(tuple(values), _aff(L["is_real"]), KIND_PROGRAM)
+        )
+        # state chain: each row produces (next_pc, clk + 1)
+        out.append(
+            Interaction(
+                (_aff(L["next_pc"]), Affine(1, ((main_col(L["clk"]), 1),))),
+                _aff(L["is_real"]),
+                KIND_STATE,
+            )
         )
         # register writes (memory sends of the new state)
         clk8_1 = Affine(1, ((main_col(L["clk"]), 8),))
@@ -376,18 +532,71 @@ class CpuChip(Chip):
                 KIND_MEMORY,
             )
         )
-        # range checks: a limbs (on writes), ts diff limbs
+        # memory-op state updates
+        clk8_3 = Affine(3, ((main_col(L["clk"]), 8),))
+        waddr = self._word_addr_aff()
+        mpv = [_aff(L["mem_prev_val"].start + i) for i in range(nl)]
+        out.append(
+            Interaction(
+                tuple([waddr, clk8_3] + mpv), _aff(L["sel_ld"]), KIND_MEMORY
+            )
+        )
+        out.append(
+            Interaction(
+                tuple([waddr, clk8_3] + cvals), _aff(L["sel_sd"]), KIND_MEMORY
+            )
+        )
+        # bitwise byte-table lookups: (op, x, y, z) per half-limb
+        bw_op = Affine(
+            0,
+            (
+                (main_col(L["sel_or"]), 1),
+                (main_col(L["sel_ori"]), 1),
+                (main_col(L["sel_xor"]), 2),
+                (main_col(L["sel_xori"]), 2),
+            ),
+        )
+        sel_bw = self._sel_bw_aff()
+        for k in range(2 * nl):
+            out.append(
+                Interaction(
+                    (
+                        bw_op,
+                        _aff(L["bh"].start + k),
+                        _aff(L["ch"].start + k),
+                        _aff(L["ah"].start + k),
+                    ),
+                    sel_bw,
+                    KIND_BYTE,
+                )
+            )
+        # range checks: a limbs (on writes), ts diff limbs, addr + mul aux
         writes = _aff_sum(
-            [L[f"sel_{s}"] for s in ("add", "addi", "sub", "jal")] + [L["is_read"]]
+            [L[f"sel_{s}"] for s in ("add", "addi", "sub", "jal", "ld")]
+            + [L[f"sel_{s}"] for s in BITWISE_SELS]
+            + [L[f"sel_{s}"] for s in MUL_SELS]
+            + [L["is_read"]]
         )
         for i in range(nl):
             out.append(
                 Interaction((_aff(L["a"].start + i),), writes, KIND_RANGE)
             )
+        sel_mem = self._sel_mem_aff()
+        sel_mul = self._sel_mul_aff()
+        out.append(Interaction((_aff(L["maddr0_div"]),), sel_mem, KIND_RANGE))
+        for i in range(nl):
+            if ws.limb_bits * i < 24:
+                out.append(
+                    Interaction((_aff(L["maddr"].start + i),), sel_mem, KIND_RANGE)
+                )
+        for i in range(nl):
+            out.append(Interaction((_aff(L["mc_lo"].start + i),), sel_mul, KIND_RANGE))
+            out.append(Interaction((_aff(L["mc_hi"].start + i),), sel_mul, KIND_RANGE))
         for nm, mult in (
             ("tsd_rs1", self._uses_rs1_aff()),
             ("tsd_rs2", self._uses_rs2_aff()),
             ("tsd_rd", _aff(L["rd_write_mult"])),
+            ("tsd_mem", sel_mem),
         ):
             for i in range(ws.ts_limbs):
                 out.append(
@@ -399,6 +608,12 @@ class CpuChip(Chip):
         ws, L = self.ws, self.layout
         nl = ws.num_limbs
         out = []
+        # state chain: each row consumes (pc, clk)
+        out.append(
+            Interaction(
+                (_aff(L["pc"]), _aff(L["clk"])), _aff(L["is_real"]), KIND_STATE
+            )
+        )
         bvals = [_aff(L["b"].start + i) for i in range(nl)]
         cvals = [_aff(L["c"].start + i) for i in range(nl)]
         pvals = [_aff(L["rd_prev_val"].start + i) for i in range(nl)]
@@ -420,6 +635,15 @@ class CpuChip(Chip):
             Interaction(
                 tuple([_aff(L["rd"]), _aff(L["rd_prev_ts"])] + pvals),
                 _aff(L["rd_write_mult"]),
+                KIND_MEMORY,
+            )
+        )
+        waddr = self._word_addr_aff()
+        mpv = [_aff(L["mem_prev_val"].start + i) for i in range(nl)]
+        out.append(
+            Interaction(
+                tuple([waddr, _aff(L["mem_prev_ts"])] + mpv),
+                self._sel_mem_aff(),
                 KIND_MEMORY,
             )
         )
@@ -464,6 +688,43 @@ class RangeChip(Chip):
         ]
 
 
+class ByteChip(Chip):
+    """Preprocessed half-limb pair table: (x, y, x&y, x|y, x^y).
+
+    Serves AND/OR/XOR lookups (op encoded in the first value), mirroring
+    the reference's byte-operation table
+    (crates/core/machine/src/bytes/). Height 2^limb_bits (pairs of
+    limb_bits/2-bit halves).
+    """
+
+    name = "Byte"
+    width = 3  # multiplicities for and/or/xor
+    preprocessed_width = 5
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+
+    def eval(self, f):
+        pass
+
+    def receives(self) -> list:
+        out = []
+        for op, (mult_col, res_col) in enumerate(((0, 2), (1, 3), (2, 4))):
+            out.append(
+                Interaction(
+                    (
+                        Affine.const(op),
+                        Affine.col(prep_col(0)),
+                        Affine.col(prep_col(1)),
+                        Affine.col(prep_col(res_col)),
+                    ),
+                    Affine.col(main_col(mult_col)),
+                    KIND_BYTE,
+                )
+            )
+        return out
+
+
 class MemoryInitChip(Chip):
     """Sends the initial (addr, ts=0, value=0) state of touched cells."""
 
@@ -504,8 +765,69 @@ class MemoryFinalChip(Chip):
         return [Interaction(tuple(values), Affine.col(main_col(1)), KIND_MEMORY)]
 
 
+class RiscvMachine(Machine):
+    """Machine with the execution-state public-values digest.
+
+    The public values "send" the initial (pc_start, clk_start) state and
+    "receive" the final (next_pc, clk_end) state, balancing the per-row
+    state-chain interactions (reference:
+    LogUpGkrVerifier::verify_public_values + Record::eval_public_values).
+    """
+
+    def max_pv_interaction_arity(self) -> int:
+        return 3  # (pc, clk) + 1
+
+    def eval_public_values(self, public_values, challenge, alpha, betas):
+        import numpy as np
+
+        from ..field import extension as ext
+
+        E4 = ext.npext4
+
+        def fp(vals):
+            acc = E4.add(
+                np.asarray(alpha, np.uint32),
+                kb.npf.mul(np.asarray(betas[0], np.uint32), np.uint32(KIND_STATE)),
+            )
+            for k, v in enumerate(vals):
+                acc = E4.add(
+                    acc, kb.npf.mul(np.asarray(betas[k + 1], np.uint32), np.uint32(int(v) % kb.P))
+                )
+            return acc
+
+        pv = [int(v) for v in public_values]
+        # constraint checks on the public values themselves
+        if pv[PV_IS_HALTED] not in (0, 1):
+            return False, None
+        digest = np.zeros(4, np.uint32)
+        # send (pc_start, clk_start)
+        digest = E4.add(digest, E4.inv(fp([pv[PV_PC_START], pv[PV_CLK_START]])))
+        # receive (next_pc, clk_end)
+        digest = E4.sub(digest, E4.inv(fp([pv[PV_NEXT_PC], pv[PV_CLK_END]])))
+        return True, digest
+
+
+_MACHINE_CACHE = {}
+
+
 def build_machine(ws: WordSpec = WordSpec()) -> Machine:
-    return Machine(
-        [CpuChip(ws), ProgramChip(ws), RangeChip(ws), MemoryInitChip(ws), MemoryFinalChip(ws)],
-        num_pv_elts=0,
+    """Cached per WordSpec so chip jit kernels compile once per process."""
+    if ws in _MACHINE_CACHE:
+        return _MACHINE_CACHE[ws]
+    m = _build_machine_uncached(ws)
+    _MACHINE_CACHE[ws] = m
+    return m
+
+
+def _build_machine_uncached(ws: WordSpec) -> Machine:
+    return RiscvMachine(
+        [
+            CpuChip(ws),
+            ProgramChip(ws),
+            RangeChip(ws),
+            ByteChip(ws),
+            MemoryInitChip(ws),
+            MemoryFinalChip(ws),
+        ],
+        num_pv_elts=NUM_PV_ELTS,
     )

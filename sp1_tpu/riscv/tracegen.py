@@ -13,18 +13,52 @@ import jax.numpy as jnp
 
 from ..field import koalabear as kb
 from .machine import (
+    BITWISE_SELS,
+    CIMM_SELS,
+    MUL_SELS,
     NUM_OPS,
     OP_ADD,
     OP_ADDI,
+    OP_AND,
+    OP_ANDI,
     OP_BEQ,
     OP_BNE,
     OP_ECALL,
     OP_JAL,
+    OP_LD,
+    OP_MUL,
+    OP_MULI,
+    OP_OR,
+    OP_ORI,
+    OP_SD,
     OP_SUB,
+    OP_XOR,
+    OP_XORI,
+    PV_CLK_END,
+    PV_CLK_START,
+    PV_EXIT_CODE,
+    PV_IS_HALTED,
+    PV_NEXT_PC,
+    PV_PC_START,
     SEL_NAMES,
     WordSpec,
     cpu_layout,
 )
+
+
+def make_public_values(result, pc_base: int, ws: WordSpec) -> list:
+    """Build the shard's public values from an execution result."""
+    ev = result.events
+    pv = [0] * 16
+    pv[PV_PC_START] = int(ev["pc"][0]) if len(ev) else pc_base
+    pv[PV_NEXT_PC] = int(ev["next_pc"][-1]) if len(ev) else pc_base
+    pv[PV_CLK_START] = int(ev["clk"][0]) if len(ev) else 1
+    pv[PV_CLK_END] = int(ev["clk"][-1]) + 1 if len(ev) else 1
+    code = int(result.exit_code)
+    for i in range(ws.num_limbs):
+        pv[PV_EXIT_CODE + i] = (code >> (ws.limb_bits * i)) & ((1 << ws.limb_bits) - 1)
+    pv[PV_IS_HALTED] = 1
+    return pv
 
 
 def to_monty(x):
@@ -70,13 +104,36 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
         rd_i = (w >> 7) & 31
         rs1_i = (w >> 15) & 31
         rs2_i = (w >> 20) & 31
-        if opc == 0x33 and f7 in (0x00, 0x20) and f3 == 0:
-            op_id[i] = OP_ADD if f7 == 0 else OP_SUB
+        if opc == 0x33 and f7 == 0x00 and f3 in (0, 4, 6, 7):
+            op_id[i] = {0: OP_ADD, 4: OP_XOR, 6: OP_OR, 7: OP_AND}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
-        elif opc == 0x13 and f3 == 0:
-            op_id[i] = OP_ADDI
+        elif opc == 0x33 and f7 == 0x20 and f3 == 0:
+            op_id[i] = OP_SUB
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x33 and f7 == 0x01 and f3 == 0:
+            # the mul carry bound requires conv sums < p: limb_bits <= 8
+            assert ws.limb_bits <= 8, "mul requires limb_bits <= 8 for now"
+            op_id[i] = OP_MUL
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x13 and f3 in (0, 4, 6, 7):
+            op_id[i] = {0: OP_ADDI, 4: OP_XORI, 6: OP_ORI, 7: OP_ANDI}[f3]
             rd[i], rs1[i] = rd_i, rs1_i
             v = sext(w >> 20, 12)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x13 and f3 == 1:  # slli -> multiply by 2^sh
+            op_id[i] = OP_MULI
+            rd[i], rs1[i] = rd_i, rs1_i
+            sh = (w >> 20) & 63
+            imm[i] = limbs_of(np.array([(1 << sh) % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x03 and f3 == 3:  # ld
+            op_id[i] = OP_LD
+            rd[i], rs1[i] = rd_i, rs1_i
+            v = sext(w >> 20, 12)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x23 and f3 == 3:  # sd
+            op_id[i] = OP_SD
+            rs1[i], rs2[i] = rs1_i, rs2_i
+            v = sext((((w >> 25) & 0x7F) << 5) | ((w >> 7) & 0x1F), 12)
             imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
         elif opc == 0x63 and f3 in (0, 1):
             op_id[i] = OP_BEQ if f3 == 0 else OP_BNE
@@ -113,6 +170,41 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
         "rs2": rs2,
         "imm_f": imm_f,
         "imm": imm,
+    }
+
+
+def make_preprocessed(program_words, pc_base: int, ws: WordSpec, mlrc: int) -> dict:
+    """Execution-independent preprocessed tables (ROM, range, byte)."""
+    rom = decode_program(program_words, pc_base, ws)
+    nl = ws.num_limbs
+    rom_h = _pad_pow2(len(program_words), mlrc)
+    prep_prog = np.zeros((rom_h, 7 + nl), np.uint32)
+    npr = len(program_words)
+    prep_prog[:npr, 0] = rom["pc"].astype(np.uint32)
+    prep_prog[:npr, 1] = rom["op_id"]
+    prep_prog[:npr, 2] = rom["rd"]
+    prep_prog[:npr, 3] = rom["rs1"]
+    prep_prog[:npr, 4] = rom["rs2"]
+    prep_prog[:npr, 5] = rom["imm_f"]
+    prep_prog[:npr, 6 : 6 + nl] = rom["imm"]
+    prep_prog[:npr, 6 + nl] = 1
+    rng_h = _pad_pow2(1 << ws.limb_bits, mlrc)
+    prep_rng = np.zeros((rng_h, 1), np.uint32)
+    prep_rng[: 1 << ws.limb_bits, 0] = np.arange(1 << ws.limb_bits)
+    byte_h = _pad_pow2(1 << ws.limb_bits, mlrc)
+    hb = ws.limb_bits // 2
+    xs = np.arange(1 << ws.limb_bits, dtype=np.uint32)
+    bx, by = xs >> hb, xs & ((1 << hb) - 1)
+    prep_byte = np.zeros((byte_h, 5), np.uint32)
+    prep_byte[: 1 << ws.limb_bits, 0] = bx
+    prep_byte[: 1 << ws.limb_bits, 1] = by
+    prep_byte[: 1 << ws.limb_bits, 2] = bx & by
+    prep_byte[: 1 << ws.limb_bits, 3] = bx | by
+    prep_byte[: 1 << ws.limb_bits, 4] = bx ^ by
+    return {
+        "Program": (jnp.asarray(to_monty(prep_prog)), npr),
+        "Range": (jnp.asarray(to_monty(prep_rng)), 1 << ws.limb_bits),
+        "Byte": (jnp.asarray(to_monty(prep_byte)), 1 << ws.limb_bits),
     }
 
 
@@ -156,6 +248,13 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
     b_l = limbs_of(ev["b"], ws)
     c_l = limbs_of(ev["c"], ws)
     a_l = limbs_of(ev["a"], ws)
+    # Immediate-operand rows carry c = ROM imm (for slli->muli the ROM imm
+    # is 2^shift, not the executor's raw shift amount).
+    imm_l_all = rom["imm"][pc_idx]
+    cimm_mask = np.isin(
+        op, [OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_MULI, OP_LD]
+    )
+    c_l = np.where(cimm_mask[:, None], imm_l_all, c_l)
     cpu[:n, L["b"]] = b_l
     cpu[:n, L["c"]] = c_l
     cpu[:n, L["a"]] = a_l
@@ -165,10 +264,11 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
     setc("rd_prev_ts", ev["rd_prev_ts"].astype(np.uint32))
 
     is_addi = op == OP_ADDI
-    # addi rows: c = imm (executor already sets c = imm) — verify
     # carries for add/addi: (b + c) limb-wise
     is_add = (op == OP_ADD) | is_addi
     is_sub = op == OP_SUB
+    is_mem = (op == OP_LD) | (op == OP_SD)
+    imm_l = imm_l_all
     carry = np.zeros((n, nl), np.uint64)
     acc = np.zeros(n, np.uint64)
     for i in range(nl):
@@ -181,9 +281,55 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
         d = b_l[:, i].astype(np.int64) - c_l[:, i].astype(np.int64) - acc.astype(np.int64)
         borrow[:, i] = (d < 0).astype(np.uint64)
         acc = borrow[:, i]
+    # address carries for ld/sd: b + imm
+    addr_carry = np.zeros((n, nl), np.uint64)
+    addr_limb = np.zeros((n, nl), np.uint32)
+    acc = np.zeros(n, np.uint64)
+    for i in range(nl):
+        s = b_l[:, i].astype(np.uint64) + imm_l[:, i] + acc
+        addr_limb[:, i] = (s & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
+        addr_carry[:, i] = s >> np.uint64(ws.limb_bits)
+        acc = addr_carry[:, i]
     cpu[:n, L["carry"]] = np.where(
-        is_sub[:, None], borrow, np.where(is_add[:, None], carry, 0)
+        is_sub[:, None],
+        borrow,
+        np.where(
+            is_add[:, None], carry, np.where(is_mem[:, None], addr_carry, 0)
+        ),
     ).astype(np.uint32)
+    cpu[:n, L["maddr"]] = np.where(is_mem[:, None], addr_limb, 0)
+    cpu[:n, L["maddr0_div"]] = np.where(is_mem, addr_limb[:, 0] >> 3, 0)
+    cpu[:n, L["mem_prev_ts"]] = np.where(is_mem, ev["mem_prev_ts"], 0).astype(np.uint32)
+    cpu[:n, L["mem_prev_val"]] = np.where(
+        is_mem[:, None], limbs_of(ev["mem_prev_val"], ws), 0
+    )
+
+    # bitwise half decompositions
+    is_bw = np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI, OP_XORI])
+    hb = ws.limb_bits // 2
+    hmask = (1 << hb) - 1
+    for src_l, dst in ((b_l, "bh"), (c_l, "ch"), (a_l, "ah")):
+        halves = np.zeros((n, 2 * nl), np.uint32)
+        for i in range(nl):
+            halves[:, 2 * i] = src_l[:, i] & hmask
+            halves[:, 2 * i + 1] = src_l[:, i] >> hb
+        cpu[:n, L[dst]] = np.where(is_bw[:, None], halves, 0)
+
+    # mul carries
+    is_mul = (op == OP_MUL) | (op == OP_MULI)
+    mc_lo = np.zeros((n, nl), np.uint32)
+    mc_hi = np.zeros((n, nl), np.uint32)
+    acc = np.zeros(n, np.uint64)
+    for k in range(nl):
+        conv = acc.copy()
+        for i in range(k + 1):
+            conv = conv + b_l[:, i].astype(np.uint64) * c_l[:, k - i]
+        cout = (conv - a_l[:, k]) >> np.uint64(ws.limb_bits)
+        mc_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
+        mc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
+        acc = cout
+    cpu[:n, L["mc_lo"]] = np.where(is_mul[:, None], mc_lo, 0)
+    cpu[:n, L["mc_hi"]] = np.where(is_mul[:, None], mc_hi, 0)
 
     # equality aux (for all real rows)
     d = (b_l.astype(np.int64) - c_l.astype(np.int64)) % kb.P
@@ -243,18 +389,32 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
         is_add.astype(np.uint32)
         + is_sub.astype(np.uint32)
         + (op == OP_JAL).astype(np.uint32)
+        + (op == OP_LD).astype(np.uint32)
+        + is_bw.astype(np.uint32)
+        + is_mul.astype(np.uint32)
         + cpu[:n, L["is_read"]]
     )
     rd_write_mult = writes * rd_nonzero
     cpu[:n, L["rd_write_mult"]] = rd_write_mult
 
     # ts diffs
-    uses_rs1 = (is_add | is_addi | is_sub | is_br | is_ecall).astype(np.uint32)
-    uses_rs2 = ((op == OP_ADD) | is_sub | is_br | is_ecall).astype(np.uint32)
+    uses_rs1 = (
+        is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
+    ).astype(np.uint32)
+    uses_rs2 = (
+        (op == OP_ADD)
+        | is_sub
+        | is_br
+        | is_ecall
+        | (op == OP_SD)
+        | np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_MUL])
+    ).astype(np.uint32)
+    is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
         ("tsd_rs1", uses_rs1, 1, ev["rs1_prev_ts"]),
         ("tsd_rs2", uses_rs2, 2, ev["rs2_prev_ts"]),
         ("tsd_rd", rd_write_mult, 4, ev["rd_prev_ts"]),
+        ("tsd_mem", is_mem_u, 3, ev["mem_prev_ts"]),
     ):
         newts = ev["clk"] * 8 + slot
         diff = np.where(uses > 0, newts - prev - 1, 0).astype(np.uint64)
@@ -295,10 +455,18 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
     # sends its (zero) result limbs to the range table.
     for i in range(nl):
         lookups.append((a_l[:, i], writes))
+    lookups.append((cpu[:n, L["maddr0_div"]], is_mem_u))
+    for i in range(nl):
+        if ws.limb_bits * i < 24:
+            lookups.append((cpu[:n, L["maddr"].start + i], is_mem_u))
+    for i in range(nl):
+        lookups.append((cpu[:n, L["mc_lo"].start + i], is_mul.astype(np.uint32)))
+        lookups.append((cpu[:n, L["mc_hi"].start + i], is_mul.astype(np.uint32)))
     for nm, uses in (
         ("tsd_rs1", uses_rs1),
         ("tsd_rs2", uses_rs2),
         ("tsd_rd", rd_write_mult),
+        ("tsd_mem", is_mem_u),
     ):
         sl = L[nm]
         for i in range(ws.ts_limbs):
@@ -308,29 +476,65 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
             vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
         )[:rng_h].astype(np.uint32)
 
-    # --- Memory init/final ------------------------------------------------
+    # --- Byte table (preprocessed pairs of half-limbs) --------------------
+    byte_h = _pad_pow2(1 << ws.limb_bits, mlrc)
+    hb = ws.limb_bits // 2
+    xs = np.arange(1 << ws.limb_bits, dtype=np.uint32)
+    bx, by = xs >> hb, xs & ((1 << hb) - 1)
+    prep_byte = np.zeros((byte_h, 5), np.uint32)
+    prep_byte[: 1 << ws.limb_bits, 0] = bx
+    prep_byte[: 1 << ws.limb_bits, 1] = by
+    prep_byte[: 1 << ws.limb_bits, 2] = bx & by
+    prep_byte[: 1 << ws.limb_bits, 3] = bx | by
+    prep_byte[: 1 << ws.limb_bits, 4] = bx ^ by
+    byte_mult = np.zeros((byte_h, 3), np.uint32)
+    op_col = {0: [OP_AND, OP_ANDI], 1: [OP_OR, OP_ORI], 2: [OP_XOR, OP_XORI]}
+    for col, opset in op_col.items():
+        sel = np.isin(op, opset)
+        if not np.any(sel):
+            continue
+        for k in range(2 * nl):
+            x = cpu[:n, L["bh"].start + k]
+            y = cpu[:n, L["ch"].start + k]
+            pair_idx = (x.astype(np.int64) << hb) | y
+            byte_mult[:, col] += np.bincount(
+                pair_idx, weights=sel.astype(np.int64), minlength=byte_h
+            )[:byte_h].astype(np.uint32)
+
+    # --- Memory init/final (registers + touched RAM words) ----------------
     touched_regs = [r for r in range(32) if result.reg_ts[r] > 0]
-    m = len(touched_regs)
+    addrs_t, vals_t, tss_t = result.touched_memory
+    ram = [
+        (32 + int(a) // 8, int(v), int(t))
+        for a, v, t in zip(addrs_t, vals_t, tss_t)
+        if t > 0
+    ]
+    m = len(touched_regs) + len(ram)
     mem_h = _pad_pow2(max(m, 1), mlrc)
     init = np.zeros((mem_h, 2), np.uint32)
     fin = np.zeros((mem_h, 3 + nl), np.uint32)
-    for j, r in enumerate(touched_regs):
-        init[j, 0] = r
+    cells = [
+        (r, int(result.regs[r]), int(result.reg_ts[r])) for r in touched_regs
+    ] + ram
+    for j, (addr, val, ts) in enumerate(cells):
+        init[j, 0] = addr
         init[j, 1] = 1
-        fin[j, 0] = r
+        fin[j, 0] = addr
         fin[j, 1] = 1
-        fin[j, 2] = result.reg_ts[r]
-        fin[j, 3 : 3 + nl] = limbs_of(np.array([result.regs[r]], np.uint64), ws)[0]
+        fin[j, 2] = ts
+        fin[j, 3 : 3 + nl] = limbs_of(np.array([val], np.uint64), ws)[0]
 
     traces = {
         "Cpu": (jnp.asarray(to_monty(cpu)), n),
         "Program": (jnp.asarray(to_monty(prog_mult)), np_rows),
         "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
+        "Byte": (jnp.asarray(to_monty(byte_mult)), 1 << ws.limb_bits),
         "MemoryInit": (jnp.asarray(to_monty(init)), m),
         "MemoryFinal": (jnp.asarray(to_monty(fin)), m),
     }
     preprocessed = {
         "Program": (jnp.asarray(to_monty(prep_prog)), np_rows),
         "Range": (jnp.asarray(to_monty(prep_rng)), 1 << ws.limb_bits),
+        "Byte": (jnp.asarray(to_monty(prep_byte)), 1 << ws.limb_bits),
     }
     return traces, preprocessed

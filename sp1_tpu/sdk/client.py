@@ -1,0 +1,142 @@
+"""User-facing prover client (reference: crates/sdk/src/client.rs
+`ProverClient`, crates/sdk/src/prover.rs `Prover` trait).
+
+    client = ProverClient.builder().cpu().build()
+    pk, vk = client.setup(program)
+    report = client.execute(program, stdin)
+    proof = client.prove(pk, stdin)
+    assert client.verify(proof, vk)
+
+`program` is an array of RV64 instruction words (see executor.asm for the
+assembler); `stdin` is a list of 64-bit input words consumed by READ
+ecalls. Proof modes follow the reference vocabulary: "core" is
+implemented; compressed/groth16/plonk arrive with the recursion stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..executor import native
+from ..iop.challenger import DuplexChallenger
+from ..pcs.basefold import FriConfig
+from ..pcs.jagged import JaggedConfig
+from ..prover import machine as mm
+from ..riscv import tracegen
+from ..riscv.machine import WordSpec, build_machine
+
+
+@dataclass
+class ExecutionReport:
+    exit_code: int
+    cycles: int
+    output: bytes
+
+
+@dataclass
+class SP1ProofWithPublicValues:
+    shard_proofs: list
+    public_values: list
+    mode: str = "core"
+
+
+class CpuProver:
+    """Local prover running the TPU-backed proving stack in-process."""
+
+    def __init__(self, word_spec=None, max_log_row_count=14, config=None):
+        self.ws = word_spec or WordSpec(limb_bits=8)
+        self.mlrc = max_log_row_count
+        self.config = config or JaggedConfig(
+            FriConfig(log_blowup=1, num_queries=84, proof_of_work_bits=16),
+            log_stacking_height=min(16, max_log_row_count + 3),
+            max_log_row_count=max_log_row_count,
+        )
+        self.machine = build_machine(self.ws)
+        self.shard_prover = mm.ShardProver(self.machine, self.config)
+        self.shard_verifier = mm.ShardVerifier(self.machine, self.config)
+
+    # -- Prover trait ------------------------------------------------------
+    def setup(self, program: np.ndarray, pc_base: int = 0):
+        """Returns (pk, vk) with the program ROM committed."""
+        # Preprocessed traces require an execution-independent decode.
+        res = None
+        rom_prep = self._preprocessed_for(program, pc_base)
+        pk = self.shard_prover.setup(
+            pc_start=[pc_base, 0, 0], preprocessed_traces=rom_prep
+        )
+        pk.program = program
+        pk.pc_base = pc_base
+        return pk, pk.vk
+
+    def _preprocessed_for(self, program, pc_base):
+        return tracegen.make_preprocessed(program, pc_base, self.ws, self.mlrc)
+
+    def execute(self, program: np.ndarray, stdin: list | None = None) -> ExecutionReport:
+        res = native.execute(program, inputs=stdin or [])
+        return ExecutionReport(
+            exit_code=int(res.exit_code), cycles=int(res.cycles), output=res.output
+        )
+
+    def prove(self, pk, stdin: list | None = None) -> SP1ProofWithPublicValues:
+        res = native.execute(pk.program, inputs=stdin or [])
+        traces, prep = tracegen.generate_traces(
+            res, pk.program, pk.pc_base, self.ws, self.mlrc
+        )
+        pv = tracegen.make_public_values(res, pk.pc_base, self.ws)
+        # The setup-time preprocessed commitment must match tracegen's.
+        challenger = DuplexChallenger()
+        pk.vk.observe_into(challenger)
+        proof = self.shard_prover.prove_shard(pk, traces, pv, challenger)
+        return SP1ProofWithPublicValues(
+            shard_proofs=[proof], public_values=proof.public_values
+        )
+
+    def verify(self, proof: SP1ProofWithPublicValues, vk) -> bool:
+        for shard in proof.shard_proofs:
+            challenger = DuplexChallenger()
+            vk.observe_into(challenger)
+            if not self.shard_verifier.verify_shard(vk, shard, challenger):
+                return False
+        return True
+
+
+class _Builder:
+    def __init__(self):
+        self._kind = "cpu"
+        self._kwargs = {}
+
+    def cpu(self, **kwargs):
+        self._kind = "cpu"
+        self._kwargs = kwargs
+        return self
+
+    def mock(self):
+        self._kind = "mock"
+        return self
+
+    def build(self):
+        if self._kind == "mock":
+            return MockProver()
+        return CpuProver(**self._kwargs)
+
+
+class MockProver(CpuProver):
+    """Executes and fakes proofs (reference: crates/sdk MockProver)."""
+
+    def __init__(self):
+        super().__init__(max_log_row_count=10)
+
+    def prove(self, pk, stdin=None):
+        res = native.execute(pk.program, inputs=stdin or [])
+        return SP1ProofWithPublicValues(shard_proofs=[], public_values=[], mode="mock")
+
+    def verify(self, proof, vk) -> bool:
+        return proof.mode == "mock"
+
+
+class ProverClient:
+    @staticmethod
+    def builder() -> _Builder:
+        return _Builder()

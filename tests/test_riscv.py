@@ -33,6 +33,7 @@ class TestRiscvTracegen:
     def test_traces_satisfy_constraints(self, fib_execution):
         prog, res = fib_execution
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
         machine = build_machine(WS)
         violations = mm.debug_constraints(
             machine,
@@ -40,7 +41,7 @@ class TestRiscvTracegen:
             {n: t for n, (t, _) in prep.items()},
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
-            [0] * 187,
+            pv,
         )
         assert violations == [], violations[:10]
 
@@ -52,13 +53,31 @@ class TestRiscvProve:
         machine = build_machine(WS)
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
+        pv = tracegen.make_public_values(res, 0, WS)
         pch = DuplexChallenger()
         pk.vk.observe_into(pch)
-        proof = prover.prove_shard(pk, traces, [], pch)
+        proof = prover.prove_shard(pk, traces, pv, pch)
         verifier = mm.ShardVerifier(machine, CONFIG)
         vch = DuplexChallenger()
         pk.vk.observe_into(vch)
         assert verifier.verify_shard(pk.vk, proof, vch)
+
+    def test_wrong_exit_code_rejected(self, fib_execution):
+        prog, res = fib_execution
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS)
+        from sp1_tpu.riscv.machine import PV_EXIT_CODE
+        pv[PV_EXIT_CODE] ^= 1  # claim fib(10) = 54
+        machine = build_machine(WS)
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pch = DuplexChallenger()
+        pk.vk.observe_into(pch)
+        proof = prover.prove_shard(pk, traces, pv, pch)
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        vch = DuplexChallenger()
+        pk.vk.observe_into(vch)
+        assert not verifier.verify_shard(pk.vk, proof, vch)
 
     def test_tampered_execution_rejected(self, fib_execution):
         prog, res = fib_execution
@@ -70,12 +89,43 @@ class TestRiscvProve:
         fin[0, 3] ^= 1
         traces["MemoryFinal"] = (jnp.asarray(fin), traces["MemoryFinal"][1])
         machine = build_machine(WS)
+        pv = tracegen.make_public_values(res, 0, WS)
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
         pch = DuplexChallenger()
         pk.vk.observe_into(pch)
-        proof = prover.prove_shard(pk, traces, [], pch)
+        proof = prover.prove_shard(pk, traces, pv, pch)
         verifier = mm.ShardVerifier(machine, CONFIG)
         vch = DuplexChallenger()
         pk.vk.observe_into(vch)
         assert not verifier.verify_shard(pk.vk, proof, vch)
+
+
+class TestExtendedIsa:
+    def test_mixed_ops_prove_verify(self):
+        prog = asm.assemble(asm.MIXED_OPS)
+        x = 0xABCDEF
+        res = native.execute(prog, inputs=[x])
+        assert res.exit_code == asm.mixed_ops_expected(x)
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS)
+        machine = build_machine(WS)
+        # constraint + balance debuggers first
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            pv + [0] * 171,
+        )
+        assert violations == [], violations[:10]
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pch = DuplexChallenger()
+        pk.vk.observe_into(pch)
+        proof = prover.prove_shard(pk, traces, pv, pch)
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        vch = DuplexChallenger()
+        pk.vk.observe_into(vch)
+        assert verifier.verify_shard(pk.vk, proof, vch)
