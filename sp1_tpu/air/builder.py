@@ -41,6 +41,7 @@ KIND_STATE = 7
 KIND_SYSCALL = 8
 KIND_GLOBAL = 9
 KIND_RANGE = 22  # framework-specific kinds may extend past the reference's
+KIND_GLOBAL_MEMORY = 30  # cross-shard memory-state interactions (global scope)
 
 
 @dataclass(frozen=True)
@@ -88,6 +89,7 @@ class Interaction:
     values: tuple  # tuple[Affine]
     multiplicity: Affine
     kind: int
+    scope: str = "local"  # "local" (per-shard LogUp) or "global" (cross-shard)
 
     @property
     def argument_index(self) -> int:

@@ -45,6 +45,13 @@ _eval_mle_jit = jax.jit(mle_ops.eval_mle_at_point_ext)
 GKR_GRINDING_BITS = 12
 
 
+def scoped_interactions(chip, scope: str) -> list:
+    """[(interaction, is_send)] for one chip, filtered by scope."""
+    return [(i, True) for i in chip.sends() if i.scope == scope] + [
+        (i, False) for i in chip.receives() if i.scope == scope
+    ]
+
+
 def _to_monty_np(x):
     return ((np.asarray(x, np.uint64) << 32) % kb.P).astype(np.uint32)
 
@@ -58,10 +65,11 @@ def _from_monty_np(x):
 # ---------------------------------------------------------------------------
 
 
-def _chip_first_layer_kernel(chip):
+def _chip_first_layer_kernel(chip, scope="local"):
     """One jit per chip computing all its interaction fraction tables."""
-    if getattr(chip, "_fl_kernel", None) is not None:
-        return chip._fl_kernel
+    attr = f"_fl_kernel_{scope}"
+    if getattr(chip, attr, None) is not None:
+        return getattr(chip, attr)
 
     from ..air.builder import JnpOps
 
@@ -81,9 +89,7 @@ def _chip_first_layer_kernel(chip):
         ]
         real = real_mask[:, None]
         nums, dens = [], []
-        for inter, is_send in [(i, True) for i in chip.sends()] + [
-            (i, False) for i in chip.receives()
-        ]:
+        for inter, is_send in scoped_interactions(chip, scope):
             mult, fp = inter.eval(prep_cols, main_cols, alpha_b, betas_b, ops)
             if not is_send:
                 mult = ext.ext4_neg(mult)
@@ -93,11 +99,11 @@ def _chip_first_layer_kernel(chip):
             )
         return jnp.concatenate(nums, axis=0), jnp.concatenate(dens, axis=0)
 
-    chip._fl_kernel = kernel
+    setattr(chip, attr, kernel)
     return kernel
 
 
-def _host_first_layer(chip, main, prep, h, alpha, betas, n_rows):
+def _host_first_layer(chip, main, prep, h, alpha, betas, n_rows, scope="local"):
     """Canonical numpy first-layer tables for one chip (no compiles)."""
     from ..ops.hostmle import NpVecOps, dev_to_host
 
@@ -125,9 +131,7 @@ def _host_first_layer(chip, main, prep, h, alpha, betas, n_rows):
     one_row = np.zeros((1, 4), np.uint32)
     one_row[0, 0] = 1
     nums, dens = [], []
-    for inter, is_send in [(i, True) for i in chip.sends()] + [
-        (i, False) for i in chip.receives()
-    ]:
+    for inter, is_send in scoped_interactions(chip, scope):
         mult, fp = inter.eval(prep_cols, main_cols, alpha_b, betas_b, ops)
         if not is_send:
             mult = E4.sub(np.zeros_like(mult), mult)
@@ -136,7 +140,7 @@ def _host_first_layer(chip, main, prep, h, alpha, betas, n_rows):
     return np.concatenate(nums, axis=0), np.concatenate(dens, axis=0)
 
 
-def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
+def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, scope="local"):
     """Build the leaf fraction tables.
 
     chips: list of Chip. traces: dict name -> (2^mlrc, W) monty jnp.
@@ -146,9 +150,7 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
     interactions hold (0, 1).
     """
     mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
-    num_interactions = sum(
-        len(c.sends()) + len(c.receives()) for c in chips
-    )
+    num_interactions = sum(len(scoped_interactions(c, scope)) for c in chips)
     iv = log2_ceil(num_interactions)
     n_rows = 1 << mlrc
     alpha_m = jnp.asarray(_to_monty_np(alpha))
@@ -159,12 +161,14 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
     one[0] = kb.to_monty_i(1)
     host_small = n_rows <= HOST_THRESH
     for chip in chips:
+        if not scoped_interactions(chip, scope):
+            continue
         main = traces[chip.name]
         prep = preprocessed.get(chip.name)
         h = heights[chip.name]
         if host_small:
             nums_c, dens_c = _host_first_layer(
-                chip, main, prep, h, alpha, betas, n_rows
+                chip, main, prep, h, alpha, betas, n_rows, scope
             )
             num_parts.append(jnp.asarray(hostmle.to_monty_host(nums_c)))
             den_parts.append(jnp.asarray(hostmle.to_monty_host(dens_c)))
@@ -172,7 +176,7 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas):
         if prep is None:
             prep = jnp.zeros((n_rows, 0), jnp.uint32)
         real_mask = jnp.asarray(np.arange(n_rows) < h)
-        kernel = _chip_first_layer_kernel(chip)
+        kernel = _chip_first_layer_kernel(chip, scope)
         nums, dens = kernel(main, prep, alpha_m, betas_m, real_mask)
         num_parts.append(nums)
         den_parts.append(dens)
@@ -383,11 +387,25 @@ class LogupGkrProof:
     round_proofs: list
     logup_evaluations: LogUpEvaluations
     witness: int
+    cumulative_sum: object = None  # global scope: sum of output fractions
 
 
 # ---------------------------------------------------------------------------
 # Prover
 # ---------------------------------------------------------------------------
+
+
+def gkr_beta_seed_dim(machine, chips, scope="local"):
+    max_arity = max(
+        (
+            len(i.values) + 1
+            for c in chips
+            for i, _ in scoped_interactions(c, scope)
+        ),
+        default=1,
+    )
+    pv_arity = machine.max_pv_interaction_arity() if scope == "local" else 1
+    return log2_ceil(max(max_arity, pv_arity))
 
 
 def prove_logup_gkr(
@@ -398,22 +416,28 @@ def prove_logup_gkr(
     heights,
     public_values,
     challenger: DuplexChallenger,
+    scope: str = "local",
+    global_challenges=None,
 ) -> LogupGkrProof:
-    """Reference: crates/hypercube/src/logup_gkr/prover.rs:190."""
-    max_arity = max(
-        (len(i.values) + 1 for c in chips for i in c.sends() + c.receives()),
-        default=1,
-    )
-    pv_arity = machine.max_pv_interaction_arity()
-    beta_seed_dim = log2_ceil(max(max_arity, pv_arity))
-    witness = challenger.grind(GKR_GRINDING_BITS)
-    alpha = challenger.sample_ext()
-    beta_seed = challenger.sample_ext_vec(beta_seed_dim)
-    _pv_challenge = challenger.sample_ext()
-    betas = mle_ops.host.partial_lagrange_ext(beta_seed)
+    """Reference: crates/hypercube/src/logup_gkr/prover.rs:190.
+
+    scope="global" runs the cross-shard instance: alpha/betas are the
+    shared challenges (sampled after ALL shard commitments), no grinding,
+    and the output cumulative sum is bound to the public-values digest.
+    """
+    if scope == "local":
+        beta_seed_dim = gkr_beta_seed_dim(machine, chips, scope)
+        witness = challenger.grind(GKR_GRINDING_BITS)
+        alpha = challenger.sample_ext()
+        beta_seed = challenger.sample_ext_vec(beta_seed_dim)
+        _pv_challenge = challenger.sample_ext()
+        betas = mle_ops.host.partial_lagrange_ext(beta_seed)
+    else:
+        witness = 0
+        alpha, betas = global_challenges
 
     num, den, iv = materialize_first_layer(
-        chips, preprocessed, traces, heights, alpha, betas
+        chips, preprocessed, traces, heights, alpha, betas, scope
     )
     mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
 
@@ -526,6 +550,13 @@ def prove_logup_gkr(
             preprocessed_trace_evaluations=prep_eval,
         )
 
+    cumulative = None
+    if scope == "global":
+        cumulative = np.zeros(4, np.uint32)
+        for i in range(out_num_c.shape[0]):
+            cumulative = E4.add(
+                cumulative, E4.mul(out_num_c[i], E4.inv(out_den_c[i]))
+            )
     return LogupGkrProof(
         numerator_output=out_num_c,
         denominator_output=out_den_c,
@@ -534,6 +565,7 @@ def prove_logup_gkr(
             point=trace_point, chip_openings=chip_openings
         ),
         witness=witness,
+        cumulative_sum=cumulative,
     )
 
 
@@ -550,32 +582,37 @@ def verify_logup_gkr(
     proof: LogupGkrProof,
     public_values,
     challenger: DuplexChallenger,
+    scope: str = "local",
+    global_challenges=None,
 ) -> bool:
     """Reference: crates/hypercube/src/logup_gkr/verifier.rs:103."""
     from ..air.builder import NpOps
 
-    max_arity = max(
-        (len(i.values) + 1 for c in chips for i in c.sends() + c.receives()),
-        default=1,
-    )
-    pv_arity = machine.max_pv_interaction_arity()
-    beta_seed_dim = log2_ceil(max(max_arity, pv_arity))
+    if scope == "local":
+        beta_seed_dim = gkr_beta_seed_dim(machine, chips, scope)
+        if not challenger.check_witness(GKR_GRINDING_BITS, proof.witness):
+            return False
+        alpha = challenger.sample_ext()
+        beta_seed = challenger.sample_ext_vec(beta_seed_dim)
+        pv_challenge = challenger.sample_ext()
+        betas = mle_ops.host.partial_lagrange_ext(beta_seed)
 
-    if not challenger.check_witness(GKR_GRINDING_BITS, proof.witness):
-        return False
-    alpha = challenger.sample_ext()
-    beta_seed = challenger.sample_ext_vec(beta_seed_dim)
-    pv_challenge = challenger.sample_ext()
-    betas = mle_ops.host.partial_lagrange_ext(beta_seed)
+        ok, pv_digest = machine.eval_public_values(
+            public_values, pv_challenge, alpha, betas
+        )
+        if not ok:
+            return False
+        cumulative_sum = E4.sub(np.zeros(4, np.uint32), pv_digest)
+    else:
+        alpha, betas = global_challenges
+        # the proof-declared cumulative sum; bound to the transcript by the
+        # output-table observation below, and checked to sum to zero across
+        # shards by verify_program.
+        if proof.cumulative_sum is None:
+            return False
+        cumulative_sum = np.asarray(proof.cumulative_sum, np.uint32)
 
-    ok, pv_digest = machine.eval_public_values(
-        public_values, pv_challenge, alpha, betas
-    )
-    if not ok:
-        return False
-    cumulative_sum = E4.sub(np.zeros(4, np.uint32), pv_digest)
-
-    num_interactions = sum(len(c.sends()) + len(c.receives()) for c in chips)
+    num_interactions = sum(len(scoped_interactions(c, scope)) for c in chips)
     iv = log2_ceil(num_interactions)
     expected_size = 1 << (iv + 1)
     numerator, denominator = proof.numerator_output, proof.denominator_output
@@ -680,9 +717,7 @@ def verify_logup_gkr(
         zero_prep = [ops.zero()] * chip.preprocessed_width
         alpha_v = alpha
         betas_v = [betas[k] for k in range(betas.shape[0])]
-        for inter, is_send in [(i, True) for i in chip.sends()] + [
-            (i, False) for i in chip.receives()
-        ]:
+        for inter, is_send in scoped_interactions(chip, scope):
             real_n, real_d = inter.eval(prep_evals, main_evals, alpha_v, betas_v, ops)
             pad_n, pad_d = inter.eval(zero_prep, zero_main, alpha_v, betas_v, ops)
             n_eval = E4.sub(real_n, E4.mul(pad_n, geq_eval))

@@ -21,16 +21,18 @@ def _canon(trace):
     return (np.asarray(trace, np.uint64) * rinv % kb.P).astype(np.uint32)
 
 
-def check_balance(chips, preprocessed, traces, heights) -> dict:
+def check_balance(chips, preprocessed, traces, heights, scope="local") -> dict:
     """Returns {(kind, values_tuple): net_multiplicity (mod p), ...} nonzero."""
     totals = defaultdict(int)
     for chip in chips:
+        if chip.name not in traces:
+            continue
         mt = _canon(traces[chip.name])
         pt = _canon(preprocessed[chip.name]) if chip.name in preprocessed else None
         h = heights[chip.name]
-        for inter, sign in [(i, 1) for i in chip.sends()] + [
-            (i, -1) for i in chip.receives()
-        ]:
+        for inter, sign in [
+            (i, 1) for i in chip.sends() if i.scope == scope
+        ] + [(i, -1) for i in chip.receives() if i.scope == scope]:
             for r in range(h):
                 main_row = mt[r]
                 prep_row = pt[r] if pt is not None else None

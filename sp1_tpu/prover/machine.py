@@ -104,6 +104,28 @@ class ShardProof:
     zerocheck_proof: sc.PartialSumcheckProof
     opened_values: dict  # name -> ChipOpenedValues (chip order)
     evaluation_proof: jagged.JaggedPcsProof
+    global_gkr_proof: object = None  # LogupGkrProof for the global scope
+
+
+def global_chips_of(machine, chips):
+    return [
+        c
+        for c in chips
+        if any(i.scope == "global" for i in c.sends() + c.receives())
+    ]
+
+
+class _BindingChip:
+    """Constraint-free chip mirror used for the zerocheck polys that bind
+    the global GKR's trace openings to the zerocheck final point."""
+
+    def __init__(self, chip):
+        self.name = chip.name + "#global"
+        self.width = chip.width
+        self.preprocessed_width = chip.preprocessed_width
+
+    def eval(self, f):
+        pass
 
 
 class ShardProver:
@@ -153,6 +175,7 @@ class ShardProver:
         traces: dict,  # name -> ((2^mlrc, W) monty jnp, height)
         public_values: list,
         challenger: DuplexChallenger,
+        global_ctx=None,  # (alpha_g, betas_g) shared across shards
     ) -> ShardProof:
         machine = self.machine
         mlrc = self.config.max_log_row_count
@@ -190,8 +213,33 @@ class ShardProver:
             challenger,
         )
 
+        # Global (cross-shard) LogUp instance over the global-scope
+        # interactions; challenges are shared across shards when provided.
+        g_chips = global_chips_of(machine, chips)
+        global_proof = None
+        if g_chips:
+            if global_ctx is None:
+                dim = gkr.gkr_beta_seed_dim(machine, g_chips, "global")
+                alpha_g = challenger.sample_ext()
+                seed_g = challenger.sample_ext_vec(dim)
+                betas_g = mle_ops.host.partial_lagrange_ext(seed_g)
+            else:
+                alpha_g, betas_g = global_ctx
+            global_proof = gkr.prove_logup_gkr(
+                machine,
+                g_chips,
+                pk.preprocessed_traces,
+                {c.name: trace_mles[c.name] for c in g_chips},
+                {c.name: heights[c.name] for c in g_chips},
+                public_values,
+                challenger,
+                scope="global",
+                global_challenges=(alpha_g, betas_g),
+            )
+
         batching_challenge = challenger.sample_ext()  # alpha for constraints
         gkr_batch_challenge = challenger.sample_ext()
+        gkr2_batch_challenge = challenger.sample_ext() if g_chips else None
 
         # Zerocheck.
         zeta = logup_proof.logup_evaluations.point
@@ -225,10 +273,43 @@ class ShardProver:
                 p = E4.mul(p, gkr_batch_challenge)
             claims.append(claim)
 
+        # Binding polys: tie the global GKR's trace openings (at its own
+        # point zeta2) to the zerocheck final point.
+        if g_chips:
+            zeta2 = global_proof.logup_evaluations.point
+            for chip in g_chips:
+                opening2 = global_proof.logup_evaluations.chip_openings[chip.name]
+                bpoly = zc.make_zerocheck_poly(
+                    _BindingChip(chip),
+                    trace_mles[chip.name],
+                    pk.preprocessed_traces.get(chip.name),
+                    heights[chip.name],
+                    zeta2,
+                    batching_challenge,
+                    gkr2_batch_challenge,
+                    public_values,
+                )
+                polys.append(bpoly)
+                claim2 = np.zeros(4, np.uint32)
+                pgk = gkr2_batch_challenge
+                evals2 = [
+                    opening2.main_trace_evaluations[i] for i in range(chip.width)
+                ]
+                if opening2.preprocessed_trace_evaluations is not None:
+                    evals2 += [
+                        opening2.preprocessed_trace_evaluations[i]
+                        for i in range(chip.preprocessed_width)
+                    ]
+                for e in evals2:
+                    claim2 = E4.add(claim2, E4.mul(e, pgk))
+                    pgk = E4.mul(pgk, gkr2_batch_challenge)
+                claims.append(claim2)
+
         lam = challenger.sample_ext()
         zerocheck_proof, component_evals = sc.reduce_sumcheck_to_evaluation(
             polys, challenger, claims, lam
         )
+        component_evals = component_evals[: len(chips)]
 
         challenger.observe(len(chips))
         opened_values = {}
@@ -268,6 +349,7 @@ class ShardProver:
             zerocheck_proof=zerocheck_proof,
             opened_values=opened_values,
             evaluation_proof=evaluation_proof,
+            global_gkr_proof=global_proof,
         )
 
 
@@ -277,7 +359,11 @@ class ShardVerifier:
         self.config = config
 
     def verify_shard(
-        self, vk: MachineVerifyingKey, proof: ShardProof, challenger: DuplexChallenger
+        self,
+        vk: MachineVerifyingKey,
+        proof: ShardProof,
+        challenger: DuplexChallenger,
+        global_ctx=None,
     ) -> bool:
         machine = self.machine
         mlrc = self.config.max_log_row_count
@@ -329,6 +415,34 @@ class ShardVerifier:
         ):
             return False
 
+        # Global (cross-shard) GKR verification.
+        g_chips = global_chips_of(machine, chips)
+        if g_chips:
+            if proof.global_gkr_proof is None:
+                return False
+            if global_ctx is None:
+                dim = gkr.gkr_beta_seed_dim(machine, g_chips, "global")
+                alpha_g = challenger.sample_ext()
+                seed_g = challenger.sample_ext_vec(dim)
+                betas_g = mle_ops.host.partial_lagrange_ext(seed_g)
+            else:
+                alpha_g, betas_g = global_ctx
+            g_degrees = {c.name: degrees[c.name] for c in g_chips}
+            if not gkr.verify_logup_gkr(
+                machine,
+                g_chips,
+                g_degrees,
+                mlrc,
+                proof.global_gkr_proof,
+                public_values,
+                challenger,
+                scope="global",
+                global_challenges=(alpha_g, betas_g),
+            ):
+                return False
+        elif proof.global_gkr_proof is not None:
+            return False
+
         # Zerocheck verification.
         if not self._verify_zerocheck(
             chips, proof, public_values, challenger
@@ -357,8 +471,10 @@ class ShardVerifier:
         """Reference: crates/hypercube/src/verifier/shard.rs:288."""
         mlrc = self.config.max_log_row_count
         gkr_evals = proof.logup_gkr_proof.logup_evaluations
+        g_chips = global_chips_of(self.machine, chips)
         alpha = challenger.sample_ext()
         gkr_batch_challenge = challenger.sample_ext()
+        gkr2_batch_challenge = challenger.sample_ext() if g_chips else None
         lam = challenger.sample_ext()
 
         if gkr_evals.point.shape[0] != mlrc:
@@ -397,6 +513,22 @@ class ShardVerifier:
             chip_term = E4.mul(zerocheck_eq_val, E4.add(constraint_eval, batch))
             rlc_eval = E4.add(E4.mul(rlc_eval, lam), chip_term)
 
+        # Binding terms for the global GKR openings at zeta2.
+        if g_chips:
+            zeta2 = proof.global_gkr_proof.logup_evaluations.point
+            eq2_val = mle_ops.host.eq_points(zeta2, proof.zerocheck_proof.point)
+            for chip in g_chips:
+                ov = proof.opened_values[chip.name]
+                batch2 = np.zeros(4, np.uint32)
+                pgk = gkr2_batch_challenge
+                rows2 = [ov.main[i] for i in range(chip.width)] + [
+                    ov.preprocessed[i] for i in range(chip.preprocessed_width)
+                ]
+                for e in rows2:
+                    batch2 = E4.add(batch2, E4.mul(e, pgk))
+                    pgk = E4.mul(pgk, gkr2_batch_challenge)
+                rlc_eval = E4.add(E4.mul(rlc_eval, lam), E4.mul(eq2_val, batch2))
+
         if not np.array_equal(proof.zerocheck_proof.eval, rlc_eval):
             return False
 
@@ -416,6 +548,24 @@ class ShardVerifier:
                 m = E4.add(m, E4.mul(e, p))
                 p = E4.mul(p, gkr_batch_challenge)
             mods.append(m)
+        if g_chips:
+            ge = proof.global_gkr_proof.logup_evaluations
+            for chip in g_chips:
+                opening2 = ge.chip_openings[chip.name]
+                evals2 = [
+                    opening2.main_trace_evaluations[i] for i in range(chip.width)
+                ]
+                if opening2.preprocessed_trace_evaluations is not None:
+                    evals2 += [
+                        opening2.preprocessed_trace_evaluations[i]
+                        for i in range(chip.preprocessed_width)
+                    ]
+                m2 = np.zeros(4, np.uint32)
+                pgk = gkr2_batch_challenge
+                for e in evals2:
+                    m2 = E4.add(m2, E4.mul(e, pgk))
+                    pgk = E4.mul(pgk, gkr2_batch_challenge)
+                mods.append(m2)
         expected_claim = np.zeros(4, np.uint32)
         for m in mods:
             expected_claim = E4.add(E4.mul(expected_claim, lam), m)

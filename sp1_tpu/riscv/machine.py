@@ -28,6 +28,7 @@ from ..air.builder import (
     Chip,
     Interaction,
     KIND_BYTE,
+    KIND_GLOBAL_MEMORY,
     KIND_MEMORY,
     KIND_PROGRAM,
     KIND_RANGE,
@@ -67,7 +68,8 @@ PV_CLK_START = 2  # first row's clk (1 for a fresh execution)
 PV_CLK_END = 3  # last row's clk + 1
 PV_EXIT_CODE = 4  # NUM_LIMBS limbs of the halt code (a0)
 PV_IS_HALTED = 12  # boolean
-NUM_PV_ELTS = 16
+PV_GLOBAL_DIGEST = 16  # 4 slots: ext4 cumulative sum of global interactions
+NUM_PV_ELTS = 20
 
 
 # Opcode ids (our machine's decode vocabulary). `muli` is the internal
@@ -725,10 +727,94 @@ class ByteChip(Chip):
         return out
 
 
+def _state_tuple(nl):
+    """(addr, ts, value limbs) column layout shared by the memory-state
+    chips: col0 addr, col1 is_real, col2 ts, col3.. value limbs."""
+    return [Affine.col(main_col(0)), Affine.col(main_col(2))] + [
+        Affine.col(main_col(3 + i)) for i in range(nl)
+    ]
+
+
 class MemoryInitChip(Chip):
-    """Sends the initial (addr, ts=0, value=0) state of touched cells."""
+    """The shard-start state of touched cells.
+
+    Locally SENDS (addr, ts, value) to start the shard's timestamped
+    chain; globally RECEIVES the same tuple so that, across shards, a
+    previous shard's final-state send (or the genesis chip) cancels it.
+    """
 
     name = "MemoryInit"
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+        self.width = 3 + ws.num_limbs  # addr, is_real, ts, value limbs
+
+    def eval(self, f):
+        f.assert_bool(f.main[1])
+
+    def sends(self) -> list:
+        return [
+            Interaction(
+                tuple(_state_tuple(self.ws.num_limbs)),
+                Affine.col(main_col(1)),
+                KIND_MEMORY,
+            )
+        ]
+
+    def receives(self) -> list:
+        return [
+            Interaction(
+                tuple(_state_tuple(self.ws.num_limbs)),
+                Affine.col(main_col(1)),
+                KIND_GLOBAL_MEMORY,
+                scope="global",
+            )
+        ]
+
+
+class MemoryFinalChip(Chip):
+    """The shard-end state of touched cells.
+
+    Locally RECEIVES (addr, ts, value), closing the shard's chain;
+    globally SENDS the same tuple for the next shard's init (or the
+    final-global chip) to absorb.
+    """
+
+    name = "MemoryFinal"
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+        self.width = 3 + ws.num_limbs  # addr, is_real, ts, value limbs
+
+    def eval(self, f):
+        f.assert_bool(f.main[1])
+
+    def receives(self) -> list:
+        return [
+            Interaction(
+                tuple(_state_tuple(self.ws.num_limbs)),
+                Affine.col(main_col(1)),
+                KIND_MEMORY,
+            )
+        ]
+
+    def sends(self) -> list:
+        return [
+            Interaction(
+                tuple(_state_tuple(self.ws.num_limbs)),
+                Affine.col(main_col(1)),
+                KIND_GLOBAL_MEMORY,
+                scope="global",
+            )
+        ]
+
+
+class MemoryGenesisChip(Chip):
+    """Global sends of the genesis (addr, 0, 0) state for every cell the
+    whole execution touches; appears in the first shard only
+    (reference role: controller/global.rs memory init shards)."""
+
+    name = "MemoryGenesis"
 
     def __init__(self, ws: WordSpec):
         self.ws = ws
@@ -742,27 +828,38 @@ class MemoryInitChip(Chip):
         values = [Affine.col(main_col(0)), Affine.const(0)] + [
             Affine.const(0) for _ in range(nl)
         ]
-        return [Interaction(tuple(values), Affine.col(main_col(1)), KIND_MEMORY)]
+        return [
+            Interaction(
+                tuple(values),
+                Affine.col(main_col(1)),
+                KIND_GLOBAL_MEMORY,
+                scope="global",
+            )
+        ]
 
 
-class MemoryFinalChip(Chip):
-    """Receives the final (addr, ts, value) state of touched cells."""
+class MemoryFinalGlobalChip(Chip):
+    """Global receives of the true end-of-execution states; appears in
+    the last shard only (reference role: memory finalize shards)."""
 
-    name = "MemoryFinal"
+    name = "MemoryFinalGlobal"
 
     def __init__(self, ws: WordSpec):
         self.ws = ws
-        self.width = 2 + 1 + ws.num_limbs  # addr, is_real, ts, value limbs
+        self.width = 3 + ws.num_limbs
 
     def eval(self, f):
         f.assert_bool(f.main[1])
 
     def receives(self) -> list:
-        nl = self.ws.num_limbs
-        values = [Affine.col(main_col(0)), Affine.col(main_col(2))] + [
-            Affine.col(main_col(3 + i)) for i in range(nl)
+        return [
+            Interaction(
+                tuple(_state_tuple(self.ws.num_limbs)),
+                Affine.col(main_col(1)),
+                KIND_GLOBAL_MEMORY,
+                scope="global",
+            )
         ]
-        return [Interaction(tuple(values), Affine.col(main_col(1)), KIND_MEMORY)]
 
 
 class RiscvMachine(Machine):
@@ -806,6 +903,14 @@ class RiscvMachine(Machine):
         digest = E4.sub(digest, E4.inv(fp([pv[PV_NEXT_PC], pv[PV_CLK_END]])))
         return True, digest
 
+    def global_digest_from_pv(self, public_values):
+        import numpy as np
+
+        return np.asarray(
+            [int(v) % kb.P for v in public_values[PV_GLOBAL_DIGEST : PV_GLOBAL_DIGEST + 4]],
+            np.uint32,
+        )
+
 
 _MACHINE_CACHE = {}
 
@@ -828,6 +933,8 @@ def _build_machine_uncached(ws: WordSpec) -> Machine:
             ByteChip(ws),
             MemoryInitChip(ws),
             MemoryFinalChip(ws),
+            MemoryGenesisChip(ws),
+            MemoryFinalGlobalChip(ws),
         ],
         num_pv_elts=NUM_PV_ELTS,
     )

@@ -48,8 +48,10 @@ from .machine import (
 
 def make_public_values(result, pc_base: int, ws: WordSpec) -> list:
     """Build the shard's public values from an execution result."""
+    from .machine import NUM_PV_ELTS
+
     ev = result.events
-    pv = [0] * 16
+    pv = [0] * NUM_PV_ELTS
     pv[PV_PC_START] = int(ev["pc"][0]) if len(ev) else pc_base
     pv[PV_NEXT_PC] = int(ev["next_pc"][-1]) if len(ev) else pc_base
     pv[PV_CLK_START] = int(ev["clk"][0]) if len(ev) else 1
@@ -208,17 +210,82 @@ def make_preprocessed(program_words, pc_base: int, ws: WordSpec, mlrc: int) -> d
     }
 
 
+def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
+    """(init_states, final_states): cell -> (ts, value) at segment bounds.
+
+    Cells: registers at addresses 0..31, RAM words at 32 + byte_addr/8.
+    The init state of a cell is the (prev_ts, prev_value) of its first
+    access in the segment; the final state is the post-state of its last
+    access. This is what makes event-stream splicing possible without
+    re-execution (reference role: crates/core/executor/src/splicing.rs).
+    """
+    init_states, final_states = {}, {}
+
+    def touch(cell, prev_ts, prev_val, new_ts, new_val):
+        if cell not in init_states:
+            init_states[cell] = (int(prev_ts), int(prev_val))
+        final_states[cell] = (int(new_ts), int(new_val))
+
+    pc_idx = ((events["pc"] - pc_base) // 4).astype(np.int64)
+    ops = rom["op_id"][pc_idx]
+    rds = rom["rd"][pc_idx]
+    rs1s = rom["rs1"][pc_idx]
+    rs2s = rom["rs2"][pc_idx]
+    uses_rs1_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL,
+                    OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI,
+                    OP_XORI, OP_MUL, OP_MULI}
+    uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
+                    OP_AND, OP_OR, OP_XOR, OP_MUL}
+    writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
+                  OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI}
+    for j in range(len(events)):
+        ev = events[j]
+        op = int(ops[j])
+        clk = int(ev["clk"])
+        if op in uses_rs1_ops:
+            r = int(rs1s[j])
+            touch(r, ev["rs1_prev_ts"], ev["b"], clk * 8 + 1, ev["b"])
+        if op in uses_rs2_ops:
+            r = int(rs2s[j])
+            touch(r, ev["rs2_prev_ts"], ev["c"], clk * 8 + 2, ev["c"])
+        if ev["flags"] & 1:  # memory access
+            cell = 32 + int(ev["mem_addr"]) // 8
+            touch(cell, ev["mem_prev_ts"], ev["mem_prev_val"], clk * 8 + 3, ev["mem_val"])
+        wrote = (op in writes_ops and int(rds[j]) != 0) or (
+            op == OP_ECALL and int(ev["b"]) == 3
+        )
+        if wrote:
+            r = int(rds[j])
+            touch(r, ev["rd_prev_ts"], ev["rd_prev_val"], clk * 8 + 4, ev["a"])
+    return init_states, final_states
+
+
 def _pad_pow2(n: int, mlrc: int) -> int:
     assert n <= 1 << mlrc, f"trace height {n} exceeds 2^{mlrc}"
     return 1 << mlrc
 
 
-def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
-    """Build all chip traces from an ExecutionResult.
+def generate_traces(
+    result,
+    program_words,
+    pc_base,
+    ws: WordSpec,
+    mlrc: int,
+    events=None,
+    init_states=None,
+    final_states=None,
+    genesis_addrs=None,
+    final_global_states=None,
+    include_bookends=True,
+):
+    """Build all chip traces from an ExecutionResult (or an event slice).
 
-    Returns (traces, preprocessed) dicts: name -> (monty jnp array, height)
+    Returns (traces, preprocessed) dicts: name -> (monty jnp array, height).
+    For the single-shard case the genesis and final-global bookend tables
+    are derived automatically; a multi-shard splicer passes explicit
+    segment states and places the bookends in the first/last shard.
     """
-    ev = result.events
+    ev = result.events if events is None else events
     n = len(ev)
     rom = decode_program(program_words, pc_base, ws)
     L = cpu_layout(ws)
@@ -501,28 +568,27 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
                 pair_idx, weights=sel.astype(np.int64), minlength=byte_h
             )[:byte_h].astype(np.uint32)
 
-    # --- Memory init/final (registers + touched RAM words) ----------------
-    touched_regs = [r for r in range(32) if result.reg_ts[r] > 0]
-    addrs_t, vals_t, tss_t = result.touched_memory
-    ram = [
-        (32 + int(a) // 8, int(v), int(t))
-        for a, v, t in zip(addrs_t, vals_t, tss_t)
-        if t > 0
-    ]
-    m = len(touched_regs) + len(ram)
+    # --- Memory init/final (segment boundary states) ----------------------
+    if init_states is None or final_states is None:
+        seg_init, seg_final = compute_segment_states(ev, rom, pc_base, ws)
+        init_states = seg_init if init_states is None else init_states
+        final_states = seg_final if final_states is None else final_states
+    cells_sorted = sorted(final_states.keys())
+    m = len(cells_sorted)
     mem_h = _pad_pow2(max(m, 1), mlrc)
-    init = np.zeros((mem_h, 2), np.uint32)
+    init = np.zeros((mem_h, 3 + nl), np.uint32)
     fin = np.zeros((mem_h, 3 + nl), np.uint32)
-    cells = [
-        (r, int(result.regs[r]), int(result.reg_ts[r])) for r in touched_regs
-    ] + ram
-    for j, (addr, val, ts) in enumerate(cells):
+    for j, addr in enumerate(cells_sorted):
+        its, ival = init_states[addr]
+        fts, fval = final_states[addr]
         init[j, 0] = addr
         init[j, 1] = 1
+        init[j, 2] = its
+        init[j, 3 : 3 + nl] = limbs_of(np.array([ival], np.uint64), ws)[0]
         fin[j, 0] = addr
         fin[j, 1] = 1
-        fin[j, 2] = ts
-        fin[j, 3 : 3 + nl] = limbs_of(np.array([val], np.uint64), ws)[0]
+        fin[j, 2] = fts
+        fin[j, 3 : 3 + nl] = limbs_of(np.array([fval], np.uint64), ws)[0]
 
     traces = {
         "Cpu": (jnp.asarray(to_monty(cpu)), n),
@@ -532,6 +598,45 @@ def generate_traces(result, program_words, pc_base, ws: WordSpec, mlrc: int):
         "MemoryInit": (jnp.asarray(to_monty(init)), m),
         "MemoryFinal": (jnp.asarray(to_monty(fin)), m),
     }
+    # Global bookend chips: genesis (first shard) and final-global (last).
+    if genesis_addrs is not None:
+        g = sorted(genesis_addrs)
+        gh = _pad_pow2(max(len(g), 1), mlrc)
+        gen = np.zeros((gh, 2), np.uint32)
+        for j, addr in enumerate(g):
+            gen[j, 0] = addr
+            gen[j, 1] = 1
+        traces["MemoryGenesis"] = (jnp.asarray(to_monty(gen)), len(g))
+    if final_global_states is not None:
+        fg_cells = sorted(final_global_states.keys())
+        fh = _pad_pow2(max(len(fg_cells), 1), mlrc)
+        fg = np.zeros((fh, 3 + nl), np.uint32)
+        for j, addr in enumerate(fg_cells):
+            fts, fval = final_global_states[addr]
+            fg[j, 0] = addr
+            fg[j, 1] = 1
+            fg[j, 2] = fts
+            fg[j, 3 : 3 + nl] = limbs_of(np.array([fval], np.uint64), ws)[0]
+        traces["MemoryFinalGlobal"] = (jnp.asarray(to_monty(fg)), len(fg_cells))
+    if include_bookends and genesis_addrs is None and final_global_states is None:
+        # single-shard: bookends from this segment's states
+        g = sorted(final_states.keys())
+        gh = _pad_pow2(max(len(g), 1), mlrc)
+        gen = np.zeros((gh, 2), np.uint32)
+        for j, addr in enumerate(g):
+            gen[j, 0] = addr
+            gen[j, 1] = 1
+        traces["MemoryGenesis"] = (jnp.asarray(to_monty(gen)), len(g))
+        fg_cells = g
+        fh = _pad_pow2(max(len(fg_cells), 1), mlrc)
+        fg = np.zeros((fh, 3 + nl), np.uint32)
+        for j, addr in enumerate(fg_cells):
+            fts, fval = final_states[addr]
+            fg[j, 0] = addr
+            fg[j, 1] = 1
+            fg[j, 2] = fts
+            fg[j, 3 : 3 + nl] = limbs_of(np.array([fval], np.uint64), ws)[0]
+        traces["MemoryFinalGlobal"] = (jnp.asarray(to_monty(fg)), len(fg_cells))
     preprocessed = {
         "Program": (jnp.asarray(to_monty(prep_prog)), np_rows),
         "Range": (jnp.asarray(to_monty(prep_rng)), 1 << ws.limb_bits),
