@@ -15,6 +15,15 @@ import numpy as np
 
 
 def main():
+    import os
+
+    # On the axon TPU path every kernel compile is a remote request
+    # (minutes on first use; the persistent cache makes reruns fast).
+    # Keep the device work concentrated in the commit path (NTT +
+    # Poseidon2 Merkle — the FLOP-dominant kernels) and run the
+    # sumcheck tails on host unless the user overrides.
+    os.environ.setdefault("SP1_TPU_HOST_THRESH", str(1 << 22))
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/sp1_tpu_jax_cache")
@@ -31,7 +40,7 @@ def main():
     import os
 
     ws = WordSpec(limb_bits=8)
-    mlrc = int(os.environ.get("SP1_BENCH_MLRC", "12"))
+    mlrc = int(os.environ.get("SP1_BENCH_MLRC", "10"))
     config = JaggedConfig(
         FriConfig(log_blowup=1, num_queries=84, proof_of_work_bits=16),
         log_stacking_height=min(13, mlrc + 3),

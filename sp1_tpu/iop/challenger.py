@@ -103,7 +103,7 @@ class DuplexChallenger:
         (Reference: GrindingChallenger::grind; the GPU backend moves the
         same search on-device, sp1-gpu challenger kernels.)
         """
-        batch = 1 << (min(bits + 2, 18))
+        batch = 1 << 18  # fixed size: one device kernel shape for all grinds
         base_state = self.state.copy()
         nbuf = len(self.input_buffer)
         assert nbuf < RATE

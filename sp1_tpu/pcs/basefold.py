@@ -257,9 +257,18 @@ def prove_trusted_evaluations(
     batching_point = challenger.sample_ext_vec(num_batching_vars)
     coeffs = _partial_lagrange_host(batching_point)[:total_len]  # (C, 4) canonical
 
-    stacked = jnp.concatenate([jnp.asarray(m) for m in all_mles], axis=1)
-    coeffs_m = jnp.asarray(_to_monty_np(coeffs))
-    current_mle = _batch_columns(stacked, coeffs_m, int(stacked.shape[0]))  # (2^n,4)
+    h_rows = int(all_mles[0].shape[0])
+    if h_rows <= HOST_THRESH:
+        stacked_c = np.concatenate(
+            [hostmle.dev_to_host(m) for m in all_mles], axis=1
+        ).astype(np.uint64)
+        prod = (stacked_c[:, :, None] * coeffs[None, :, :].astype(np.uint64)) % kb.P
+        cur_c = (prod.sum(axis=1) % kb.P).astype(np.uint32)
+        current_mle = jnp.asarray(hostmle.to_monty_host(cur_c))
+    else:
+        stacked = jnp.concatenate([jnp.asarray(m) for m in all_mles], axis=1)
+        coeffs_m = jnp.asarray(_to_monty_np(coeffs))
+        current_mle = _batch_columns(stacked, coeffs_m, int(stacked.shape[0]))  # (2^n,4)
 
     flat_claims = np.concatenate(
         [np.asarray(c, np.uint32).reshape(-1, 4) for rc in evaluation_claims for c in rc]

@@ -62,13 +62,28 @@ def _compress_layer(layer):
 
 @jax.jit
 def _commit_kernel(rows):
-    """Leaf hash + full tree in ONE compile (levels unrolled in-trace)."""
-    layer = p2.hash_rows(rows)
-    layers = [layer]
-    while layer.shape[0] > 1:
-        layer = p2.permute(layer.reshape(-1, 16))[:, : p2.DIGEST]
-        layers.append(layer)
-    return layers
+    """Leaf hash + full tree with a SINGLE fixed-shape level scan.
+
+    Each scan step compresses the full N/2 pair slots (entries beyond the
+    live level are garbage and sliced away on the host) — a log-factor of
+    extra permutes in exchange for one small compile per (H, W) shape,
+    which dominates on the remote-compiled TPU path.
+    """
+    import jax
+
+    leaves = p2.hash_rows(rows)  # (N, 8)
+    n = leaves.shape[0]
+    if n == 1:
+        return leaves, jnp.zeros((0, n, p2.DIGEST), jnp.uint32)
+    levels = n.bit_length() - 1
+
+    def step(cur, _):
+        parents = p2.permute(cur.reshape(-1, 16))[:, : p2.DIGEST]
+        new = jnp.concatenate([parents, jnp.zeros_like(parents)], axis=0)
+        return new, new
+
+    _, stacked = jax.lax.scan(step, leaves, None, length=levels)
+    return leaves, stacked  # stacked[k]: first n >> (k+1) rows valid
 
 
 def commit_tensors(tensors: list) -> MerkleTree:
@@ -83,8 +98,12 @@ def commit_tensors(tensors: list) -> MerkleTree:
     assert h & (h - 1) == 0, "height must be a power of two"
     assert all(t.shape[0] == h for t in tensors)
     rows = jnp.concatenate([t.reshape(h, -1) for t in tensors], axis=1)
-    layers = _commit_kernel(rows)
-    return MerkleTree(layers=[np.asarray(l) for l in layers], height=h)
+    leaves, stacked = _commit_kernel(rows)
+    stacked = np.asarray(stacked)
+    layers = [np.asarray(leaves)]
+    for k in range(stacked.shape[0]):
+        layers.append(stacked[k][: h >> (k + 1)])
+    return MerkleTree(layers=layers, height=h)
 
 
 def commit_tensors_host(leaves_canon: np.ndarray) -> MerkleTree:

@@ -91,14 +91,25 @@ def prove_trusted_evaluation(
     challenger: DuplexChallenger,
 ) -> StackedProof:
     """eval_point: (n, 4) canonical with n >= lsh; rounds of StackedProverData."""
+    from ..ops import hostmle
+    from ..ops.hostmle import HOST_THRESH
+
     stack_point = eval_point[eval_point.shape[0] - log_stacking_height:]
     sp_m = jnp.asarray(((stack_point.astype(np.uint64) << 32) % kb.P).astype(np.uint32))
+    host_small = (1 << log_stacking_height) <= HOST_THRESH
+    if host_small:
+        eq_c = mle_ops.host.partial_lagrange_ext(stack_point).astype(np.uint64)
     batch_evaluations = []
     for pd in prover_data:
-        evals = _batch_evals_kernel(pd.stacked_matrix, sp_m)
-        batch_evaluations.append(
-            np.asarray(kb.from_monty(evals.reshape(-1)), np.uint32).reshape(-1, 4)
-        )
+        if host_small:
+            mat_c = hostmle.dev_to_host(pd.stacked_matrix).astype(np.uint64)
+            prod = (mat_c[:, :, None] * eq_c[:, None, :]) % kb.P
+            batch_evaluations.append((prod.sum(axis=0) % kb.P).astype(np.uint32))
+        else:
+            evals = _batch_evals_kernel(pd.stacked_matrix, sp_m)
+            batch_evaluations.append(
+                np.asarray(kb.from_monty(evals.reshape(-1)), np.uint32).reshape(-1, 4)
+            )
     bf_proof = basefold.prove_untrusted_evaluations(
         stack_point,
         [[be] for be in batch_evaluations],

@@ -531,18 +531,28 @@ def prove_logup_gkr(
     # Trace openings at the final point's row part.
     trace_point = eval_point[eval_point.shape[0] - mlrc :]
     tp_m = jnp.asarray(_to_monty_np(trace_point))
+    host_small = (1 << mlrc) <= HOST_THRESH
+    if host_small:
+        eq_c = mle_ops.host.partial_lagrange_ext(trace_point)
+
+    def _trace_eval(t):
+        if host_small:
+            tc = hostmle.dev_to_host(t)  # (2^mlrc, W)
+            acc = np.zeros((tc.shape[1], 4), np.uint64)
+            prod = (
+                tc[:, :, None].astype(np.uint64) * eq_c[:, None, :].astype(np.uint64)
+            ) % kb.P
+            return (prod.sum(axis=0) % kb.P).astype(np.uint32)
+        return _from_monty_np(_eval_mle_jit(t, tp_m).reshape(-1)).reshape(-1, 4)
+
     challenger.observe(len(chips))
     chip_openings = {}
     for chip in chips:
-        main_eval = _from_monty_np(
-            _eval_mle_jit(traces[chip.name], tp_m).reshape(-1)
-        ).reshape(-1, 4)
+        main_eval = _trace_eval(traces[chip.name])
         prep = preprocessed.get(chip.name)
         prep_eval = None
         if prep is not None:
-            prep_eval = _from_monty_np(
-                _eval_mle_jit(prep, tp_m).reshape(-1)
-            ).reshape(-1, 4)
+            prep_eval = _trace_eval(prep)
             challenger.observe_variable_length_slice(prep_eval.reshape(-1))
         challenger.observe_variable_length_slice(main_eval.reshape(-1))
         chip_openings[chip.name] = ChipEvaluation(
