@@ -239,3 +239,36 @@ def mixed_ops_expected(x: int) -> int:
     t4 = (x & m) ^ (x | m)
     t5 = (x * t4 << 3) % (1 << 64)
     return (t5 + x) % (1 << 64)
+
+
+CMP_OPS = """
+    # comparisons: read two signed values, compute flags and min
+    li a7, 3
+    ecall            # a0 = x
+    mv t0, a0
+    li a7, 3
+    ecall            # a0 = y
+    mv t1, a0
+    slt t2, t0, t1   # t2 = (x <s y)
+    sltu t3, t0, t1  # t3 = (x <u y)
+    blt t0, t1, xmin
+    mv t4, t1        # min = y
+    j donemin
+xmin:
+    mv t4, t0        # min = x
+donemin:
+    slli t2, t2, 1
+    add t5, t2, t3   # t5 = 2*(x<s y) + (x<u y)
+    slli t5, t5, 8
+    add a0, t5, t4   # pack flags above min (min assumed < 256 in tests)
+    li a7, 0
+    ecall
+"""
+
+
+def cmp_ops_expected(x: int, y: int) -> int:
+    sx = x - (1 << 64) if x >> 63 else x
+    sy = y - (1 << 64) if y >> 63 else y
+    flags = 2 * (1 if sx < sy else 0) + (1 if x < y else 0)
+    mn = (y if sx >= sy else x) & ((1 << 64) - 1)
+    return ((flags << 8) + mn) % (1 << 64)

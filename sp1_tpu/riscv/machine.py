@@ -78,16 +78,22 @@ NUM_PV_ELTS = 20
     OP_ADD, OP_ADDI, OP_SUB, OP_BEQ, OP_BNE, OP_JAL, OP_ECALL,
     OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI, OP_XORI,
     OP_MUL, OP_MULI,
-) = range(17)
-NUM_OPS = 17
+    OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
+) = range(25)
+NUM_OPS = 25
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
     "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
+    "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
-CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld")
+CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu")
 MUL_SELS = ("mul", "muli")
+CMP_SELS = ("slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu")
+SIGNED_CMP_SELS = ("slt", "slti", "blt", "bge")
+CMP_BRANCH_SELS = ("blt", "bge", "bltu", "bgeu")
+SLT_SELS = ("slt", "sltu", "slti", "sltiu")
 
 
 class Cols:
@@ -154,6 +160,12 @@ def cpu_layout(ws: WordSpec) -> Cols:
     # mul carry decompositions
     c.cols("mc_lo", nl)
     c.cols("mc_hi", nl)
+    # comparison machinery: difference limbs, borrow chain, sign bits
+    c.cols("dcmp", nl)
+    c.cols("cborrow", nl)
+    c.col("hb_b")
+    c.col("hb_c")
+    c.col("ltres")
     c.col("is_halt")
     c.col("is_read")
     c.col("rd_nonzero")
@@ -238,6 +250,8 @@ class CpuChip(Chip):
         # equality flags for branches
         eqf, eqi = g("eqf"), g("eqi")
         sel_br = ops.add(sels["beq"], sels["bne"])
+        for s in CMP_BRANCH_SELS:
+            sel_br = ops.add(sel_br, sels[s])
         for i in range(nl):
             d = ops.sub(b[i], c[i])
             f.assert_bool(eqf[i])
@@ -271,7 +285,8 @@ class CpuChip(Chip):
         seq_sels = ops.add(
             ops.add(sel_alu_add, sels["sub"]), sels["ecall"]
         )
-        for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli"):
+        for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
+                  "slt", "sltu", "slti", "sltiu"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -392,6 +407,66 @@ class CpuChip(Chip):
                 )
             )
 
+        # ---- comparisons (slt family + signed/unsigned branches) ----------
+        sel_cmp = ops.zero()
+        for s in CMP_SELS:
+            sel_cmp = ops.add(sel_cmp, sels[s])
+        sel_signed = ops.zero()
+        for s in SIGNED_CMP_SELS:
+            sel_signed = ops.add(sel_signed, sels[s])
+        dcmp, cborrow = g("dcmp"), g("cborrow")
+        hb_b, hb_c, ltres = g("hb_b"), g("hb_c"), g("ltres")
+        f.assert_bool(hb_b)
+        f.assert_bool(hb_c)
+        f.assert_bool(ltres)
+        half_top = 1 << (ws.limb_bits - 1)
+        # effective top limbs: signed ops flip the sign bit
+        top = nl - 1
+        eb_top = ops.add(
+            b[top],
+            ops.mul(
+                sel_signed,
+                ops.sub(
+                    ops.const(half_top), ops.scale_base(hb_b, 2 * half_top)
+                ),
+            ),
+        )
+        ec_top = ops.add(
+            c[top],
+            ops.mul(
+                sel_signed,
+                ops.sub(
+                    ops.const(half_top), ops.scale_base(hb_c, 2 * half_top)
+                ),
+            ),
+        )
+        for i in range(nl):
+            ebi = b[i] if i < top else eb_top
+            eci = c[i] if i < top else ec_top
+            bin_ = cborrow[i - 1] if i > 0 else ops.zero()
+            f.assert_bool(cborrow[i])
+            expr = ops.sub(
+                ops.sub(ops.sub(ebi, eci), bin_),
+                ops.sub(dcmp[i], ops.mul(cborrow[i], base)),
+            )
+            f.assert_zero(ops.mul(sel_cmp, expr))
+        f.assert_zero(ops.mul(sel_cmp, ops.sub(ltres, cborrow[top])))
+        # slt-family result: a = ltres
+        sel_slt = ops.zero()
+        for s in SLT_SELS:
+            sel_slt = ops.add(sel_slt, sels[s])
+        f.assert_zero(ops.mul(sel_slt, ops.sub(a[0], ltres)))
+        for i in range(1, nl):
+            f.assert_zero(ops.mul(sel_slt, a[i]))
+        # comparison branches
+        f.assert_zero(ops.mul(ops.add(sels["blt"], sels["bltu"]), ops.sub(taken, ltres)))
+        f.assert_zero(
+            ops.mul(
+                ops.add(sels["bge"], sels["bgeu"]),
+                ops.sub(taken, ops.sub(one, ltres)),
+            )
+        )
+
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
         uses_rs2 = self._uses_rs2(sels, ops)
@@ -426,13 +501,18 @@ class CpuChip(Chip):
         writes = ops.add(writes, sels["ld"])
         writes = ops.add(writes, sel_bw)
         writes = ops.add(writes, sel_mul)
+        writes = ops.add(writes, sel_slt)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
         "add", "addi", "sub", "beq", "bne", "ecall",
         "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
+        "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
     )
-    USES_RS2 = ("add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul")
+    USES_RS2 = (
+        "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
+        "slt", "sltu", "blt", "bge", "bltu", "bgeu",
+    )
 
     def _uses_rs1(self, sels, ops):
         acc = ops.zero()
@@ -577,7 +657,49 @@ class CpuChip(Chip):
             [L[f"sel_{s}"] for s in ("add", "addi", "sub", "jal", "ld")]
             + [L[f"sel_{s}"] for s in BITWISE_SELS]
             + [L[f"sel_{s}"] for s in MUL_SELS]
+            + [L[f"sel_{s}"] for s in SLT_SELS]
             + [L["is_read"]]
+        )
+        # comparison aux: difference limbs + sign-bit rests
+        sel_cmp_aff = _aff_sum([L[f"sel_{s}"] for s in CMP_SELS])
+        sel_signed_aff = _aff_sum([L[f"sel_{s}"] for s in SIGNED_CMP_SELS])
+        for i in range(nl):
+            out.append(
+                Interaction((_aff(L["dcmp"].start + i),), sel_cmp_aff, KIND_RANGE)
+            )
+        half_top = 1 << (ws.limb_bits - 1)
+        top_idx = L["b"].start + nl - 1
+        topc_idx = L["c"].start + nl - 1
+        # 2*(top - half*hb) < 2^L  <=>  rest < 2^(L-1)
+        out.append(
+            Interaction(
+                (
+                    Affine(
+                        0,
+                        (
+                            (main_col(top_idx), 2),
+                            (main_col(L["hb_b"]), (-2 * half_top) % kb.P),
+                        ),
+                    ),
+                ),
+                sel_signed_aff,
+                KIND_RANGE,
+            )
+        )
+        out.append(
+            Interaction(
+                (
+                    Affine(
+                        0,
+                        (
+                            (main_col(topc_idx), 2),
+                            (main_col(L["hb_c"]), (-2 * half_top) % kb.P),
+                        ),
+                    ),
+                ),
+                sel_signed_aff,
+                KIND_RANGE,
+            )
         )
         for i in range(nl):
             out.append(

@@ -15,7 +15,16 @@ from ..field import koalabear as kb
 from .machine import (
     BITWISE_SELS,
     CIMM_SELS,
+    CMP_SELS,
     MUL_SELS,
+    OP_BGE,
+    OP_BGEU,
+    OP_BLT,
+    OP_BLTU,
+    OP_SLT,
+    OP_SLTI,
+    OP_SLTIU,
+    OP_SLTU,
     NUM_OPS,
     OP_ADD,
     OP_ADDI,
@@ -106,8 +115,8 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
         rd_i = (w >> 7) & 31
         rs1_i = (w >> 15) & 31
         rs2_i = (w >> 20) & 31
-        if opc == 0x33 and f7 == 0x00 and f3 in (0, 4, 6, 7):
-            op_id[i] = {0: OP_ADD, 4: OP_XOR, 6: OP_OR, 7: OP_AND}[f3]
+        if opc == 0x33 and f7 == 0x00 and f3 in (0, 2, 3, 4, 6, 7):
+            op_id[i] = {0: OP_ADD, 2: OP_SLT, 3: OP_SLTU, 4: OP_XOR, 6: OP_OR, 7: OP_AND}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x33 and f7 == 0x20 and f3 == 0:
             op_id[i] = OP_SUB
@@ -117,8 +126,10 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             assert ws.limb_bits <= 8, "mul requires limb_bits <= 8 for now"
             op_id[i] = OP_MUL
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
-        elif opc == 0x13 and f3 in (0, 4, 6, 7):
-            op_id[i] = {0: OP_ADDI, 4: OP_XORI, 6: OP_ORI, 7: OP_ANDI}[f3]
+        elif opc == 0x13 and f3 in (0, 2, 3, 4, 6, 7):
+            op_id[i] = {
+                0: OP_ADDI, 2: OP_SLTI, 3: OP_SLTIU, 4: OP_XORI, 6: OP_ORI, 7: OP_ANDI
+            }[f3]
             rd[i], rs1[i] = rd_i, rs1_i
             v = sext(w >> 20, 12)
             imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
@@ -137,8 +148,10 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             rs1[i], rs2[i] = rs1_i, rs2_i
             v = sext((((w >> 25) & 0x7F) << 5) | ((w >> 7) & 0x1F), 12)
             imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
-        elif opc == 0x63 and f3 in (0, 1):
-            op_id[i] = OP_BEQ if f3 == 0 else OP_BNE
+        elif opc == 0x63 and f3 in (0, 1, 4, 5, 6, 7):
+            op_id[i] = {
+                0: OP_BEQ, 1: OP_BNE, 4: OP_BLT, 5: OP_BGE, 6: OP_BLTU, 7: OP_BGEU
+            }[f3]
             rs1[i], rs2[i] = rs1_i, rs2_i
             off = sext(
                 (((w >> 31) & 1) << 12)
@@ -233,11 +246,14 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
     rs2s = rom["rs2"][pc_idx]
     uses_rs1_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL,
                     OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI,
-                    OP_XORI, OP_MUL, OP_MULI}
+                    OP_XORI, OP_MUL, OP_MULI, OP_SLT, OP_SLTU, OP_SLTI,
+                    OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
-                    OP_AND, OP_OR, OP_XOR, OP_MUL}
+                    OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
+                    OP_BLT, OP_BGE, OP_BLTU, OP_BGEU}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
-                  OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI}
+                  OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
+                  OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -319,7 +335,7 @@ def generate_traces(
     # is 2^shift, not the executor's raw shift amount).
     imm_l_all = rom["imm"][pc_idx]
     cimm_mask = np.isin(
-        op, [OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_MULI, OP_LD]
+        op, [OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_MULI, OP_LD, OP_SLTI, OP_SLTIU]
     )
     c_l = np.where(cimm_mask[:, None], imm_l_all, c_l)
     cpu[:n, L["b"]] = b_l
@@ -432,6 +448,45 @@ def generate_traces(
     )
     cpu[:n, L["taken"]] = np.where(is_br, taken, 0)
 
+    # comparison machinery
+    is_cmp = np.isin(op, [OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
+    is_signed = np.isin(op, [OP_SLT, OP_SLTI, OP_BLT, OP_BGE])
+    half_top = 1 << (ws.limb_bits - 1)
+    top = nl - 1
+    hb_b = (b_l[:, top] >> (ws.limb_bits - 1)) & 1
+    hb_c = (c_l[:, top] >> (ws.limb_bits - 1)) & 1
+    cpu[:n, L["hb_b"]] = np.where(is_signed, hb_b, 0)
+    cpu[:n, L["hb_c"]] = np.where(is_signed, hb_c, 0)
+    eb = b_l.astype(np.int64).copy()
+    ec = c_l.astype(np.int64).copy()
+    flip_b = np.where(is_signed, half_top - 2 * half_top * hb_b.astype(np.int64), 0)
+    flip_c = np.where(is_signed, half_top - 2 * half_top * hb_c.astype(np.int64), 0)
+    eb[:, top] += flip_b
+    ec[:, top] += flip_c
+    dl = np.zeros((n, nl), np.uint32)
+    cb = np.zeros((n, nl), np.uint32)
+    accb = np.zeros(n, np.int64)
+    for i in range(nl):
+        d = eb[:, i] - ec[:, i] - accb
+        borrow_i = (d < 0).astype(np.int64)
+        dl[:, i] = (d + borrow_i * (1 << ws.limb_bits)).astype(np.uint32)
+        cb[:, i] = borrow_i.astype(np.uint32)
+        accb = borrow_i
+    cpu[:n, L["dcmp"]] = np.where(is_cmp[:, None], dl, 0)
+    cpu[:n, L["cborrow"]] = np.where(is_cmp[:, None], cb, 0)
+    ltres = np.where(is_cmp, cb[:, top], 0)
+    cpu[:n, L["ltres"]] = ltres
+    # comparison branch taken
+    is_cmp_br = np.isin(op, [OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
+    taken_cmp = np.where(
+        np.isin(op, [OP_BLT, OP_BLTU]), ltres, np.where(
+            np.isin(op, [OP_BGE, OP_BGEU]), 1 - ltres, 0
+        )
+    )
+    cpu[:n, L["taken"]] = np.where(
+        is_cmp_br, taken_cmp, cpu[:n, L["taken"]]
+    )
+
     is_ecall = op == OP_ECALL
     cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
     cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
@@ -452,6 +507,7 @@ def generate_traces(
         e >>= 1
     rd_inv[nz] = inv
     cpu[:n, L["rd_inv"]] = rd_inv.astype(np.uint32)
+    is_slt_fam = np.isin(op, [OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU])
     writes = (
         is_add.astype(np.uint32)
         + is_sub.astype(np.uint32)
@@ -459,6 +515,7 @@ def generate_traces(
         + (op == OP_LD).astype(np.uint32)
         + is_bw.astype(np.uint32)
         + is_mul.astype(np.uint32)
+        + is_slt_fam.astype(np.uint32)
         + cpu[:n, L["is_read"]]
     )
     rd_write_mult = writes * rd_nonzero
@@ -467,6 +524,7 @@ def generate_traces(
     # ts diffs
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
+        | is_cmp
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -475,6 +533,7 @@ def generate_traces(
         | is_ecall
         | (op == OP_SD)
         | np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_MUL])
+        | np.isin(op, [OP_SLT, OP_SLTU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
@@ -529,6 +588,17 @@ def generate_traces(
     for i in range(nl):
         lookups.append((cpu[:n, L["mc_lo"].start + i], is_mul.astype(np.uint32)))
         lookups.append((cpu[:n, L["mc_hi"].start + i], is_mul.astype(np.uint32)))
+    for i in range(nl):
+        lookups.append((cpu[:n, L["dcmp"].start + i], is_cmp.astype(np.uint32)))
+    # signed sign-bit rest checks: value = 2*(top - half*hb)
+    rest_b = (
+        2 * (b_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_b"]].astype(np.int64))
+    ) % kb.P
+    rest_c = (
+        2 * (c_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_c"]].astype(np.int64))
+    ) % kb.P
+    lookups.append((rest_b.astype(np.uint32), is_signed.astype(np.uint32)))
+    lookups.append((rest_c.astype(np.uint32), is_signed.astype(np.uint32)))
     for nm, uses in (
         ("tsd_rs1", uses_rs1),
         ("tsd_rs2", uses_rs2),

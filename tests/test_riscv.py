@@ -129,3 +129,30 @@ class TestExtendedIsa:
         vch = DuplexChallenger()
         pk.vk.observe_into(vch)
         assert verifier.verify_shard(pk.vk, proof, vch)
+
+    def test_cmp_ops_prove_verify(self):
+        prog = asm.assemble(asm.CMP_OPS)
+        x, y = 2**64 - 3, 7  # signed: -3 < 7; unsigned: huge > 7
+        res = native.execute(prog, inputs=[x, y])
+        assert res.exit_code == asm.cmp_ops_expected(x, y)
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS)
+        machine = build_machine(WS)
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            pv + [0] * (187 - len(pv)),
+        )
+        assert violations == [], violations[:10]
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pch = DuplexChallenger()
+        pk.vk.observe_into(pch)
+        proof = prover.prove_shard(pk, traces, pv, pch)
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        vch = DuplexChallenger()
+        pk.vk.observe_into(vch)
+        assert verifier.verify_shard(pk.vk, proof, vch)
