@@ -40,7 +40,7 @@ def main():
     import os
 
     ws = WordSpec(limb_bits=8)
-    mlrc = int(os.environ.get("SP1_BENCH_MLRC", "10"))
+    mlrc = int(os.environ.get("SP1_BENCH_MLRC", "12"))
     config = JaggedConfig(
         FriConfig(log_blowup=1, num_queries=84, proof_of_work_bits=16),
         log_stacking_height=min(13, mlrc + 3),

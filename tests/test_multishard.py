@@ -56,3 +56,18 @@ class TestMultiShard:
             assert not multi.verify_program(
                 verifier, pk.vk, [proofs[1], proofs[0]] + proofs[2:]
             )
+
+
+class TestLocalNode:
+    def test_parallel_shard_proving(self, setup):
+        from sp1_tpu.parallel.node import LocalNode
+
+        prog, res, machine, prover, pk = setup
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        node = LocalNode(prover, verifier, num_workers=2)
+        try:
+            proofs = node.prove(pk, res, prog, 0, WS, MLRC, max_rows=200)
+            assert len(proofs) >= 2
+            assert node.verify(pk.vk, proofs)
+        finally:
+            node.shutdown()
