@@ -22,8 +22,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..field import koalabear as kb
 from ..ops import poseidon2 as p2
+
+# SP1_TPU_PALLAS=1 routes leaf hashing and tree compression through the
+# Mosaic kernels in ops.poseidon2_pallas (state resident in VMEM for all
+# rounds) instead of the lax.scan permutation. Off by default until the
+# kernels are profiled faster than the fused scan on the target chip.
+_USE_PALLAS = os.environ.get("SP1_TPU_PALLAS", "0") == "1"
+
+
+def _hash_rows(rows):
+    if _USE_PALLAS:
+        from ..ops import poseidon2_pallas as pp
+
+        return pp.hash_rows(rows)
+    return p2.hash_rows(rows)
+
+
+def _compress_pairs(pairs16):
+    """(N, 16) sibling-pair rows -> (N, 8) parent digests."""
+    if _USE_PALLAS:
+        from ..ops import poseidon2_pallas as pp
+
+        return pp.compress(pairs16[:, : p2.DIGEST], pairs16[:, p2.DIGEST :])
+    return p2.permute(pairs16)[:, : p2.DIGEST]
 
 
 @dataclass
@@ -50,14 +75,14 @@ class MerkleProof:
 
 @jax.jit
 def _leaf_hash(rows):
-    return p2.hash_rows(rows)
+    return _hash_rows(rows)
 
 
 @jax.jit
 def _compress_layer(layer):
     """(2N, 8) digests -> (N, 8) parent digests."""
     pairs = layer.reshape(-1, 16)
-    return p2.permute(pairs)[:, : p2.DIGEST]
+    return _compress_pairs(pairs)
 
 
 @jax.jit
@@ -71,14 +96,14 @@ def _commit_kernel(rows):
     """
     import jax
 
-    leaves = p2.hash_rows(rows)  # (N, 8)
+    leaves = _hash_rows(rows)  # (N, 8)
     n = leaves.shape[0]
     if n == 1:
         return leaves, jnp.zeros((0, n, p2.DIGEST), jnp.uint32)
     levels = n.bit_length() - 1
 
     def step(cur, _):
-        parents = p2.permute(cur.reshape(-1, 16))[:, : p2.DIGEST]
+        parents = _compress_pairs(cur.reshape(-1, 16))
         new = jnp.concatenate([parents, jnp.zeros_like(parents)], axis=0)
         return new, new
 

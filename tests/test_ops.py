@@ -182,3 +182,45 @@ class TestMerkle:
         t2[7, 1] ^= 2
         tree2 = merkle.commit_tensors([jnp.asarray(t2)])
         assert not np.array_equal(tree1.root, tree2.root)
+
+
+class TestPoseidon2Pallas:
+    """Differential test of the Mosaic kernels vs the canonical host mirror.
+
+    Runs in a subprocess with JAX_PLATFORMS=cpu set in the ENVIRONMENT:
+    when the axon TPU plugin is merely registered (as under the conftest's
+    config.update path), pallas interpret-mode lowering slows from seconds
+    to many minutes, so the in-process backend cannot be used here."""
+
+    def test_differential_vs_host(self):
+        import os
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = r"""
+import numpy as np, jax.numpy as jnp
+from sp1_tpu.field import koalabear as kb
+from sp1_tpu.ops import poseidon2 as p2
+from sp1_tpu.ops import poseidon2_pallas as pp
+rng = np.random.default_rng(7)
+st = rng.integers(0, kb.P, size=(37, 16)).astype(np.uint32)
+got = kb.from_monty(pp.permute(jnp.asarray(kb.to_monty(st))))
+assert np.array_equal(np.asarray(got), p2.hostp2.permute(st)), "permute"
+rows = rng.integers(0, kb.P, size=(19, 11)).astype(np.uint32)
+got = kb.from_monty(pp.hash_rows(jnp.asarray(kb.to_monty(rows))))
+assert np.array_equal(np.asarray(got), p2.hostp2.hash_rows(rows)), "hash"
+l = rng.integers(0, kb.P, size=(23, 8)).astype(np.uint32)
+r = rng.integers(0, kb.P, size=(23, 8)).astype(np.uint32)
+got = kb.from_monty(pp.compress(jnp.asarray(kb.to_monty(l)), jnp.asarray(kb.to_monty(r))))
+assert np.array_equal(np.asarray(got), p2.hostp2.compress(l, r)), "compress"
+print("PALLAS-DIFF-OK")
+"""
+        env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
+        res = subprocess.run(
+            [sys.executable, "-c", script], env=env, cwd=root,
+            capture_output=True, text=True, timeout=420,
+        )
+        assert res.returncode == 0 and "PALLAS-DIFF-OK" in res.stdout, (
+            res.stdout + res.stderr
+        )
