@@ -368,6 +368,11 @@ void ex_set_input(void* h, const uint64_t* words, uint64_t n) {
     vm->input_queue.assign(words, words + n);
 }
 
+void ex_set_pc(void* h, uint64_t pc) {
+    VM* vm = (VM*)h;
+    vm->pc = pc;
+}
+
 void ex_write_memory(void* h, uint64_t addr, uint64_t value) {
     VM* vm = (VM*)h;
     cell(*vm, addr).value = value;

@@ -272,3 +272,41 @@ def cmp_ops_expected(x: int, y: int) -> int:
     flags = 2 * (1 if sx < sy else 0) + (1 if x < y else 0)
     mn = (y if sx >= sy else x) & ((1 << 64) - 1)
     return ((flags << 8) + mn) % (1 << 64)
+
+
+SHIFT_OPS = """
+    # exercise sll/srl/sra (register) and srli/srai (immediate)
+    li a7, 3
+    ecall            # a0 = n
+    li t0, 0x123
+    sll t1, t0, a0   # t0 << (n & 63)
+    srl t2, t1, a0   # back down
+    li t3, -1
+    slli t3, t3, 12  # t3 = -4096
+    srai t4, t3, 4   # -256
+    srli t5, t3, 52  # 0xFFF
+    li t6, 13
+    sra s0, t3, t6   # -1
+    srli s2, t3, 60  # 0xF
+    add s1, t1, t2
+    add s1, s1, t4
+    add s1, s1, t5
+    add s1, s1, s0
+    add s1, s1, s2
+    mv a0, s1
+    li a7, 0
+    ecall            # halt with the checksum
+"""
+
+
+def shift_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+    sh = n & 63
+    t1 = (0x123 << sh) & M
+    t2 = t1 >> sh
+    t3 = (-4096) & M
+    t4 = (-256) & M
+    t5 = t3 >> 52
+    s0 = (-1) & M
+    s2 = t3 >> 60
+    return (t1 + t2 + t4 + t5 + s0 + s2) & M

@@ -71,6 +71,7 @@ def get_lib():
             ctypes.c_uint64,
         ]
         lib.ex_write_memory.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64]
+        lib.ex_set_pc.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.ex_run.restype = ctypes.c_int64
         lib.ex_run.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.ex_num_events.restype = ctypes.c_uint64
@@ -115,6 +116,7 @@ def execute(
     inputs: list | None = None,
     memory: dict | None = None,
     max_cycles: int = 1 << 24,
+    pc_start: int | None = None,
 ) -> ExecutionResult:
     lib = get_lib()
     words = np.ascontiguousarray(program_words, np.uint32)
@@ -130,6 +132,8 @@ def execute(
         if memory:
             for addr, val in memory.items():
                 lib.ex_write_memory(vm, addr, val)
+        if pc_start is not None:
+            lib.ex_set_pc(vm, pc_start)
         rc = lib.ex_run(vm, max_cycles)
         if rc != 0:
             raise RuntimeError(f"execution did not halt cleanly (rc={rc})")

@@ -79,21 +79,29 @@ NUM_PV_ELTS = 20
     OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI, OP_XORI,
     OP_MUL, OP_MULI,
     OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
-) = range(25)
-NUM_OPS = 25
+    OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI,
+) = range(30)
+NUM_OPS = 30
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
     "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
     "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
+    "sll", "srl", "sra", "srli", "srai",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
-CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu")
+CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai")
 MUL_SELS = ("mul", "muli")
 CMP_SELS = ("slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu")
 SIGNED_CMP_SELS = ("slt", "slti", "blt", "bge")
 CMP_BRANCH_SELS = ("blt", "bge", "bltu", "bgeu")
 SLT_SELS = ("slt", "sltu", "slti", "sltiu")
+# Shift family: left shift by register; right shifts by register and
+# immediate. (slli is realized as multiply-by-2^sh through the mul path.)
+SHIFT_SELS = ("sll", "srl", "sra", "srli", "srai")
+SHIFT_RIGHT_SELS = ("srl", "sra", "srli", "srai")
+SRL_CLS_SELS = ("srl", "srli")
+SRA_CLS_SELS = ("sra", "srai")
 
 
 class Cols:
@@ -166,6 +174,18 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.col("hb_b")
     c.col("hb_c")
     c.col("ltres")
+    # shift machinery: byte/bit one-hots of the shift amount s = L*q + r,
+    # high bits of the amount operand, per-limb 2^r / 2^(L-r) product
+    # decompositions, and the arithmetic-shift sign-fill partial
+    c.cols("shq", nl)
+    c.cols("shr", ws.limb_bits)
+    c.col("shb0")
+    c.col("shb1")
+    c.cols("sll_lo", nl)
+    c.cols("sll_hi", nl)
+    c.cols("srw_lo", nl)
+    c.cols("srw_hi", nl)
+    c.col("sgp")
     c.col("is_halt")
     c.col("is_read")
     c.col("rd_nonzero")
@@ -286,7 +306,8 @@ class CpuChip(Chip):
             ops.add(sel_alu_add, sels["sub"]), sels["ecall"]
         )
         for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
-                  "slt", "sltu", "slti", "sltiu"):
+                  "slt", "sltu", "slti", "sltiu",
+                  "sll", "srl", "sra", "srli", "srai"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -467,6 +488,115 @@ class CpuChip(Chip):
             )
         )
 
+        # ---- shifts (sll/srl/sra/srli/srai) -------------------------------
+        # s = L*q + r with q, r one-hot; decompose per-limb products by 2^r
+        # (left) / 2^(L-r) (right); byte-level shift is a one-hot select.
+        lb = ws.limb_bits
+        sel_shift = ops.zero()
+        for sname in SHIFT_SELS:
+            sel_shift = ops.add(sel_shift, sels[sname])
+        sel_right = ops.zero()
+        for sname in SHIFT_RIGHT_SELS:
+            sel_right = ops.add(sel_right, sels[sname])
+        sel_srl_cls = ops.add(sels["srl"], sels["srli"])
+        sel_sra_cls = ops.add(sels["sra"], sels["srai"])
+        shq, shr = g("shq"), g("shr")
+        shb0, shb1 = g("shb0"), g("shb1")
+        sll_lo, sll_hi = g("sll_lo"), g("sll_hi")
+        srw_lo, srw_hi = g("srw_lo"), g("srw_hi")
+        sgp = g("sgp")
+        for x in shq + shr + [shb0, shb1]:
+            f.assert_bool(x)
+        sum_q = ops.zero()
+        for k in range(nl):
+            sum_q = ops.add(sum_q, shq[k])
+        f.assert_eq(sum_q, sel_shift)
+        sum_r = ops.zero()
+        for j in range(lb):
+            sum_r = ops.add(sum_r, shr[j])
+        f.assert_eq(sum_r, sel_shift)
+        # amount binding: c_0 = s + 64*(2*shb1 + shb0)  (RV64 takes c & 63)
+        s_val = ops.zero()
+        for k in range(nl):
+            s_val = ops.add(s_val, ops.scale_base(shq[k], lb * k))
+        for j in range(lb):
+            s_val = ops.add(s_val, ops.scale_base(shr[j], j))
+        s_val = ops.add(s_val, ops.scale_base(shb0, 64))
+        s_val = ops.add(s_val, ops.scale_base(shb1, 128))
+        f.assert_zero(ops.mul(sel_shift, ops.sub(c[0], s_val)))
+        # p2r = 2^r, p2rc = 2^(L-r)  (affine in the r one-hot)
+        p2r = ops.zero()
+        p2rc = ops.zero()
+        for j in range(lb):
+            p2r = ops.add(p2r, ops.scale_base(shr[j], 1 << j))
+            p2rc = ops.add(p2rc, ops.scale_base(shr[j], 1 << (lb - j)))
+        # left: b_i * 2^r = 256*hi + lo (lo/hi range-checked 8-bit)
+        for i in range(nl):
+            f.assert_zero(
+                ops.mul(
+                    sels["sll"],
+                    ops.sub(
+                        ops.mul(b[i], p2r),
+                        ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
+                    ),
+                )
+            )
+        # right: b_i * 2^(L-r) = 256*hi + lo
+        for i in range(nl):
+            f.assert_zero(
+                ops.mul(
+                    sel_right,
+                    ops.sub(
+                        ops.mul(b[i], p2rc),
+                        ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
+                    ),
+                )
+            )
+        # sgp = hb_b * (2^L - 2^(L-r)): the partial sign-fill byte (ungated;
+        # tracegen maintains it on every row, incl. cmp rows that set hb_b)
+        f.assert_eq(
+            ops.mul(hb_b, ops.sub(ops.const(1 << lb), p2rc)), sgp
+        )
+        # sll result: a_i = select_q( (b*2^r) limbs with carry chaining )
+        def c16(m):
+            if m < 0 or m > nl:
+                return ops.zero()
+            t = sll_lo[m] if m < nl else ops.zero()
+            if m > 0:
+                t = ops.add(t, sll_hi[m - 1])
+            return t
+        for i in range(nl):
+            sel_v = ops.zero()
+            for k in range(nl):
+                if i - k >= 0:
+                    sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
+            f.assert_zero(ops.mul(sels["sll"], ops.sub(a[i], sel_v)))
+        # right-shift-by-r limbs: d_j = hi_j + lo_{j+1}
+        def dlimb(j):
+            if j < 0 or j >= nl:
+                return ops.zero()
+            t = srw_hi[j]
+            if j + 1 < nl:
+                t = ops.add(t, srw_lo[j + 1])
+            return t
+        for i in range(nl):
+            sel_v = ops.zero()
+            for k in range(nl):
+                sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb(i + k)))
+            f.assert_zero(ops.mul(sel_srl_cls, ops.sub(a[i], sel_v)))
+            # sra: add the sign fill: full limbs above the boundary + the
+            # partial boundary byte shq_{nl-1-i} * sgp
+            filled = ops.zero()
+            for k in range(nl - i, nl):
+                filled = ops.add(filled, shq[k])
+            fill = ops.add(
+                ops.scale_base(ops.mul(hb_b, filled), (1 << lb) - 1),
+                ops.mul(shq[nl - 1 - i], sgp),
+            )
+            f.assert_zero(
+                ops.mul(sel_sra_cls, ops.sub(a[i], ops.add(sel_v, fill)))
+            )
+
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
         uses_rs2 = self._uses_rs2(sels, ops)
@@ -502,16 +632,19 @@ class CpuChip(Chip):
         writes = ops.add(writes, sel_bw)
         writes = ops.add(writes, sel_mul)
         writes = ops.add(writes, sel_slt)
+        writes = ops.add(writes, sel_shift)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
         "add", "addi", "sub", "beq", "bne", "ecall",
         "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
         "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
+        "sll", "srl", "sra", "srli", "srai",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
         "slt", "sltu", "blt", "bge", "bltu", "bgeu",
+        "sll", "srl", "sra",
     )
 
     def _uses_rs1(self, sels, ops):
@@ -658,11 +791,17 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in BITWISE_SELS]
             + [L[f"sel_{s}"] for s in MUL_SELS]
             + [L[f"sel_{s}"] for s in SLT_SELS]
+            + [L[f"sel_{s}"] for s in SHIFT_SELS]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
         sel_cmp_aff = _aff_sum([L[f"sel_{s}"] for s in CMP_SELS])
         sel_signed_aff = _aff_sum([L[f"sel_{s}"] for s in SIGNED_CMP_SELS])
+        # hb_b is also the operand sign bit for arithmetic right shifts
+        hb_b_mult = _aff_sum(
+            [L[f"sel_{s}"] for s in SIGNED_CMP_SELS]
+            + [L[f"sel_{s}"] for s in SRA_CLS_SELS]
+        )
         for i in range(nl):
             out.append(
                 Interaction((_aff(L["dcmp"].start + i),), sel_cmp_aff, KIND_RANGE)
@@ -682,7 +821,7 @@ class CpuChip(Chip):
                         ),
                     ),
                 ),
-                sel_signed_aff,
+                hb_b_mult,
                 KIND_RANGE,
             )
         )
@@ -716,6 +855,14 @@ class CpuChip(Chip):
         for i in range(nl):
             out.append(Interaction((_aff(L["mc_lo"].start + i),), sel_mul, KIND_RANGE))
             out.append(Interaction((_aff(L["mc_hi"].start + i),), sel_mul, KIND_RANGE))
+        # shift decomposition limbs
+        sel_sll_aff = _aff_sum([L["sel_sll"]])
+        sel_right_aff = _aff_sum([L[f"sel_{s}"] for s in SHIFT_RIGHT_SELS])
+        for i in range(nl):
+            out.append(Interaction((_aff(L["sll_lo"].start + i),), sel_sll_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["sll_hi"].start + i),), sel_sll_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["srw_lo"].start + i),), sel_right_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["srw_hi"].start + i),), sel_right_aff, KIND_RANGE))
         for nm, mult in (
             ("tsd_rs1", self._uses_rs1_aff()),
             ("tsd_rs2", self._uses_rs2_aff()),

@@ -37,6 +37,11 @@ from .machine import (
     OP_LD,
     OP_MUL,
     OP_MULI,
+    OP_SLL,
+    OP_SRL,
+    OP_SRA,
+    OP_SRLI,
+    OP_SRAI,
     OP_OR,
     OP_ORI,
     OP_SD,
@@ -115,9 +120,26 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
         rd_i = (w >> 7) & 31
         rs1_i = (w >> 15) & 31
         rs2_i = (w >> 20) & 31
-        if opc == 0x33 and f7 == 0x00 and f3 in (0, 2, 3, 4, 6, 7):
-            op_id[i] = {0: OP_ADD, 2: OP_SLT, 3: OP_SLTU, 4: OP_XOR, 6: OP_OR, 7: OP_AND}[f3]
+        if opc == 0x33 and f7 == 0x00 and f3 in (0, 1, 2, 3, 4, 6, 7):
+            op_id[i] = {0: OP_ADD, 1: OP_SLL, 2: OP_SLT, 3: OP_SLTU,
+                        4: OP_XOR, 6: OP_OR, 7: OP_AND}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+            if f3 == 1:
+                assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+        elif opc == 0x33 and f7 == 0x00 and f3 == 5:
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SRL
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x33 and f7 == 0x20 and f3 == 5:
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SRA
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x13 and f3 == 5:  # srli / srai (shamt as plain imm)
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SRAI if ((w >> 26) & 0x3F) == 0x10 else OP_SRLI
+            rd[i], rs1[i] = rd_i, rs1_i
+            sh = (w >> 20) & 63
+            imm[i] = limbs_of(np.array([sh], np.uint64), ws)[0]
         elif opc == 0x33 and f7 == 0x20 and f3 == 0:
             op_id[i] = OP_SUB
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
@@ -247,13 +269,15 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
     uses_rs1_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL,
                     OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI,
                     OP_XORI, OP_MUL, OP_MULI, OP_SLT, OP_SLTU, OP_SLTI,
-                    OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU}
+                    OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
+                    OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
-                    OP_BLT, OP_BGE, OP_BLTU, OP_BGEU}
+                    OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
-                  OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU}
+                  OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
+                  OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -335,7 +359,8 @@ def generate_traces(
     # is 2^shift, not the executor's raw shift amount).
     imm_l_all = rom["imm"][pc_idx]
     cimm_mask = np.isin(
-        op, [OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_MULI, OP_LD, OP_SLTI, OP_SLTIU]
+        op, [OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_MULI, OP_LD, OP_SLTI, OP_SLTIU,
+             OP_SRLI, OP_SRAI]
     )
     c_l = np.where(cimm_mask[:, None], imm_l_all, c_l)
     cpu[:n, L["b"]] = b_l
@@ -455,7 +480,8 @@ def generate_traces(
     top = nl - 1
     hb_b = (b_l[:, top] >> (ws.limb_bits - 1)) & 1
     hb_c = (c_l[:, top] >> (ws.limb_bits - 1)) & 1
-    cpu[:n, L["hb_b"]] = np.where(is_signed, hb_b, 0)
+    is_sra_cls = np.isin(op, [OP_SRA, OP_SRAI])
+    cpu[:n, L["hb_b"]] = np.where(is_signed | is_sra_cls, hb_b, 0)
     cpu[:n, L["hb_c"]] = np.where(is_signed, hb_c, 0)
     eb = b_l.astype(np.int64).copy()
     ec = c_l.astype(np.int64).copy()
@@ -487,6 +513,40 @@ def generate_traces(
         is_cmp_br, taken_cmp, cpu[:n, L["taken"]]
     )
 
+    # shift machinery
+    is_shift = np.isin(op, [OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI])
+    is_sll = op == OP_SLL
+    is_right = np.isin(op, [OP_SRL, OP_SRA, OP_SRLI, OP_SRAI])
+    lb = ws.limb_bits
+    s_amt = (c_l[:, 0] & 63).astype(np.uint32)
+    q_amt = s_amt // lb
+    r_amt = s_amt % lb
+    for k in range(nl):
+        cpu[:n, L["shq"].start + k] = (is_shift & (q_amt == k)).astype(np.uint32)
+    for j in range(lb):
+        cpu[:n, L["shr"].start + j] = (is_shift & (r_amt == j)).astype(np.uint32)
+    hi2 = (c_l[:, 0] >> 6).astype(np.uint32)
+    cpu[:n, L["shb0"]] = np.where(is_shift, hi2 & 1, 0)
+    cpu[:n, L["shb1"]] = np.where(is_shift, hi2 >> 1, 0)
+    p2r = (np.uint64(1) << r_amt.astype(np.uint64)).astype(np.uint64)
+    p2rc = (np.uint64(1) << (lb - r_amt).astype(np.uint64)).astype(np.uint64)
+    mask_l = np.uint64((1 << lb) - 1)
+    for i in range(nl):
+        t = b_l[:, i].astype(np.uint64) * p2r
+        cpu[:n, L["sll_lo"].start + i] = np.where(is_sll, t & mask_l, 0).astype(np.uint32)
+        cpu[:n, L["sll_hi"].start + i] = np.where(is_sll, t >> np.uint64(lb), 0).astype(np.uint32)
+        t = b_l[:, i].astype(np.uint64) * p2rc
+        cpu[:n, L["srw_lo"].start + i] = np.where(is_right, t & mask_l, 0).astype(np.uint32)
+        cpu[:n, L["srw_hi"].start + i] = np.where(is_right, t >> np.uint64(lb), 0).astype(np.uint32)
+    # sgp = hb_b * (2^L - 2^(L-r)) holds UNGATED: on rows without shift
+    # selectors the r one-hot is all-zero, so the affine 2^(L-r) is 0 and
+    # sgp must equal hb_b * 2^L there (e.g. signed-cmp rows with negative b)
+    p2rc_eff = np.where(is_shift, p2rc, 0).astype(np.int64)
+    sgp_v = (
+        cpu[:n, L["hb_b"]].astype(np.int64) * (((1 << lb) - p2rc_eff) % kb.P)
+    ) % kb.P
+    cpu[:n, L["sgp"]] = sgp_v.astype(np.uint32)
+
     is_ecall = op == OP_ECALL
     cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
     cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
@@ -516,6 +576,7 @@ def generate_traces(
         + is_bw.astype(np.uint32)
         + is_mul.astype(np.uint32)
         + is_slt_fam.astype(np.uint32)
+        + is_shift.astype(np.uint32)
         + cpu[:n, L["is_read"]]
     )
     rd_write_mult = writes * rd_nonzero
@@ -524,7 +585,7 @@ def generate_traces(
     # ts diffs
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
-        | is_cmp
+        | is_cmp | is_shift
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -534,6 +595,7 @@ def generate_traces(
         | (op == OP_SD)
         | np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_MUL])
         | np.isin(op, [OP_SLT, OP_SLTU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
+        | np.isin(op, [OP_SLL, OP_SRL, OP_SRA])
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
@@ -597,8 +659,13 @@ def generate_traces(
     rest_c = (
         2 * (c_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_c"]].astype(np.int64))
     ) % kb.P
-    lookups.append((rest_b.astype(np.uint32), is_signed.astype(np.uint32)))
+    lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls).astype(np.uint32)))
     lookups.append((rest_c.astype(np.uint32), is_signed.astype(np.uint32)))
+    for i in range(nl):
+        lookups.append((cpu[:n, L["sll_lo"].start + i], is_sll.astype(np.uint32)))
+        lookups.append((cpu[:n, L["sll_hi"].start + i], is_sll.astype(np.uint32)))
+        lookups.append((cpu[:n, L["srw_lo"].start + i], is_right.astype(np.uint32)))
+        lookups.append((cpu[:n, L["srw_hi"].start + i], is_right.astype(np.uint32)))
     for nm, uses in (
         ("tsd_rs1", uses_rs1),
         ("tsd_rs2", uses_rs2),

@@ -1,0 +1,111 @@
+"""Shift family: executor differential, constraint debugging, full proofs."""
+
+import numpy as np
+import pytest
+
+from sp1_tpu.executor import asm, native
+from sp1_tpu.pcs.basefold import FriConfig
+from sp1_tpu.pcs.jagged import JaggedConfig
+from sp1_tpu.prover import machine as mm
+from sp1_tpu.prover.lookup_debug import check_balance
+from sp1_tpu.riscv import tracegen
+from sp1_tpu.riscv.machine import WordSpec, build_machine
+
+WS = WordSpec(limb_bits=8)
+MLRC = 9
+CONFIG = JaggedConfig(
+    FriConfig(log_blowup=1, num_queries=12, proof_of_work_bits=4),
+    log_stacking_height=10,
+    max_log_row_count=MLRC,
+)
+
+
+class TestShiftExecutor:
+    @pytest.mark.parametrize("n", [0, 1, 5, 8, 13, 63])
+    def test_matches_python_model(self, n):
+        prog = asm.assemble(asm.SHIFT_OPS)
+        res = native.execute(prog, inputs=[n])
+        assert res.exit_code == asm.shift_ops_expected(n) & ((1 << 64) - 1)
+
+
+class TestShiftConstraints:
+    def test_debug_constraints_and_lookups(self):
+        prog = asm.assemble(asm.SHIFT_OPS)
+        res = native.execute(prog, inputs=[5])
+        machine = build_machine(WS)
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            pv,
+        )
+        assert violations == [], violations[:10]
+        imbal = check_balance(
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+        )
+        # the state chain legitimately leaves the (pc_start, clk_start)
+        # send and the final-state receive to the public-values digest
+        from sp1_tpu.air.builder import KIND_STATE
+
+        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        assert real == {}, dict(list(real.items())[:5])
+
+
+class TestShiftProve:
+    def test_prove_verify(self):
+        prog = asm.assemble(asm.SHIFT_OPS)
+        res = native.execute(prog, inputs=[9])
+        machine = build_machine(WS)
+        prover = mm.ShardProver(machine, CONFIG)
+        prep = tracegen.make_preprocessed(prog, 0, WS, MLRC)
+        pk = prover.setup(preprocessed_traces=prep)
+        traces, _ = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS)
+        pv = pv + [0] * (machine.max_num_pvs - len(pv))
+        from sp1_tpu.iop.challenger import DuplexChallenger
+
+        proof = prover.prove_shard(pk, traces, pv, DuplexChallenger())
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        assert verifier.verify_shard(pk.vk, proof, DuplexChallenger())
+
+    def test_tampered_shift_result_rejected(self):
+        prog = asm.assemble(asm.SHIFT_OPS)
+        res = native.execute(prog, inputs=[9])
+        machine = build_machine(WS)
+        prover = mm.ShardProver(machine, CONFIG)
+        prep = tracegen.make_preprocessed(prog, 0, WS, MLRC)
+        pk = prover.setup(preprocessed_traces=prep)
+        traces, _ = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        # forge the sll result: bump one result limb on the sll row
+        from sp1_tpu.field import koalabear as kb
+        from sp1_tpu.riscv.machine import cpu_layout
+
+        L = cpu_layout(WS)
+        cpu_t, h = traces["Cpu"]
+        cpu_t = np.asarray(cpu_t).copy()  # monty-form uint32
+        one_m = kb.to_monty_i(1)
+        rows = [i for i in range(h) if int(cpu_t[i, L["sel_sll"]]) == one_m]
+        assert rows
+        col = L["a"].start
+        cpu_t[rows[0], col] = (int(cpu_t[rows[0], col]) + one_m) % kb.P
+        import jax.numpy as jnp
+
+        traces = dict(traces)
+        traces["Cpu"] = (jnp.asarray(cpu_t), h)
+        pv = tracegen.make_public_values(res, 0, WS)
+        pv = pv + [0] * (machine.max_num_pvs - len(pv))
+        from sp1_tpu.iop.challenger import DuplexChallenger
+
+        try:
+            proof = prover.prove_shard(pk, traces, pv, DuplexChallenger())
+        except Exception:
+            return  # prover itself may reject inconsistent traces
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        assert not verifier.verify_shard(pk.vk, proof, DuplexChallenger())
