@@ -310,3 +310,37 @@ def shift_ops_expected(n: int) -> int:
     s0 = (-1) & M
     s2 = t3 >> 60
     return (t1 + t2 + t4 + t5 + s0 + s2) & M
+
+
+DIV_OPS = """
+    # exercise divu/remu incl. the divide-by-zero special case
+    li a7, 3
+    ecall            # a0 = n
+    li t0, 1000
+    mul t0, t0, t0   # 1_000_000
+    add t0, t0, a0
+    li t1, 7
+    divu t2, t0, t1  # (1e6+n)/7
+    remu t3, t0, t1  # (1e6+n)%7
+    li t4, 0
+    divu t5, t0, t4  # div by zero -> all-ones
+    remu t6, t0, t4  # rem by zero -> t0
+    divu s0, t4, t1  # 0/7 = 0
+    add s1, t2, t3
+    add s1, s1, t5
+    add s1, s1, t6
+    add s1, s1, s0
+    mv a0, s1
+    li a7, 0
+    ecall
+"""
+
+
+def div_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+    t0 = (1000 * 1000 + n) & M
+    t2 = t0 // 7
+    t3 = t0 % 7
+    t5 = M
+    t6 = t0
+    return (t2 + t3 + t5 + t6) & M

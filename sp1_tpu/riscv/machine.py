@@ -80,14 +80,16 @@ NUM_PV_ELTS = 20
     OP_MUL, OP_MULI,
     OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
     OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI,
-) = range(30)
-NUM_OPS = 30
+    OP_DIVU, OP_REMU,
+) = range(32)
+NUM_OPS = 32
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
     "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
     "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
     "sll", "srl", "sra", "srli", "srai",
+    "divu", "remu",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
 CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai")
@@ -102,6 +104,7 @@ SHIFT_SELS = ("sll", "srl", "sra", "srli", "srai")
 SHIFT_RIGHT_SELS = ("srl", "sra", "srli", "srai")
 SRL_CLS_SELS = ("srl", "srli")
 SRA_CLS_SELS = ("sra", "srai")
+DIV_SELS = ("divu", "remu")
 
 
 class Cols:
@@ -186,6 +189,16 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.cols("srw_lo", nl)
     c.cols("srw_hi", nl)
     c.col("sgp")
+    # unsigned division: quotient/remainder limbs, 2nl-limb convolution
+    # carries for q*c + r = b, the (c-1-r) borrow chain, div-by-zero flag
+    c.cols("dq", nl)
+    c.cols("dr", nl)
+    c.cols("dvc_lo", 2 * nl)
+    c.cols("dvc_hi", 2 * nl)
+    c.cols("ddr", nl)
+    c.cols("dbor", nl)
+    c.col("is_div0")
+    c.col("dz_inv")
     c.col("is_halt")
     c.col("is_read")
     c.col("rd_nonzero")
@@ -307,7 +320,7 @@ class CpuChip(Chip):
         )
         for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
                   "slt", "sltu", "slti", "sltiu",
-                  "sll", "srl", "sra", "srli", "srai"):
+                  "sll", "srl", "sra", "srli", "srai", "divu", "remu"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -597,6 +610,69 @@ class CpuChip(Chip):
                 ops.mul(sel_sra_cls, ops.sub(a[i], ops.add(sel_v, fill)))
             )
 
+        # ---- unsigned division (divu/remu) --------------------------------
+        # Witness q, r with q*c + r = b proven by a 2nl-limb convolution
+        # carry chain (exact over the integers: all sums < 2^24 << p), plus
+        # r < c via a (c - 1 - r) borrow chain; c == 0 takes the RV64
+        # special case q = 2^64-1, r = b through the is_div0 flag.
+        sel_div = ops.add(sels["divu"], sels["remu"])
+        dq, dr = g("dq"), g("dr")
+        dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
+        ddr, dbor = g("ddr"), g("dbor")
+        is_div0, dz_inv = g("is_div0"), g("dz_inv")
+        f.assert_bool(is_div0)
+        f.assert_zero(ops.mul(is_div0, ops.sub(sel_div, one)))
+        s_c = ops.zero()
+        for i in range(nl):
+            s_c = ops.add(s_c, c[i])
+        f.assert_zero(
+            ops.mul(sel_div, ops.sub(ops.add(ops.mul(s_c, dz_inv), is_div0), one))
+        )
+        f.assert_zero(ops.mul(is_div0, s_c))
+        for k in range(2 * nl):
+            conv = ops.zero()
+            for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                conv = ops.add(conv, ops.mul(dq[i], c[k - i]))
+            if k < nl:
+                conv = ops.add(conv, dr[k])
+            if k > 0:
+                conv = ops.add(
+                    conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
+                )
+            out_k = b[k] if k < nl else ops.zero()
+            cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+            f.assert_zero(
+                ops.mul(
+                    sel_div,
+                    ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                )
+            )
+        f.assert_zero(ops.mul(sel_div, dvc_lo[2 * nl - 1]))
+        f.assert_zero(ops.mul(sel_div, dvc_hi[2 * nl - 1]))
+        # div-by-zero forcing
+        for i in range(nl):
+            f.assert_zero(ops.mul(is_div0, ops.sub(dq[i], ops.const((1 << lb) - 1))))
+            f.assert_zero(ops.mul(is_div0, ops.sub(dr[i], b[i])))
+        # r < c when c != 0:  c - 1 - r has no final borrow
+        sel_nz = ops.sub(sel_div, is_div0)
+        for i in range(nl):
+            f.assert_bool(dbor[i])
+            bin_ = dbor[i - 1] if i > 0 else one
+            f.assert_zero(
+                ops.mul(
+                    sel_nz,
+                    ops.sub(
+                        ops.sub(ops.sub(c[i], dr[i]), bin_),
+                        ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
+                    ),
+                )
+            )
+        f.assert_zero(ops.mul(sel_nz, dbor[nl - 1]))
+        # results
+        for i in range(nl):
+            f.assert_zero(ops.mul(sels["divu"], ops.sub(a[i], dq[i])))
+            f.assert_zero(ops.mul(sels["remu"], ops.sub(a[i], dr[i])))
+
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
         uses_rs2 = self._uses_rs2(sels, ops)
@@ -633,18 +709,19 @@ class CpuChip(Chip):
         writes = ops.add(writes, sel_mul)
         writes = ops.add(writes, sel_slt)
         writes = ops.add(writes, sel_shift)
+        writes = ops.add(writes, sel_div)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
         "add", "addi", "sub", "beq", "bne", "ecall",
         "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
         "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
-        "sll", "srl", "sra", "srli", "srai",
+        "sll", "srl", "sra", "srli", "srai", "divu", "remu",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
         "slt", "sltu", "blt", "bge", "bltu", "bgeu",
-        "sll", "srl", "sra",
+        "sll", "srl", "sra", "divu", "remu",
     )
 
     def _uses_rs1(self, sels, ops):
@@ -792,6 +869,7 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in MUL_SELS]
             + [L[f"sel_{s}"] for s in SLT_SELS]
             + [L[f"sel_{s}"] for s in SHIFT_SELS]
+            + [L[f"sel_{s}"] for s in DIV_SELS]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
@@ -863,6 +941,15 @@ class CpuChip(Chip):
             out.append(Interaction((_aff(L["sll_hi"].start + i),), sel_sll_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["srw_lo"].start + i),), sel_right_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["srw_hi"].start + i),), sel_right_aff, KIND_RANGE))
+        # division aux limbs
+        sel_div_aff = _aff_sum([L[f"sel_{s}"] for s in DIV_SELS])
+        for i in range(nl):
+            out.append(Interaction((_aff(L["dq"].start + i),), sel_div_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["dr"].start + i),), sel_div_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["ddr"].start + i),), sel_div_aff, KIND_RANGE))
+        for i in range(2 * nl):
+            out.append(Interaction((_aff(L["dvc_lo"].start + i),), sel_div_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["dvc_hi"].start + i),), sel_div_aff, KIND_RANGE))
         for nm, mult in (
             ("tsd_rs1", self._uses_rs1_aff()),
             ("tsd_rs2", self._uses_rs2_aff()),

@@ -42,6 +42,8 @@ from .machine import (
     OP_SRA,
     OP_SRLI,
     OP_SRAI,
+    OP_DIVU,
+    OP_REMU,
     OP_OR,
     OP_ORI,
     OP_SD,
@@ -147,6 +149,10 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             # the mul carry bound requires conv sums < p: limb_bits <= 8
             assert ws.limb_bits <= 8, "mul requires limb_bits <= 8 for now"
             op_id[i] = OP_MUL
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x33 and f7 == 0x01 and f3 in (5, 7):
+            assert ws.limb_bits == 8, "div requires 8-bit limbs"
+            op_id[i] = OP_DIVU if f3 == 5 else OP_REMU
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x13 and f3 in (0, 2, 3, 4, 6, 7):
             op_id[i] = {
@@ -270,14 +276,15 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                     OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI,
                     OP_XORI, OP_MUL, OP_MULI, OP_SLT, OP_SLTU, OP_SLTI,
                     OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
-                    OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI}
+                    OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
-                    OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA}
+                    OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA,
+                    OP_DIVU, OP_REMU}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
                   OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
-                  OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI}
+                  OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -547,6 +554,67 @@ def generate_traces(
     ) % kb.P
     cpu[:n, L["sgp"]] = sgp_v.astype(np.uint32)
 
+    # division machinery
+    is_div = np.isin(op, [OP_DIVU, OP_REMU])
+    bv = ev["b"].astype(np.uint64)
+    cv = ev["c"].astype(np.uint64)
+    c_nz = cv != 0
+    qv = np.zeros(n, np.uint64)
+    rv = bv.copy()
+    np.floor_divide(bv, cv, out=qv, where=c_nz)
+    qv = np.where(c_nz, qv, np.uint64((1 << 64) - 1))
+    rv = np.where(c_nz, bv - qv * cv, bv)
+    dq_l = limbs_of(qv, ws)
+    dr_l = limbs_of(rv, ws)
+    cpu[:n, L["dq"]] = np.where(is_div[:, None], dq_l, 0)
+    cpu[:n, L["dr"]] = np.where(is_div[:, None], dr_l, 0)
+    # convolution carries for q*c + r = b over 2nl limbs
+    dvc_lo = np.zeros((n, 2 * nl), np.uint32)
+    dvc_hi = np.zeros((n, 2 * nl), np.uint32)
+    accd = np.zeros(n, np.uint64)
+    for k in range(2 * nl):
+        conv = accd.copy()
+        for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+            conv = conv + dq_l[:, i].astype(np.uint64) * c_l[:, k - i]
+        if k < nl:
+            conv = conv + dr_l[:, k]
+        out_k = b_l[:, k].astype(np.uint64) if k < nl else np.uint64(0)
+        cout = (conv - out_k) >> np.uint64(ws.limb_bits)
+        dvc_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
+        dvc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
+        accd = cout
+    cpu[:n, L["dvc_lo"]] = np.where(is_div[:, None], dvc_lo, 0)
+    cpu[:n, L["dvc_hi"]] = np.where(is_div[:, None], dvc_hi, 0)
+    # (c - 1 - r) borrow chain on c != 0 rows
+    ddr = np.zeros((n, nl), np.uint32)
+    dbor = np.zeros((n, nl), np.uint32)
+    accb2 = np.ones(n, np.int64)
+    for i in range(nl):
+        d = c_l[:, i].astype(np.int64) - dr_l[:, i].astype(np.int64) - accb2
+        bo = (d < 0).astype(np.int64)
+        ddr[:, i] = (d + bo * (1 << ws.limb_bits)).astype(np.uint32)
+        dbor[:, i] = bo.astype(np.uint32)
+        accb2 = bo
+    div_nz = is_div & c_nz
+    cpu[:n, L["ddr"]] = np.where(div_nz[:, None], ddr, 0)
+    cpu[:n, L["dbor"]] = np.where(div_nz[:, None], dbor, 0)
+    cpu[:n, L["is_div0"]] = (is_div & ~c_nz).astype(np.uint32)
+    s_c = c_l.sum(axis=1).astype(np.uint64) % kb.P
+    dz = np.zeros(n, np.uint64)
+    nzm = is_div & (s_c != 0)
+    if np.any(nzm):
+        vv = s_c[nzm]
+        inv = np.ones_like(vv)
+        base_ = vv.copy()
+        e = kb.P - 2
+        while e:
+            if e & 1:
+                inv = inv * base_ % kb.P
+            base_ = base_ * base_ % kb.P
+            e >>= 1
+        dz[nzm] = inv
+    cpu[:n, L["dz_inv"]] = dz.astype(np.uint32)
+
     is_ecall = op == OP_ECALL
     cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
     cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
@@ -577,6 +645,7 @@ def generate_traces(
         + is_mul.astype(np.uint32)
         + is_slt_fam.astype(np.uint32)
         + is_shift.astype(np.uint32)
+        + is_div.astype(np.uint32)
         + cpu[:n, L["is_read"]]
     )
     rd_write_mult = writes * rd_nonzero
@@ -585,7 +654,7 @@ def generate_traces(
     # ts diffs
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
-        | is_cmp | is_shift
+        | is_cmp | is_shift | is_div
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -595,7 +664,7 @@ def generate_traces(
         | (op == OP_SD)
         | np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_MUL])
         | np.isin(op, [OP_SLT, OP_SLTU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
-        | np.isin(op, [OP_SLL, OP_SRL, OP_SRA])
+        | np.isin(op, [OP_SLL, OP_SRL, OP_SRA, OP_DIVU, OP_REMU])
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
@@ -666,6 +735,13 @@ def generate_traces(
         lookups.append((cpu[:n, L["sll_hi"].start + i], is_sll.astype(np.uint32)))
         lookups.append((cpu[:n, L["srw_lo"].start + i], is_right.astype(np.uint32)))
         lookups.append((cpu[:n, L["srw_hi"].start + i], is_right.astype(np.uint32)))
+    for i in range(nl):
+        lookups.append((cpu[:n, L["dq"].start + i], is_div.astype(np.uint32)))
+        lookups.append((cpu[:n, L["dr"].start + i], is_div.astype(np.uint32)))
+        lookups.append((cpu[:n, L["ddr"].start + i], is_div.astype(np.uint32)))
+    for i in range(2 * nl):
+        lookups.append((cpu[:n, L["dvc_lo"].start + i], is_div.astype(np.uint32)))
+        lookups.append((cpu[:n, L["dvc_hi"].start + i], is_div.astype(np.uint32)))
     for nm, uses in (
         ("tsd_rs1", uses_rs1),
         ("tsd_rs2", uses_rs2),

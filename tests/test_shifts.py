@@ -109,3 +109,57 @@ class TestShiftProve:
             return  # prover itself may reject inconsistent traces
         verifier = mm.ShardVerifier(machine, CONFIG)
         assert not verifier.verify_shard(pk.vk, proof, DuplexChallenger())
+
+
+class TestDivExecutor:
+    @pytest.mark.parametrize("n", [0, 3, 6, 13])
+    def test_matches_python_model(self, n):
+        prog = asm.assemble(asm.DIV_OPS)
+        res = native.execute(prog, inputs=[n])
+        assert res.exit_code == asm.div_ops_expected(n)
+
+
+class TestDivConstraints:
+    def test_debug_constraints_and_lookups(self):
+        prog = asm.assemble(asm.DIV_OPS)
+        res = native.execute(prog, inputs=[3])
+        machine = build_machine(WS)
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            pv,
+        )
+        assert violations == [], violations[:10]
+        imbal = check_balance(
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+        )
+        from sp1_tpu.air.builder import KIND_STATE
+
+        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        assert real == {}, dict(list(real.items())[:5])
+
+
+class TestDivProve:
+    def test_prove_verify(self):
+        prog = asm.assemble(asm.DIV_OPS)
+        res = native.execute(prog, inputs=[6])
+        machine = build_machine(WS)
+        prover = mm.ShardProver(machine, CONFIG)
+        prep = tracegen.make_preprocessed(prog, 0, WS, MLRC)
+        pk = prover.setup(preprocessed_traces=prep)
+        traces, _ = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS)
+        pv = pv + [0] * (machine.max_num_pvs - len(pv))
+        from sp1_tpu.iop.challenger import DuplexChallenger
+
+        proof = prover.prove_shard(pk, traces, pv, DuplexChallenger())
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        assert verifier.verify_shard(pk.vk, proof, DuplexChallenger())
