@@ -344,3 +344,26 @@ def div_ops_expected(n: int) -> int:
     t5 = M
     t6 = t0
     return (t2 + t3 + t5 + t6) & M
+
+
+CALL_OPS = """
+    # exercise jalr (call/ret), lui, auipc
+    li a7, 3
+    ecall            # a0 = n
+    lui t0, 0x12     # 0x12000
+    auipc t1, 0      # pc of this instruction (12)
+    jal ra, func
+    add s1, a0, t0
+    add s1, s1, t1
+    mv a0, s1
+    li a7, 0
+    ecall
+func:
+    add a0, a0, a0   # a0 *= 2
+    jalr zero, ra, 0 # ret
+"""
+
+
+def call_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+    return (2 * n + 0x12000 + 12) & M

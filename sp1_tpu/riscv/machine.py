@@ -80,16 +80,16 @@ NUM_PV_ELTS = 20
     OP_MUL, OP_MULI,
     OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
     OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI,
-    OP_DIVU, OP_REMU,
-) = range(32)
-NUM_OPS = 32
+    OP_DIVU, OP_REMU, OP_JALR, OP_LUI, OP_AUIPC,
+) = range(35)
+NUM_OPS = 35
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
     "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
     "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
     "sll", "srl", "sra", "srli", "srai",
-    "divu", "remu",
+    "divu", "remu", "jalr", "lui", "auipc",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
 CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai")
@@ -320,7 +320,8 @@ class CpuChip(Chip):
         )
         for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
                   "slt", "sltu", "slti", "sltiu",
-                  "sll", "srl", "sra", "srli", "srai", "divu", "remu"):
+                  "sll", "srl", "sra", "srli", "srai", "divu", "remu",
+                  "lui", "auipc"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -342,13 +343,32 @@ class CpuChip(Chip):
         acc = ops.zero()
         for i in range(pcl):
             acc = ops.add(acc, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
+        sel_link = ops.add(sels["jal"], sels["jalr"])
         f.assert_zero(
             ops.mul(
-                ops.mul(sels["jal"], rd_nonzero_c), ops.sub(acc, ops.add(pc, four))
+                ops.mul(sel_link, rd_nonzero_c), ops.sub(acc, ops.add(pc, four))
             )
         )
         for i in range(pcl, nl):
-            f.assert_zero(ops.mul(sels["jal"], a[i]))
+            f.assert_zero(ops.mul(sel_link, a[i]))
+        # lui: a = imm (full 64-bit sign-extended constant)
+        for i in range(nl):
+            f.assert_zero(
+                ops.mul(ops.mul(sels["lui"], rd_nonzero_c), ops.sub(a[i], imm[i]))
+            )
+            f.assert_zero(ops.mul(ops.sub(one, rd_nonzero_c), ops.mul(sels["lui"], a[i])))
+        # auipc: low pc_limbs of a reconstruct pc + imm_f; upper limbs zero
+        acc_au = ops.zero()
+        for i in range(pcl):
+            acc_au = ops.add(acc_au, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
+        f.assert_zero(
+            ops.mul(
+                ops.mul(sels["auipc"], rd_nonzero_c),
+                ops.sub(acc_au, ops.add(pc, imm_f)),
+            )
+        )
+        for i in range(pcl, nl):
+            f.assert_zero(ops.mul(sels["auipc"], a[i]))
 
         # ecall routing: runtime witness bits select HALT (a7==0) or
         # READ (a7==3); exactly one must be set on ecall rows, which makes
@@ -378,23 +398,32 @@ class CpuChip(Chip):
         for i in range(nl):
             f.assert_zero(ops.mul(sel_cimm, ops.sub(c[i], imm[i])))
 
-        # ---- loads/stores (8-byte aligned) --------------------------------
+        # ---- loads/stores (8-byte aligned) + jalr target ------------------
         sel_mem = ops.add(sels["ld"], sels["sd"])
+        sel_addr = ops.add(sel_mem, sels["jalr"])
         maddr = g("maddr")
         maddr0_div = g("maddr0_div")
         mem_prev_val = g("mem_prev_val")
-        # addr = b + imm with the shared carry chain
+        # addr = b + imm with the shared carry chain (memory target, or the
+        # jalr jump target)
         for i in range(nl):
             cin = carry[i - 1] if i > 0 else ops.zero()
             expr = ops.sub(
                 ops.add(ops.add(b[i], imm[i]), cin),
                 ops.add(maddr[i], ops.mul(carry[i], base)),
             )
-            f.assert_zero(ops.mul(sel_mem, expr))
+            f.assert_zero(ops.mul(sel_addr, expr))
         # address space bound: limbs covering >= 24 bits must be zero
         for i in range(nl):
             if ws.limb_bits * i >= 24:
-                f.assert_zero(ops.mul(sel_mem, maddr[i]))
+                f.assert_zero(ops.mul(sel_addr, maddr[i]))
+        # jalr: next_pc = target (reconstructed from the address limbs; the
+        # ROM lookup of next_pc enforces 4-alignment and code range)
+        acc_j = ops.zero()
+        for i in range(nl):
+            if ws.limb_bits * i < 24:
+                acc_j = ops.add(acc_j, ops.scale_base(maddr[i], 1 << (ws.limb_bits * i)))
+        f.assert_zero(ops.mul(sels["jalr"], ops.sub(next_pc, acc_j)))
         # 8-byte alignment: maddr_0 = 8 * maddr0_div (both range-checked)
         f.assert_zero(
             ops.mul(sel_mem, ops.sub(maddr[0], ops.scale_base(maddr0_div, 8)))
@@ -710,13 +739,16 @@ class CpuChip(Chip):
         writes = ops.add(writes, sel_slt)
         writes = ops.add(writes, sel_shift)
         writes = ops.add(writes, sel_div)
+        writes = ops.add(writes, sels["jalr"])
+        writes = ops.add(writes, sels["lui"])
+        writes = ops.add(writes, sels["auipc"])
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
         "add", "addi", "sub", "beq", "bne", "ecall",
         "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
         "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
-        "sll", "srl", "sra", "srli", "srai", "divu", "remu",
+        "sll", "srl", "sra", "srli", "srai", "divu", "remu", "jalr",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
@@ -870,6 +902,7 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in SLT_SELS]
             + [L[f"sel_{s}"] for s in SHIFT_SELS]
             + [L[f"sel_{s}"] for s in DIV_SELS]
+            + [L["sel_jalr"], L["sel_lui"], L["sel_auipc"]]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
@@ -923,12 +956,13 @@ class CpuChip(Chip):
                 Interaction((_aff(L["a"].start + i),), writes, KIND_RANGE)
             )
         sel_mem = self._sel_mem_aff()
+        sel_addr = _aff_sum([L["sel_ld"], L["sel_sd"], L["sel_jalr"]])
         sel_mul = self._sel_mul_aff()
         out.append(Interaction((_aff(L["maddr0_div"]),), sel_mem, KIND_RANGE))
         for i in range(nl):
             if ws.limb_bits * i < 24:
                 out.append(
-                    Interaction((_aff(L["maddr"].start + i),), sel_mem, KIND_RANGE)
+                    Interaction((_aff(L["maddr"].start + i),), sel_addr, KIND_RANGE)
                 )
         for i in range(nl):
             out.append(Interaction((_aff(L["mc_lo"].start + i),), sel_mul, KIND_RANGE))

@@ -44,6 +44,9 @@ from .machine import (
     OP_SRAI,
     OP_DIVU,
     OP_REMU,
+    OP_JALR,
+    OP_LUI,
+    OP_AUIPC,
     OP_OR,
     OP_ORI,
     OP_SD,
@@ -166,6 +169,21 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             rd[i], rs1[i] = rd_i, rs1_i
             sh = (w >> 20) & 63
             imm[i] = limbs_of(np.array([(1 << sh) % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x67 and f3 == 0:  # jalr
+            op_id[i] = OP_JALR
+            rd[i], rs1[i] = rd_i, rs1_i
+            v = sext(w >> 20, 12)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x37:  # lui
+            op_id[i] = OP_LUI
+            rd[i] = rd_i
+            v = sext(w & 0xFFFFF000, 32)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x17:  # auipc
+            op_id[i] = OP_AUIPC
+            rd[i] = rd_i
+            off = sext(w & 0xFFFFF000, 32)
+            imm_f[i] = off % kb.P
         elif opc == 0x03 and f3 == 3:  # ld
             op_id[i] = OP_LD
             rd[i], rs1[i] = rd_i, rs1_i
@@ -276,7 +294,8 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                     OP_LD, OP_SD, OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI,
                     OP_XORI, OP_MUL, OP_MULI, OP_SLT, OP_SLTU, OP_SLTI,
                     OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
-                    OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU}
+                    OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU,
+                    OP_JALR}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
                     OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA,
@@ -284,7 +303,8 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
                   OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
-                  OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU}
+                  OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU,
+                  OP_JALR, OP_LUI, OP_AUIPC}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -383,6 +403,8 @@ def generate_traces(
     is_add = (op == OP_ADD) | is_addi
     is_sub = op == OP_SUB
     is_mem = (op == OP_LD) | (op == OP_SD)
+    is_jalr = op == OP_JALR
+    is_addr = is_mem | is_jalr
     imm_l = imm_l_all
     carry = np.zeros((n, nl), np.uint64)
     acc = np.zeros(n, np.uint64)
@@ -409,10 +431,10 @@ def generate_traces(
         is_sub[:, None],
         borrow,
         np.where(
-            is_add[:, None], carry, np.where(is_mem[:, None], addr_carry, 0)
+            is_add[:, None], carry, np.where(is_addr[:, None], addr_carry, 0)
         ),
     ).astype(np.uint32)
-    cpu[:n, L["maddr"]] = np.where(is_mem[:, None], addr_limb, 0)
+    cpu[:n, L["maddr"]] = np.where(is_addr[:, None], addr_limb, 0)
     cpu[:n, L["maddr0_div"]] = np.where(is_mem, addr_limb[:, 0] >> 3, 0)
     cpu[:n, L["mem_prev_ts"]] = np.where(is_mem, ev["mem_prev_ts"], 0).astype(np.uint32)
     cpu[:n, L["mem_prev_val"]] = np.where(
@@ -646,6 +668,9 @@ def generate_traces(
         + is_slt_fam.astype(np.uint32)
         + is_shift.astype(np.uint32)
         + is_div.astype(np.uint32)
+        + is_jalr.astype(np.uint32)
+        + (op == OP_LUI).astype(np.uint32)
+        + (op == OP_AUIPC).astype(np.uint32)
         + cpu[:n, L["is_read"]]
     )
     rd_write_mult = writes * rd_nonzero
@@ -654,7 +679,7 @@ def generate_traces(
     # ts diffs
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
-        | is_cmp | is_shift | is_div
+        | is_cmp | is_shift | is_div | is_jalr
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -713,9 +738,10 @@ def generate_traces(
     for i in range(nl):
         lookups.append((a_l[:, i], writes))
     lookups.append((cpu[:n, L["maddr0_div"]], is_mem_u))
+    is_addr_u = is_addr.astype(np.uint32)
     for i in range(nl):
         if ws.limb_bits * i < 24:
-            lookups.append((cpu[:n, L["maddr"].start + i], is_mem_u))
+            lookups.append((cpu[:n, L["maddr"].start + i], is_addr_u))
     for i in range(nl):
         lookups.append((cpu[:n, L["mc_lo"].start + i], is_mul.astype(np.uint32)))
         lookups.append((cpu[:n, L["mc_hi"].start + i], is_mul.astype(np.uint32)))

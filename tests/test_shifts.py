@@ -163,3 +163,36 @@ class TestDivProve:
         proof = prover.prove_shard(pk, traces, pv, DuplexChallenger())
         verifier = mm.ShardVerifier(machine, CONFIG)
         assert verifier.verify_shard(pk.vk, proof, DuplexChallenger())
+
+
+class TestCallOps:
+    @pytest.mark.parametrize("n", [0, 7, 100])
+    def test_executor(self, n):
+        prog = asm.assemble(asm.CALL_OPS)
+        res = native.execute(prog, inputs=[n])
+        assert res.exit_code == asm.call_ops_expected(n)
+
+    def test_constraints_and_prove(self):
+        prog = asm.assemble(asm.CALL_OPS)
+        res = native.execute(prog, inputs=[7])
+        machine = build_machine(WS)
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            pv,
+        )
+        assert violations == [], violations[:10]
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
+        from sp1_tpu.iop.challenger import DuplexChallenger
+
+        proof = prover.prove_shard(pk, traces, pv2, DuplexChallenger())
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        assert verifier.verify_shard(pk.vk, proof, DuplexChallenger())
