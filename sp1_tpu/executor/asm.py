@@ -367,3 +367,49 @@ func:
 def call_ops_expected(n: int) -> int:
     M = (1 << 64) - 1
     return (2 * n + 0x12000 + 12) & M
+
+
+MEMBYTE_OPS = """
+    # exercise sub-word loads/stores incl. sign extension and RMW
+    li a7, 3
+    ecall            # a0 = n
+    li t0, 256
+    sd a0, 0(t0)     # full word
+    li t1, -2
+    sb t1, 3(t0)     # poke byte 3 (0xFE)
+    lb t2, 3(t0)     # -2 (sign-extended)
+    lbu t3, 3(t0)    # 0xFE
+    li t4, -3
+    sh t4, 4(t0)     # halfword at offset 4
+    lh t5, 4(t0)     # -3
+    lhu t6, 4(t0)    # 0xFFFD
+    sw t4, 8(t0)     # word store in the next cell
+    lw s0, 8(t0)     # -3
+    lwu s1, 8(t0)    # 0xFFFFFFFD
+    ld s2, 0(t0)     # whole mutated word
+    add s3, t2, t3
+    add s3, s3, t5
+    add s3, s3, t6
+    add s3, s3, s0
+    add s3, s3, s1
+    add s3, s3, s2
+    mv a0, s3
+    li a7, 0
+    ecall
+"""
+
+
+def membyte_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+    word = n & M
+    # sb 0xFE at byte 3
+    word = (word & ~(0xFF << 24)) | (0xFE << 24)
+    # sh 0xFFFD at bytes 4..5
+    word = (word & ~(0xFFFF << 32)) | (0xFFFD << 32)
+    t2 = (-2) & M
+    t3 = 0xFE
+    t5 = (-3) & M
+    t6 = 0xFFFD
+    s0 = (-3) & M
+    s1 = 0xFFFFFFFD
+    return (t2 + t3 + t5 + t6 + s0 + s1 + word) & M

@@ -81,8 +81,9 @@ NUM_PV_ELTS = 20
     OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
     OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI,
     OP_DIVU, OP_REMU, OP_JALR, OP_LUI, OP_AUIPC,
-) = range(35)
-NUM_OPS = 35
+    OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU, OP_SB, OP_SH, OP_SW,
+) = range(44)
+NUM_OPS = 44
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
@@ -90,9 +91,11 @@ SEL_NAMES = [
     "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
     "sll", "srl", "sra", "srli", "srai",
     "divu", "remu", "jalr", "lui", "auipc",
+    "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
-CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai")
+CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai",
+             "lb", "lbu", "lh", "lhu", "lw", "lwu")
 MUL_SELS = ("mul", "muli")
 CMP_SELS = ("slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu")
 SIGNED_CMP_SELS = ("slt", "slti", "blt", "bge")
@@ -105,6 +108,14 @@ SHIFT_RIGHT_SELS = ("srl", "sra", "srli", "srai")
 SRL_CLS_SELS = ("srl", "srli")
 SRA_CLS_SELS = ("sra", "srai")
 DIV_SELS = ("divu", "remu")
+# Sub-word memory: read-modify-write on the 8-byte cell with a one-hot
+# byte-offset select.
+SUBW_LOAD_SELS = ("lb", "lbu", "lh", "lhu", "lw", "lwu")
+SUBW_STORE_SELS = ("sb", "sh", "sw")
+SUBW_SELS = SUBW_LOAD_SELS + SUBW_STORE_SELS
+SUBW_SIZE = {"lb": 1, "lbu": 1, "lh": 2, "lhu": 2, "lw": 4, "lwu": 4,
+             "sb": 1, "sh": 2, "sw": 4}
+SUBW_SIGNED_LOADS = ("lb", "lh", "lw")
 
 
 class Cols:
@@ -199,6 +210,11 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.cols("dbor", nl)
     c.col("is_div0")
     c.col("dz_inv")
+    # sub-word memory: byte-offset one-hot, the stored cell's new word,
+    # and the load sign-extension bit
+    c.cols("moff", nl)
+    c.cols("nw", nl)
+    c.col("hbm")
     c.col("is_halt")
     c.col("is_read")
     c.col("rd_nonzero")
@@ -321,7 +337,8 @@ class CpuChip(Chip):
         for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
                   "slt", "sltu", "slti", "sltiu",
                   "sll", "srl", "sra", "srli", "srai", "divu", "remu",
-                  "lui", "auipc"):
+                  "lui", "auipc",
+                  "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -400,7 +417,11 @@ class CpuChip(Chip):
 
         # ---- loads/stores (8-byte aligned) + jalr target ------------------
         sel_mem = ops.add(sels["ld"], sels["sd"])
-        sel_addr = ops.add(sel_mem, sels["jalr"])
+        sel_subw = ops.zero()
+        for sname in SUBW_SELS:
+            sel_subw = ops.add(sel_subw, sels[sname])
+        sel_anymem = ops.add(sel_mem, sel_subw)
+        sel_addr = ops.add(ops.add(sel_mem, sels["jalr"]), sel_subw)
         maddr = g("maddr")
         maddr0_div = g("maddr0_div")
         mem_prev_val = g("mem_prev_val")
@@ -431,6 +452,77 @@ class CpuChip(Chip):
         # ld result: a = loaded value
         for i in range(nl):
             f.assert_zero(ops.mul(sels["ld"], ops.sub(a[i], mem_prev_val[i])))
+
+        # ---- sub-word memory (lb/lh/lw families, sb/sh/sw) ----------------
+        moff = g("moff")
+        nw = g("nw")
+        hbm = g("hbm")
+        f.assert_bool(hbm)
+        sum_off = ops.zero()
+        off_val = ops.zero()
+        for k in range(nl):
+            f.assert_bool(moff[k])
+            sum_off = ops.add(sum_off, moff[k])
+            off_val = ops.add(off_val, ops.scale_base(moff[k], k))
+        f.assert_eq(sum_off, sel_subw)
+        # maddr_0 = 8*div + offset  (offset one-hot in [0, 8))
+        f.assert_zero(
+            ops.mul(
+                sel_subw,
+                ops.sub(maddr[0], ops.add(ops.scale_base(maddr0_div, 8), off_val)),
+            )
+        )
+        # natural alignment per access width
+        sel_half = ops.add(ops.add(sels["lh"], sels["lhu"]), sels["sh"])
+        sel_word = ops.add(ops.add(sels["lw"], sels["lwu"]), sels["sw"])
+        odd = ops.zero()
+        for k in (1, 3, 5, 7):
+            odd = ops.add(odd, moff[k])
+        f.assert_zero(ops.mul(sel_half, odd))
+        nonw = ops.zero()
+        for k in range(nl):
+            if k % 4:
+                nonw = ops.add(nonw, moff[k])
+        f.assert_zero(ops.mul(sel_word, nonw))
+        # loads: a_i = selected byte(s) of the (unchanged) word; extension
+        for sname in SUBW_LOAD_SELS:
+            size = SUBW_SIZE[sname]
+            signed = sname in SUBW_SIGNED_LOADS
+            for i in range(size):
+                ext_v = ops.zero()
+                for k in range(0, nl - size + 1, size):
+                    ext_v = ops.add(ext_v, ops.mul(moff[k], mem_prev_val[k + i]))
+                f.assert_zero(ops.mul(sels[sname], ops.sub(a[i], ext_v)))
+            for i in range(size, nl):
+                if signed:
+                    f.assert_zero(
+                        ops.mul(
+                            sels[sname],
+                            ops.sub(
+                                a[i],
+                                ops.scale_base(hbm, (1 << ws.limb_bits) - 1),
+                            ),
+                        )
+                    )
+                else:
+                    f.assert_zero(ops.mul(sels[sname], a[i]))
+        # stores: nw = prev with the addressed bytes replaced by c
+        for sname in SUBW_STORE_SELS:
+            size = SUBW_SIZE[sname]
+            for i in range(nl):
+                delta = ops.zero()
+                for k in range(0, nl - size + 1, size):
+                    if k <= i < k + size:
+                        delta = ops.add(
+                            delta,
+                            ops.mul(moff[k], ops.sub(c[i - k], mem_prev_val[i])),
+                        )
+                f.assert_zero(
+                    ops.mul(
+                        sels[sname],
+                        ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
+                    )
+                )
 
         # ---- bitwise (half-limb decomposition; results via byte table) ----
         sel_bw = ops.zero()
@@ -714,7 +806,7 @@ class CpuChip(Chip):
             ("tsd_rs1", uses_rs1, ts1, g("rs1_prev_ts")),
             ("tsd_rs2", uses_rs2, ts2, g("rs2_prev_ts")),
             ("tsd_rd", g("rd_write_mult"), ts4, g("rd_prev_ts")),
-            ("tsd_mem", sel_mem, ts3, g("mem_prev_ts")),
+            ("tsd_mem", sel_anymem, ts3, g("mem_prev_ts")),
         ):
             tsd = g(nm)
             acc = ops.zero()
@@ -742,6 +834,8 @@ class CpuChip(Chip):
         writes = ops.add(writes, sels["jalr"])
         writes = ops.add(writes, sels["lui"])
         writes = ops.add(writes, sels["auipc"])
+        for sname in SUBW_LOAD_SELS:
+            writes = ops.add(writes, sels[sname])
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
@@ -749,11 +843,12 @@ class CpuChip(Chip):
         "ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
         "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
         "sll", "srl", "sra", "srli", "srai", "divu", "remu", "jalr",
+        "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
         "slt", "sltu", "blt", "bge", "bltu", "bgeu",
-        "sll", "srl", "sra", "divu", "remu",
+        "sll", "srl", "sra", "divu", "remu", "sb", "sh", "sw",
     )
 
     def _uses_rs1(self, sels, ops):
@@ -789,6 +884,12 @@ class CpuChip(Chip):
     def _sel_mem_aff(self):
         L = self.layout
         return _aff_sum([L["sel_ld"], L["sel_sd"]])
+
+    def _sel_anymem_aff(self):
+        L = self.layout
+        return _aff_sum(
+            [L["sel_ld"], L["sel_sd"]] + [L[f"sel_{s}"] for s in SUBW_SELS]
+        )
 
     def _sel_bw_aff(self):
         L = self.layout
@@ -860,14 +961,22 @@ class CpuChip(Chip):
         clk8_3 = Affine(3, ((main_col(L["clk"]), 8),))
         waddr = self._word_addr_aff()
         mpv = [_aff(L["mem_prev_val"].start + i) for i in range(nl)]
+        loads_aff = _aff_sum(
+            [L["sel_ld"]] + [L[f"sel_{s}"] for s in SUBW_LOAD_SELS]
+        )
         out.append(
-            Interaction(
-                tuple([waddr, clk8_3] + mpv), _aff(L["sel_ld"]), KIND_MEMORY
-            )
+            Interaction(tuple([waddr, clk8_3] + mpv), loads_aff, KIND_MEMORY)
         )
         out.append(
             Interaction(
                 tuple([waddr, clk8_3] + cvals), _aff(L["sel_sd"]), KIND_MEMORY
+            )
+        )
+        nwvals = [_aff(L["nw"].start + i) for i in range(nl)]
+        subw_stores_aff = _aff_sum([L[f"sel_{s}"] for s in SUBW_STORE_SELS])
+        out.append(
+            Interaction(
+                tuple([waddr, clk8_3] + nwvals), subw_stores_aff, KIND_MEMORY
             )
         )
         # bitwise byte-table lookups: (op, x, y, z) per half-limb
@@ -903,6 +1012,7 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in SHIFT_SELS]
             + [L[f"sel_{s}"] for s in DIV_SELS]
             + [L["sel_jalr"], L["sel_lui"], L["sel_auipc"]]
+            + [L[f"sel_{s}"] for s in SUBW_LOAD_SELS]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
@@ -956,9 +1066,13 @@ class CpuChip(Chip):
                 Interaction((_aff(L["a"].start + i),), writes, KIND_RANGE)
             )
         sel_mem = self._sel_mem_aff()
-        sel_addr = _aff_sum([L["sel_ld"], L["sel_sd"], L["sel_jalr"]])
+        sel_addr = _aff_sum(
+            [L["sel_ld"], L["sel_sd"], L["sel_jalr"]]
+            + [L[f"sel_{s}"] for s in SUBW_SELS]
+        )
+        sel_anymem = self._sel_anymem_aff()
         sel_mul = self._sel_mul_aff()
-        out.append(Interaction((_aff(L["maddr0_div"]),), sel_mem, KIND_RANGE))
+        out.append(Interaction((_aff(L["maddr0_div"]),), sel_anymem, KIND_RANGE))
         for i in range(nl):
             if ws.limb_bits * i < 24:
                 out.append(
@@ -984,11 +1098,34 @@ class CpuChip(Chip):
         for i in range(2 * nl):
             out.append(Interaction((_aff(L["dvc_lo"].start + i),), sel_div_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["dvc_hi"].start + i),), sel_div_aff, KIND_RANGE))
+        sel_subw_aff = _aff_sum([L[f"sel_{s}"] for s in SUBW_SELS])
+        for i in range(nl):
+            out.append(
+                Interaction((_aff(L["mem_prev_val"].start + i),), sel_subw_aff, KIND_RANGE)
+            )
+        # load sign bit: rest check on the top loaded byte per signed class
+        half_top2 = 1 << (ws.limb_bits - 1)
+        for sname, top_i in (("lb", 0), ("lh", 1), ("lw", 3)):
+            out.append(
+                Interaction(
+                    (
+                        Affine(
+                            0,
+                            (
+                                (main_col(L["a"].start + top_i), 2),
+                                (main_col(L["hbm"]), (-2 * half_top2) % kb.P),
+                            ),
+                        ),
+                    ),
+                    _aff_sum([L[f"sel_{sname}"]]),
+                    KIND_RANGE,
+                )
+            )
         for nm, mult in (
             ("tsd_rs1", self._uses_rs1_aff()),
             ("tsd_rs2", self._uses_rs2_aff()),
             ("tsd_rd", _aff(L["rd_write_mult"])),
-            ("tsd_mem", sel_mem),
+            ("tsd_mem", sel_anymem),
         ):
             for i in range(ws.ts_limbs):
                 out.append(
@@ -1035,7 +1172,7 @@ class CpuChip(Chip):
         out.append(
             Interaction(
                 tuple([waddr, _aff(L["mem_prev_ts"])] + mpv),
-                self._sel_mem_aff(),
+                self._sel_anymem_aff(),
                 KIND_MEMORY,
             )
         )

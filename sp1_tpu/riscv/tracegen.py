@@ -47,6 +47,15 @@ from .machine import (
     OP_JALR,
     OP_LUI,
     OP_AUIPC,
+    OP_LB,
+    OP_LBU,
+    OP_LH,
+    OP_LHU,
+    OP_LW,
+    OP_LWU,
+    OP_SB,
+    OP_SH,
+    OP_SW,
     OP_OR,
     OP_ORI,
     OP_SD,
@@ -184,6 +193,17 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             rd[i] = rd_i
             off = sext(w & 0xFFFFF000, 32)
             imm_f[i] = off % kb.P
+        elif opc == 0x03 and f3 in (0, 1, 2, 4, 5, 6):  # sub-word loads
+            op_id[i] = {0: OP_LB, 1: OP_LH, 2: OP_LW,
+                        4: OP_LBU, 5: OP_LHU, 6: OP_LWU}[f3]
+            rd[i], rs1[i] = rd_i, rs1_i
+            v = sext(w >> 20, 12)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x23 and f3 in (0, 1, 2):  # sub-word stores
+            op_id[i] = {0: OP_SB, 1: OP_SH, 2: OP_SW}[f3]
+            rs1[i], rs2[i] = rs1_i, rs2_i
+            v = sext((((w >> 25) & 0x7F) << 5) | ((w >> 7) & 0x1F), 12)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
         elif opc == 0x03 and f3 == 3:  # ld
             op_id[i] = OP_LD
             rd[i], rs1[i] = rd_i, rs1_i
@@ -295,16 +315,18 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                     OP_XORI, OP_MUL, OP_MULI, OP_SLT, OP_SLTU, OP_SLTI,
                     OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
                     OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU,
-                    OP_JALR}
+                    OP_JALR, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
+                    OP_SB, OP_SH, OP_SW}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
                     OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA,
-                    OP_DIVU, OP_REMU}
+                    OP_DIVU, OP_REMU, OP_SB, OP_SH, OP_SW}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
                   OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
                   OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU,
-                  OP_JALR, OP_LUI, OP_AUIPC}
+                  OP_JALR, OP_LUI, OP_AUIPC,
+                  OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -387,7 +409,7 @@ def generate_traces(
     imm_l_all = rom["imm"][pc_idx]
     cimm_mask = np.isin(
         op, [OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_MULI, OP_LD, OP_SLTI, OP_SLTIU,
-             OP_SRLI, OP_SRAI]
+             OP_SRLI, OP_SRAI, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU]
     )
     c_l = np.where(cimm_mask[:, None], imm_l_all, c_l)
     cpu[:n, L["b"]] = b_l
@@ -404,7 +426,11 @@ def generate_traces(
     is_sub = op == OP_SUB
     is_mem = (op == OP_LD) | (op == OP_SD)
     is_jalr = op == OP_JALR
-    is_addr = is_mem | is_jalr
+    is_subw_load = np.isin(op, [OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU])
+    is_subw_store = np.isin(op, [OP_SB, OP_SH, OP_SW])
+    is_subw = is_subw_load | is_subw_store
+    is_anymem = is_mem | is_subw
+    is_addr = is_anymem | is_jalr
     imm_l = imm_l_all
     carry = np.zeros((n, nl), np.uint64)
     acc = np.zeros(n, np.uint64)
@@ -435,10 +461,17 @@ def generate_traces(
         ),
     ).astype(np.uint32)
     cpu[:n, L["maddr"]] = np.where(is_addr[:, None], addr_limb, 0)
-    cpu[:n, L["maddr0_div"]] = np.where(is_mem, addr_limb[:, 0] >> 3, 0)
-    cpu[:n, L["mem_prev_ts"]] = np.where(is_mem, ev["mem_prev_ts"], 0).astype(np.uint32)
+    cpu[:n, L["maddr0_div"]] = np.where(is_anymem, addr_limb[:, 0] >> 3, 0)
+    cpu[:n, L["mem_prev_ts"]] = np.where(is_anymem, ev["mem_prev_ts"], 0).astype(np.uint32)
     cpu[:n, L["mem_prev_val"]] = np.where(
-        is_mem[:, None], limbs_of(ev["mem_prev_val"], ws), 0
+        is_anymem[:, None], limbs_of(ev["mem_prev_val"], ws), 0
+    )
+    # sub-word machinery: offset one-hot, new stored word, load sign bit
+    offs = (addr_limb[:, 0] & 7).astype(np.uint32)
+    for k in range(nl):
+        cpu[:n, L["moff"].start + k] = (is_subw & (offs == k)).astype(np.uint32)
+    cpu[:n, L["nw"]] = np.where(
+        is_subw_store[:, None], limbs_of(ev["mem_val"], ws), 0
     )
 
     # bitwise half decompositions
@@ -637,6 +670,12 @@ def generate_traces(
         dz[nzm] = inv
     cpu[:n, L["dz_inv"]] = dz.astype(np.uint32)
 
+    hbm_v = np.zeros(n, np.uint32)
+    for opc_, top_i in ((OP_LB, 0), (OP_LH, 1), (OP_LW, 3)):
+        m = op == opc_
+        hbm_v = np.where(m, (a_l[:, top_i] >> (ws.limb_bits - 1)) & 1, hbm_v)
+    cpu[:n, L["hbm"]] = hbm_v
+
     is_ecall = op == OP_ECALL
     cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
     cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
@@ -671,6 +710,7 @@ def generate_traces(
         + is_jalr.astype(np.uint32)
         + (op == OP_LUI).astype(np.uint32)
         + (op == OP_AUIPC).astype(np.uint32)
+        + is_subw_load.astype(np.uint32)
         + cpu[:n, L["is_read"]]
     )
     rd_write_mult = writes * rd_nonzero
@@ -679,7 +719,7 @@ def generate_traces(
     # ts diffs
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
-        | is_cmp | is_shift | is_div | is_jalr
+        | is_cmp | is_shift | is_div | is_jalr | is_subw
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -690,13 +730,14 @@ def generate_traces(
         | np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_MUL])
         | np.isin(op, [OP_SLT, OP_SLTU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
         | np.isin(op, [OP_SLL, OP_SRL, OP_SRA, OP_DIVU, OP_REMU])
+        | is_subw_store
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
         ("tsd_rs1", uses_rs1, 1, ev["rs1_prev_ts"]),
         ("tsd_rs2", uses_rs2, 2, ev["rs2_prev_ts"]),
         ("tsd_rd", rd_write_mult, 4, ev["rd_prev_ts"]),
-        ("tsd_mem", is_mem_u, 3, ev["mem_prev_ts"]),
+        ("tsd_mem", is_anymem.astype(np.uint32), 3, ev["mem_prev_ts"]),
     ):
         newts = ev["clk"] * 8 + slot
         diff = np.where(uses > 0, newts - prev - 1, 0).astype(np.uint64)
@@ -737,7 +778,7 @@ def generate_traces(
     # sends its (zero) result limbs to the range table.
     for i in range(nl):
         lookups.append((a_l[:, i], writes))
-    lookups.append((cpu[:n, L["maddr0_div"]], is_mem_u))
+    lookups.append((cpu[:n, L["maddr0_div"]], is_anymem.astype(np.uint32)))
     is_addr_u = is_addr.astype(np.uint32)
     for i in range(nl):
         if ws.limb_bits * i < 24:
@@ -768,11 +809,18 @@ def generate_traces(
     for i in range(2 * nl):
         lookups.append((cpu[:n, L["dvc_lo"].start + i], is_div.astype(np.uint32)))
         lookups.append((cpu[:n, L["dvc_hi"].start + i], is_div.astype(np.uint32)))
+    for i in range(nl):
+        lookups.append((cpu[:n, L["mem_prev_val"].start + i], is_subw.astype(np.uint32)))
+    for opc_, top_i in ((OP_LB, 0), (OP_LH, 1), (OP_LW, 3)):
+        rest = (
+            2 * (a_l[:, top_i].astype(np.int64) - half_top * hbm_v.astype(np.int64))
+        ) % kb.P
+        lookups.append((rest.astype(np.uint32), (op == opc_).astype(np.uint32)))
     for nm, uses in (
         ("tsd_rs1", uses_rs1),
         ("tsd_rs2", uses_rs2),
         ("tsd_rd", rd_write_mult),
-        ("tsd_mem", is_mem_u),
+        ("tsd_mem", is_anymem.astype(np.uint32)),
     ):
         sl = L[nm]
         for i in range(ws.ts_limbs):
