@@ -413,3 +413,85 @@ def membyte_ops_expected(n: int) -> int:
     s0 = (-3) & M
     s1 = 0xFFFFFFFD
     return (t2 + t3 + t5 + t6 + s0 + s1 + word) & M
+
+
+WORD_OPS = """
+    # exercise addw/addiw/subw/mulw incl. 32-bit wrap and sign extension
+    li a7, 3
+    ecall            # a0 = n
+    lui t0, 0x7FFFF
+    slli t0, t0, 4   # 0x7FFFF000 << 4 = 0x7FFFF0000 -> 32-bit ops use low half
+    addw t1, t0, a0  # sext32(0xFFFF0000 + n)
+    addiw t2, t1, 100
+    subw t3, t2, a0
+    li t4, 1037
+    mulw t5, t3, t4  # 32-bit product, sign-extended
+    addw t6, t5, t5
+    add s1, t1, t2
+    add s1, s1, t3
+    add s1, s1, t5
+    add s1, s1, t6
+    mv a0, s1
+    li a7, 0
+    ecall
+"""
+
+
+def word_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+
+    def sext32(v):
+        v &= 0xFFFFFFFF
+        return (v - (1 << 32) if v >> 31 else v) & M
+
+    t0 = 0x7FFFF0000
+    t1 = sext32((t0 + n) & 0xFFFFFFFF)
+    t2 = sext32((t1 + 100) & 0xFFFFFFFF)
+    t3 = sext32((t2 - n) & 0xFFFFFFFF)
+    t5 = sext32((t3 * 1037) & 0xFFFFFFFF)
+    t6 = sext32((t5 + t5) & 0xFFFFFFFF)
+    return (t1 + t2 + t3 + t5 + t6) & M
+
+
+WSHIFT_OPS = """
+    # exercise sllw/srlw/sraw and slliw/srliw/sraiw
+    li a7, 3
+    ecall            # a0 = n
+    lui t0, 0x80001  # 0x80001000 -> bit 31 set
+    sllw t1, t0, a0  # 32-bit left shift by n&31, sext
+    srlw t2, t0, a0  # 32-bit logical right
+    sraw t3, t0, a0  # 32-bit arithmetic right (negative operand)
+    slliw t4, t0, 3
+    srliw t5, t0, 7
+    sraiw t6, t0, 7
+    li s0, 0
+    sraw s1, t0, s0  # shift by zero: pure sext32
+    add s2, t1, t2
+    add s2, s2, t3
+    add s2, s2, t4
+    add s2, s2, t5
+    add s2, s2, t6
+    add s2, s2, s1
+    mv a0, s2
+    li a7, 0
+    ecall
+"""
+
+
+def wshift_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+
+    def sext32(v):
+        v &= 0xFFFFFFFF
+        return (v - (1 << 32) if v >> 31 else v) & M
+
+    t0_32 = 0x80001000
+    sh = n & 31
+    t1 = sext32((t0_32 << sh) & 0xFFFFFFFF)
+    t2 = sext32(t0_32 >> sh)
+    t3 = sext32(((t0_32 - (1 << 32)) >> sh) & 0xFFFFFFFF)
+    t4 = sext32((t0_32 << 3) & 0xFFFFFFFF)
+    t5 = sext32(t0_32 >> 7)
+    t6 = sext32(((t0_32 - (1 << 32)) >> 7) & 0xFFFFFFFF)
+    s1 = sext32(t0_32)
+    return (t1 + t2 + t3 + t4 + t5 + t6 + s1) & M

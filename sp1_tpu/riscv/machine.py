@@ -82,8 +82,10 @@ NUM_PV_ELTS = 20
     OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI,
     OP_DIVU, OP_REMU, OP_JALR, OP_LUI, OP_AUIPC,
     OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU, OP_SB, OP_SH, OP_SW,
-) = range(44)
-NUM_OPS = 44
+    OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
+    OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
+) = range(54)
+NUM_OPS = 54
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
@@ -92,10 +94,13 @@ SEL_NAMES = [
     "sll", "srl", "sra", "srli", "srai",
     "divu", "remu", "jalr", "lui", "auipc",
     "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
+    "addw", "addiw", "subw", "mulw",
+    "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
 CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai",
-             "lb", "lbu", "lh", "lhu", "lw", "lwu")
+             "lb", "lbu", "lh", "lhu", "lw", "lwu", "addiw",
+             "slliw", "srliw", "sraiw")
 MUL_SELS = ("mul", "muli")
 CMP_SELS = ("slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu")
 SIGNED_CMP_SELS = ("slt", "slti", "blt", "bge")
@@ -116,6 +121,14 @@ SUBW_SELS = SUBW_LOAD_SELS + SUBW_STORE_SELS
 SUBW_SIZE = {"lb": 1, "lbu": 1, "lh": 2, "lhu": 2, "lw": 4, "lwu": 4,
              "sb": 1, "sh": 2, "sw": 4}
 SUBW_SIGNED_LOADS = ("lb", "lh", "lw")
+# W-form arithmetic: 32-bit op then sign-extend. The low 4 result limbs
+# reuse the add/sub carry and mul convolution columns; the high limbs are
+# the hbm sign witness replicated.
+W_ARITH_SELS = ("addw", "addiw", "subw", "mulw")
+WSHIFT_SELS = ("sllw", "srlw", "sraw", "slliw", "srliw", "sraiw")
+WSHIFT_LEFT_SELS = ("sllw", "slliw")
+WSHIFT_RIGHT_SELS = ("srlw", "sraw", "srliw", "sraiw")
+WSRA_CLS_SELS = ("sraw", "sraiw")
 
 
 class Cols:
@@ -200,6 +213,10 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.cols("srw_lo", nl)
     c.cols("srw_hi", nl)
     c.col("sgp")
+    # W-shift extras: third amount high bit, 32-bit operand sign, its fill
+    c.col("shb2")
+    c.col("whb")
+    c.col("sgpw")
     # unsigned division: quotient/remainder limbs, 2nl-limb convolution
     # carries for q*c + r = b, the (c-1-r) borrow chain, div-by-zero flag
     c.cols("dq", nl)
@@ -338,7 +355,9 @@ class CpuChip(Chip):
                   "slt", "sltu", "slti", "sltiu",
                   "sll", "srl", "sra", "srli", "srai", "divu", "remu",
                   "lui", "auipc",
-                  "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw"):
+                  "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
+                  "addw", "addiw", "subw", "mulw",
+                  "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -629,6 +648,10 @@ class CpuChip(Chip):
         sel_shift = ops.zero()
         for sname in SHIFT_SELS:
             sel_shift = ops.add(sel_shift, sels[sname])
+        sel_wshift = ops.zero()
+        for sname in WSHIFT_SELS:
+            sel_wshift = ops.add(sel_wshift, sels[sname])
+        sel_anyshift = ops.add(sel_shift, sel_wshift)
         sel_right = ops.zero()
         for sname in SHIFT_RIGHT_SELS:
             sel_right = ops.add(sel_right, sels[sname])
@@ -644,11 +667,11 @@ class CpuChip(Chip):
         sum_q = ops.zero()
         for k in range(nl):
             sum_q = ops.add(sum_q, shq[k])
-        f.assert_eq(sum_q, sel_shift)
+        f.assert_eq(sum_q, sel_anyshift)
         sum_r = ops.zero()
         for j in range(lb):
             sum_r = ops.add(sum_r, shr[j])
-        f.assert_eq(sum_r, sel_shift)
+        f.assert_eq(sum_r, sel_anyshift)
         # amount binding: c_0 = s + 64*(2*shb1 + shb0)  (RV64 takes c & 63)
         s_val = ops.zero()
         for k in range(nl):
@@ -731,6 +754,98 @@ class CpuChip(Chip):
                 ops.mul(sel_sra_cls, ops.sub(a[i], ops.add(sel_v, fill)))
             )
 
+        # ---- W-form shifts (sllw/srlw/sraw + immediate forms) -------------
+        # Same q/r machinery restricted to the low 4 limbs; result is
+        # sign-extended from bit 31 via the shared hbm witness.
+        shb2 = g("shb2")
+        whb = g("whb")
+        sgpw = g("sgpw")
+        f.assert_bool(shb2)
+        f.assert_bool(whb)
+        half32s = nl // 2
+        sel_wl = ops.add(sels["sllw"], sels["slliw"])
+        sel_wr = ops.zero()
+        for sname in WSHIFT_RIGHT_SELS:
+            sel_wr = ops.add(sel_wr, sels[sname])
+        sel_wsrl = ops.add(sels["srlw"], sels["srliw"])
+        sel_wsra = ops.add(sels["sraw"], sels["sraiw"])
+        # byte shift < 4 on W rows
+        hi_q = ops.zero()
+        for k in range(half32s, nl):
+            hi_q = ops.add(hi_q, shq[k])
+        f.assert_zero(ops.mul(sel_wshift, hi_q))
+        # amount binding: c_0 = s + 32*(4*shb2 + 2*shb1 + shb0)
+        s_val_w = ops.zero()
+        for k in range(half32s):
+            s_val_w = ops.add(s_val_w, ops.scale_base(shq[k], lb * k))
+        for j in range(lb):
+            s_val_w = ops.add(s_val_w, ops.scale_base(shr[j], j))
+        s_val_w = ops.add(s_val_w, ops.scale_base(shb0, 32))
+        s_val_w = ops.add(s_val_w, ops.scale_base(shb1, 64))
+        s_val_w = ops.add(s_val_w, ops.scale_base(shb2, 128))
+        f.assert_zero(ops.mul(sel_wshift, ops.sub(c[0], s_val_w)))
+        # left: decompose low limbs by 2^r
+        for i in range(half32s):
+            f.assert_zero(
+                ops.mul(
+                    sel_wl,
+                    ops.sub(
+                        ops.mul(b[i], p2r),
+                        ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
+                    ),
+                )
+            )
+            sel_v = ops.zero()
+            for k in range(half32s):
+                if i - k >= 0:
+                    sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
+            f.assert_zero(ops.mul(sel_wl, ops.sub(a[i], sel_v)))
+        # right: decompose low limbs by 2^(L-r)
+        for i in range(half32s):
+            f.assert_zero(
+                ops.mul(
+                    sel_wr,
+                    ops.sub(
+                        ops.mul(b[i], p2rc),
+                        ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
+                    ),
+                )
+            )
+
+        def dlimb_w(j):
+            if j < 0 or j >= half32s:
+                return ops.zero()
+            t = srw_hi[j]
+            if j + 1 < half32s:
+                t = ops.add(t, srw_lo[j + 1])
+            return t
+
+        # sgpw = whb * (2^L - 2^(L-r)) (ungated; whb is zero off W-sra rows)
+        f.assert_eq(ops.mul(whb, ops.sub(ops.const(1 << lb), p2rc)), sgpw)
+        for i in range(half32s):
+            sel_v = ops.zero()
+            for k in range(half32s):
+                sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb_w(i + k)))
+            f.assert_zero(ops.mul(sel_wsrl, ops.sub(a[i], sel_v)))
+            filled = ops.zero()
+            for k in range(half32s - i, half32s):
+                filled = ops.add(filled, shq[k])
+            fill = ops.add(
+                ops.scale_base(ops.mul(whb, filled), (1 << lb) - 1),
+                ops.mul(shq[half32s - 1 - i], sgpw),
+            )
+            f.assert_zero(
+                ops.mul(sel_wsra, ops.sub(a[i], ops.add(sel_v, fill)))
+            )
+        # sign extension of the 32-bit result into limbs 4..7
+        for i in range(half32s, nl):
+            f.assert_zero(
+                ops.mul(
+                    sel_wshift,
+                    ops.sub(a[i], ops.scale_base(hbm, (1 << lb) - 1)),
+                )
+            )
+
         # ---- unsigned division (divu/remu) --------------------------------
         # Witness q, r with q*c + r = b proven by a 2nl-limb convolution
         # carry chain (exact over the integers: all sums < 2^24 << p), plus
@@ -794,6 +909,50 @@ class CpuChip(Chip):
             f.assert_zero(ops.mul(sels["divu"], ops.sub(a[i], dq[i])))
             f.assert_zero(ops.mul(sels["remu"], ops.sub(a[i], dr[i])))
 
+        # ---- W-form arithmetic (addw/addiw/subw/mulw) ---------------------
+        # 32-bit result in the low 4 limbs (carry out of limb 3 discarded),
+        # then limbs 4..7 replicate the hbm sign witness.
+        half32 = nl // 2
+        sel_waddsub = ops.add(ops.add(sels["addw"], sels["addiw"]), sels["subw"])
+        sel_wadd = ops.add(sels["addw"], sels["addiw"])
+        for i in range(half32):
+            cin = carry[i - 1] if i > 0 else ops.zero()
+            expr = ops.sub(
+                ops.add(ops.add(b[i], c[i]), cin),
+                ops.add(a[i], ops.mul(carry[i], base)),
+            )
+            f.assert_zero(ops.mul(sel_wadd, expr))
+            bin_ = carry[i - 1] if i > 0 else ops.zero()
+            expr_s = ops.sub(
+                ops.sub(ops.sub(b[i], c[i]), bin_),
+                ops.sub(a[i], ops.mul(carry[i], base)),
+            )
+            f.assert_zero(ops.mul(sels["subw"], expr_s))
+        for k in range(half32):
+            conv = ops.zero()
+            for i in range(k + 1):
+                conv = ops.add(conv, ops.mul(b[i], c[k - i]))
+            cin = (
+                ops.add(mc_lo[k - 1], ops.mul(mc_hi[k - 1], base))
+                if k > 0
+                else ops.zero()
+            )
+            cout = ops.add(mc_lo[k], ops.mul(mc_hi[k], base))
+            f.assert_zero(
+                ops.mul(
+                    sels["mulw"],
+                    ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
+                )
+            )
+        sel_warith = ops.add(sel_waddsub, sels["mulw"])
+        for i in range(half32, nl):
+            f.assert_zero(
+                ops.mul(
+                    sel_warith,
+                    ops.sub(a[i], ops.scale_base(hbm, (1 << ws.limb_bits) - 1)),
+                )
+            )
+
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
         uses_rs2 = self._uses_rs2(sels, ops)
@@ -836,6 +995,9 @@ class CpuChip(Chip):
         writes = ops.add(writes, sels["auipc"])
         for sname in SUBW_LOAD_SELS:
             writes = ops.add(writes, sels[sname])
+        for sname in W_ARITH_SELS:
+            writes = ops.add(writes, sels[sname])
+        writes = ops.add(writes, sel_wshift)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
@@ -844,11 +1006,14 @@ class CpuChip(Chip):
         "slt", "sltu", "slti", "sltiu", "blt", "bge", "bltu", "bgeu",
         "sll", "srl", "sra", "srli", "srai", "divu", "remu", "jalr",
         "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
+        "addw", "addiw", "subw", "mulw",
+        "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
         "slt", "sltu", "blt", "bge", "bltu", "bgeu",
         "sll", "srl", "sra", "divu", "remu", "sb", "sh", "sw",
+        "addw", "subw", "mulw", "sllw", "srlw", "sraw",
     )
 
     def _uses_rs1(self, sels, ops):
@@ -897,7 +1062,7 @@ class CpuChip(Chip):
 
     def _sel_mul_aff(self):
         L = self.layout
-        return _aff_sum([L[f"sel_{s}"] for s in MUL_SELS])
+        return _aff_sum([L[f"sel_{s}"] for s in MUL_SELS] + [L["sel_mulw"]])
 
     def sends(self) -> list:
         ws, L = self.ws, self.layout
@@ -1013,6 +1178,8 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in DIV_SELS]
             + [L["sel_jalr"], L["sel_lui"], L["sel_auipc"]]
             + [L[f"sel_{s}"] for s in SUBW_LOAD_SELS]
+            + [L[f"sel_{s}"] for s in W_ARITH_SELS]
+            + [L[f"sel_{s}"] for s in WSHIFT_SELS]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
@@ -1082,8 +1249,13 @@ class CpuChip(Chip):
             out.append(Interaction((_aff(L["mc_lo"].start + i),), sel_mul, KIND_RANGE))
             out.append(Interaction((_aff(L["mc_hi"].start + i),), sel_mul, KIND_RANGE))
         # shift decomposition limbs
-        sel_sll_aff = _aff_sum([L["sel_sll"]])
-        sel_right_aff = _aff_sum([L[f"sel_{s}"] for s in SHIFT_RIGHT_SELS])
+        sel_sll_aff = _aff_sum(
+            [L["sel_sll"]] + [L[f"sel_{s}"] for s in WSHIFT_LEFT_SELS]
+        )
+        sel_right_aff = _aff_sum(
+            [L[f"sel_{s}"] for s in SHIFT_RIGHT_SELS]
+            + [L[f"sel_{s}"] for s in WSHIFT_RIGHT_SELS]
+        )
         for i in range(nl):
             out.append(Interaction((_aff(L["sll_lo"].start + i),), sel_sll_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["sll_hi"].start + i),), sel_sll_aff, KIND_RANGE))
@@ -1105,6 +1277,41 @@ class CpuChip(Chip):
             )
         # load sign bit: rest check on the top loaded byte per signed class
         half_top2 = 1 << (ws.limb_bits - 1)
+        warith_aff = _aff_sum(
+            [L[f"sel_{s}"] for s in W_ARITH_SELS]
+            + [L[f"sel_{s}"] for s in WSHIFT_SELS]
+        )
+        # 32-bit operand sign bit for sraw/sraiw
+        out.append(
+            Interaction(
+                (
+                    Affine(
+                        0,
+                        (
+                            (main_col(L["b"].start + nl // 2 - 1), 2),
+                            (main_col(L["whb"]), (-(1 << ws.limb_bits)) % kb.P),
+                        ),
+                    ),
+                ),
+                _aff_sum([L[f"sel_{s}"] for s in WSRA_CLS_SELS]),
+                KIND_RANGE,
+            )
+        )
+        out.append(
+            Interaction(
+                (
+                    Affine(
+                        0,
+                        (
+                            (main_col(L["a"].start + nl // 2 - 1), 2),
+                            (main_col(L["hbm"]), (-(1 << ws.limb_bits)) % kb.P),
+                        ),
+                    ),
+                ),
+                warith_aff,
+                KIND_RANGE,
+            )
+        )
         for sname, top_i in (("lb", 0), ("lh", 1), ("lw", 3)):
             out.append(
                 Interaction(

@@ -56,6 +56,16 @@ from .machine import (
     OP_SB,
     OP_SH,
     OP_SW,
+    OP_ADDW,
+    OP_ADDIW,
+    OP_SUBW,
+    OP_MULW,
+    OP_SLLW,
+    OP_SRLW,
+    OP_SRAW,
+    OP_SLLIW,
+    OP_SRLIW,
+    OP_SRAIW,
     OP_OR,
     OP_ORI,
     OP_SD,
@@ -178,6 +188,45 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             rd[i], rs1[i] = rd_i, rs1_i
             sh = (w >> 20) & 63
             imm[i] = limbs_of(np.array([(1 << sh) % (1 << 64)], np.uint64), ws)[0]
+        elif opc == 0x3B and f7 == 0x00 and f3 == 0:
+            op_id[i] = OP_ADDW
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x3B and f7 == 0x20 and f3 == 0:
+            op_id[i] = OP_SUBW
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x3B and f7 == 0x01 and f3 == 0:
+            assert ws.limb_bits <= 8, "mulw requires limb_bits <= 8"
+            op_id[i] = OP_MULW
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x3B and f7 == 0x00 and f3 == 1:
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SLLW
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x3B and f7 == 0x00 and f3 == 5:
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SRLW
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x3B and f7 == 0x20 and f3 == 5:
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SRAW
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x1B and f3 == 1:  # slliw
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SLLIW
+            rd[i], rs1[i] = rd_i, rs1_i
+            sh = (w >> 20) & 31
+            imm[i] = limbs_of(np.array([sh], np.uint64), ws)[0]
+        elif opc == 0x1B and f3 == 5:  # srliw / sraiw
+            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
+            op_id[i] = OP_SRAIW if ((w >> 26) & 0x3F) == 0x10 else OP_SRLIW
+            rd[i], rs1[i] = rd_i, rs1_i
+            sh = (w >> 20) & 31
+            imm[i] = limbs_of(np.array([sh], np.uint64), ws)[0]
+        elif opc == 0x1B and f3 == 0:  # addiw
+            op_id[i] = OP_ADDIW
+            rd[i], rs1[i] = rd_i, rs1_i
+            v = sext(w >> 20, 12)
+            imm[i] = limbs_of(np.array([v % (1 << 64)], np.uint64), ws)[0]
         elif opc == 0x67 and f3 == 0:  # jalr
             op_id[i] = OP_JALR
             rd[i], rs1[i] = rd_i, rs1_i
@@ -316,17 +365,21 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                     OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU,
                     OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU,
                     OP_JALR, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
-                    OP_SB, OP_SH, OP_SW}
+                    OP_SB, OP_SH, OP_SW, OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
+                    OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
                     OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA,
-                    OP_DIVU, OP_REMU, OP_SB, OP_SH, OP_SW}
+                    OP_DIVU, OP_REMU, OP_SB, OP_SH, OP_SW,
+                    OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
                   OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
                   OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU,
                   OP_JALR, OP_LUI, OP_AUIPC,
-                  OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU}
+                  OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
+                  OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
+                  OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -409,7 +462,8 @@ def generate_traces(
     imm_l_all = rom["imm"][pc_idx]
     cimm_mask = np.isin(
         op, [OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_MULI, OP_LD, OP_SLTI, OP_SLTIU,
-             OP_SRLI, OP_SRAI, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU]
+             OP_SRLI, OP_SRAI, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
+             OP_ADDIW, OP_SLLIW, OP_SRLIW, OP_SRAIW]
     )
     c_l = np.where(cimm_mask[:, None], imm_l_all, c_l)
     cpu[:n, L["b"]] = b_l
@@ -453,11 +507,36 @@ def generate_traces(
         addr_limb[:, i] = (s & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
         addr_carry[:, i] = s >> np.uint64(ws.limb_bits)
         acc = addr_carry[:, i]
+    is_wadd = (op == OP_ADDW) | (op == OP_ADDIW)
+    is_wsub = op == OP_SUBW
+    w_carry = np.zeros((n, nl), np.uint64)
+    half32 = nl // 2
+    accw = np.zeros(n, np.uint64)
+    for i in range(half32):
+        t = b_l[:, i].astype(np.uint64) + c_l[:, i] + accw
+        w_carry[:, i] = t >> np.uint64(ws.limb_bits)
+        accw = w_carry[:, i]
+    w_borrow = np.zeros((n, nl), np.uint64)
+    accw = np.zeros(n, np.uint64)
+    for i in range(half32):
+        d = b_l[:, i].astype(np.int64) - c_l[:, i].astype(np.int64) - accw.astype(np.int64)
+        w_borrow[:, i] = (d < 0).astype(np.uint64)
+        accw = w_borrow[:, i]
     cpu[:n, L["carry"]] = np.where(
         is_sub[:, None],
         borrow,
         np.where(
-            is_add[:, None], carry, np.where(is_addr[:, None], addr_carry, 0)
+            is_add[:, None],
+            carry,
+            np.where(
+                is_addr[:, None],
+                addr_carry,
+                np.where(
+                    is_wadd[:, None],
+                    w_carry,
+                    np.where(is_wsub[:, None], w_borrow, 0),
+                ),
+            ),
         ),
     ).astype(np.uint32)
     cpu[:n, L["maddr"]] = np.where(is_addr[:, None], addr_limb, 0)
@@ -498,8 +577,24 @@ def generate_traces(
         mc_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
         mc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
         acc = cout
-    cpu[:n, L["mc_lo"]] = np.where(is_mul[:, None], mc_lo, 0)
-    cpu[:n, L["mc_hi"]] = np.where(is_mul[:, None], mc_hi, 0)
+    is_mulw = op == OP_MULW
+    mcw_lo = np.zeros((n, nl), np.uint32)
+    mcw_hi = np.zeros((n, nl), np.uint32)
+    accm = np.zeros(n, np.uint64)
+    for k in range(half32):
+        conv = accm.copy()
+        for i in range(k + 1):
+            conv = conv + b_l[:, i].astype(np.uint64) * c_l[:, k - i]
+        cout = (conv - a_l[:, k]) >> np.uint64(ws.limb_bits)
+        mcw_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
+        mcw_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
+        accm = cout
+    cpu[:n, L["mc_lo"]] = np.where(
+        is_mul[:, None], mc_lo, np.where(is_mulw[:, None], mcw_lo, 0)
+    )
+    cpu[:n, L["mc_hi"]] = np.where(
+        is_mul[:, None], mc_hi, np.where(is_mulw[:, None], mcw_hi, 0)
+    )
 
     # equality aux (for all real rows)
     d = (b_l.astype(np.int64) - c_l.astype(np.int64)) % kb.P
@@ -575,39 +670,57 @@ def generate_traces(
         is_cmp_br, taken_cmp, cpu[:n, L["taken"]]
     )
 
-    # shift machinery
+    # shift machinery (64-bit and W forms)
     is_shift = np.isin(op, [OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI])
+    is_wshift = np.isin(op, [OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW])
+    is_anyshift = is_shift | is_wshift
     is_sll = op == OP_SLL
+    is_wl = np.isin(op, [OP_SLLW, OP_SLLIW])
     is_right = np.isin(op, [OP_SRL, OP_SRA, OP_SRLI, OP_SRAI])
+    is_wr = np.isin(op, [OP_SRLW, OP_SRAW, OP_SRLIW, OP_SRAIW])
+    is_wsra = np.isin(op, [OP_SRAW, OP_SRAIW])
     lb = ws.limb_bits
-    s_amt = (c_l[:, 0] & 63).astype(np.uint32)
+    s_amt = np.where(is_wshift, c_l[:, 0] & 31, c_l[:, 0] & 63).astype(np.uint32)
     q_amt = s_amt // lb
     r_amt = s_amt % lb
     for k in range(nl):
-        cpu[:n, L["shq"].start + k] = (is_shift & (q_amt == k)).astype(np.uint32)
+        cpu[:n, L["shq"].start + k] = (is_anyshift & (q_amt == k)).astype(np.uint32)
     for j in range(lb):
-        cpu[:n, L["shr"].start + j] = (is_shift & (r_amt == j)).astype(np.uint32)
+        cpu[:n, L["shr"].start + j] = (is_anyshift & (r_amt == j)).astype(np.uint32)
     hi2 = (c_l[:, 0] >> 6).astype(np.uint32)
-    cpu[:n, L["shb0"]] = np.where(is_shift, hi2 & 1, 0)
-    cpu[:n, L["shb1"]] = np.where(is_shift, hi2 >> 1, 0)
+    hi3 = (c_l[:, 0] >> 5).astype(np.uint32)
+    cpu[:n, L["shb0"]] = np.where(
+        is_shift, hi2 & 1, np.where(is_wshift, hi3 & 1, 0)
+    )
+    cpu[:n, L["shb1"]] = np.where(
+        is_shift, hi2 >> 1, np.where(is_wshift, (hi3 >> 1) & 1, 0)
+    )
+    cpu[:n, L["shb2"]] = np.where(is_wshift, hi3 >> 2, 0)
     p2r = (np.uint64(1) << r_amt.astype(np.uint64)).astype(np.uint64)
     p2rc = (np.uint64(1) << (lb - r_amt).astype(np.uint64)).astype(np.uint64)
     mask_l = np.uint64((1 << lb) - 1)
+    half32w = nl // 2
     for i in range(nl):
+        left_m = is_sll | (is_wl & (i < half32w))
+        right_m = is_right | (is_wr & (i < half32w))
         t = b_l[:, i].astype(np.uint64) * p2r
-        cpu[:n, L["sll_lo"].start + i] = np.where(is_sll, t & mask_l, 0).astype(np.uint32)
-        cpu[:n, L["sll_hi"].start + i] = np.where(is_sll, t >> np.uint64(lb), 0).astype(np.uint32)
+        cpu[:n, L["sll_lo"].start + i] = np.where(left_m, t & mask_l, 0).astype(np.uint32)
+        cpu[:n, L["sll_hi"].start + i] = np.where(left_m, t >> np.uint64(lb), 0).astype(np.uint32)
         t = b_l[:, i].astype(np.uint64) * p2rc
-        cpu[:n, L["srw_lo"].start + i] = np.where(is_right, t & mask_l, 0).astype(np.uint32)
-        cpu[:n, L["srw_hi"].start + i] = np.where(is_right, t >> np.uint64(lb), 0).astype(np.uint32)
+        cpu[:n, L["srw_lo"].start + i] = np.where(right_m, t & mask_l, 0).astype(np.uint32)
+        cpu[:n, L["srw_hi"].start + i] = np.where(right_m, t >> np.uint64(lb), 0).astype(np.uint32)
+    whb_v = np.where(is_wsra, (b_l[:, half32w - 1] >> (lb - 1)) & 1, 0).astype(np.int64)
+    cpu[:n, L["whb"]] = whb_v.astype(np.uint32)
     # sgp = hb_b * (2^L - 2^(L-r)) holds UNGATED: on rows without shift
     # selectors the r one-hot is all-zero, so the affine 2^(L-r) is 0 and
     # sgp must equal hb_b * 2^L there (e.g. signed-cmp rows with negative b)
-    p2rc_eff = np.where(is_shift, p2rc, 0).astype(np.int64)
+    p2rc_eff = np.where(is_anyshift, p2rc, 0).astype(np.int64)
     sgp_v = (
         cpu[:n, L["hb_b"]].astype(np.int64) * (((1 << lb) - p2rc_eff) % kb.P)
     ) % kb.P
     cpu[:n, L["sgp"]] = sgp_v.astype(np.uint32)
+    sgpw_v = (whb_v * (((1 << lb) - p2rc_eff) % kb.P)) % kb.P
+    cpu[:n, L["sgpw"]] = sgpw_v.astype(np.uint32)
 
     # division machinery
     is_div = np.isin(op, [OP_DIVU, OP_REMU])
@@ -674,6 +787,13 @@ def generate_traces(
     for opc_, top_i in ((OP_LB, 0), (OP_LH, 1), (OP_LW, 3)):
         m = op == opc_
         hbm_v = np.where(m, (a_l[:, top_i] >> (ws.limb_bits - 1)) & 1, hbm_v)
+    is_warith = np.isin(op, [OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW])
+    is_wext = is_warith | np.isin(
+        op, [OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW]
+    )
+    hbm_v = np.where(
+        is_wext, (a_l[:, nl // 2 - 1] >> (ws.limb_bits - 1)) & 1, hbm_v
+    )
     cpu[:n, L["hbm"]] = hbm_v
 
     is_ecall = op == OP_ECALL
@@ -711,6 +831,8 @@ def generate_traces(
         + (op == OP_LUI).astype(np.uint32)
         + (op == OP_AUIPC).astype(np.uint32)
         + is_subw_load.astype(np.uint32)
+        + is_warith.astype(np.uint32)
+        + is_wshift.astype(np.uint32)
         + cpu[:n, L["is_read"]]
     )
     rd_write_mult = writes * rd_nonzero
@@ -719,7 +841,7 @@ def generate_traces(
     # ts diffs
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
-        | is_cmp | is_shift | is_div | is_jalr | is_subw
+        | is_cmp | is_anyshift | is_div | is_jalr | is_subw | is_warith
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -731,6 +853,7 @@ def generate_traces(
         | np.isin(op, [OP_SLT, OP_SLTU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
         | np.isin(op, [OP_SLL, OP_SRL, OP_SRA, OP_DIVU, OP_REMU])
         | is_subw_store
+        | np.isin(op, [OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW])
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
@@ -783,9 +906,10 @@ def generate_traces(
     for i in range(nl):
         if ws.limb_bits * i < 24:
             lookups.append((cpu[:n, L["maddr"].start + i], is_addr_u))
+    is_anymul = (is_mul | is_mulw).astype(np.uint32)
     for i in range(nl):
-        lookups.append((cpu[:n, L["mc_lo"].start + i], is_mul.astype(np.uint32)))
-        lookups.append((cpu[:n, L["mc_hi"].start + i], is_mul.astype(np.uint32)))
+        lookups.append((cpu[:n, L["mc_lo"].start + i], is_anymul))
+        lookups.append((cpu[:n, L["mc_hi"].start + i], is_anymul))
     for i in range(nl):
         lookups.append((cpu[:n, L["dcmp"].start + i], is_cmp.astype(np.uint32)))
     # signed sign-bit rest checks: value = 2*(top - half*hb)
@@ -797,11 +921,13 @@ def generate_traces(
     ) % kb.P
     lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls).astype(np.uint32)))
     lookups.append((rest_c.astype(np.uint32), is_signed.astype(np.uint32)))
+    left_u = (is_sll | is_wl).astype(np.uint32)
+    right_u = (is_right | is_wr).astype(np.uint32)
     for i in range(nl):
-        lookups.append((cpu[:n, L["sll_lo"].start + i], is_sll.astype(np.uint32)))
-        lookups.append((cpu[:n, L["sll_hi"].start + i], is_sll.astype(np.uint32)))
-        lookups.append((cpu[:n, L["srw_lo"].start + i], is_right.astype(np.uint32)))
-        lookups.append((cpu[:n, L["srw_hi"].start + i], is_right.astype(np.uint32)))
+        lookups.append((cpu[:n, L["sll_lo"].start + i], left_u))
+        lookups.append((cpu[:n, L["sll_hi"].start + i], left_u))
+        lookups.append((cpu[:n, L["srw_lo"].start + i], right_u))
+        lookups.append((cpu[:n, L["srw_hi"].start + i], right_u))
     for i in range(nl):
         lookups.append((cpu[:n, L["dq"].start + i], is_div.astype(np.uint32)))
         lookups.append((cpu[:n, L["dr"].start + i], is_div.astype(np.uint32)))
@@ -816,6 +942,14 @@ def generate_traces(
             2 * (a_l[:, top_i].astype(np.int64) - half_top * hbm_v.astype(np.int64))
         ) % kb.P
         lookups.append((rest.astype(np.uint32), (op == opc_).astype(np.uint32)))
+    rest_w = (
+        2 * (a_l[:, nl // 2 - 1].astype(np.int64) - half_top * hbm_v.astype(np.int64))
+    ) % kb.P
+    lookups.append((rest_w.astype(np.uint32), is_wext.astype(np.uint32)))
+    rest_whb = (
+        2 * (b_l[:, nl // 2 - 1].astype(np.int64) - half_top * whb_v)
+    ) % kb.P
+    lookups.append((rest_whb.astype(np.uint32), is_wsra.astype(np.uint32)))
     for nm, uses in (
         ("tsd_rs1", uses_rs1),
         ("tsd_rs2", uses_rs2),
