@@ -495,3 +495,60 @@ def wshift_ops_expected(n: int) -> int:
     t6 = sext32(((t0_32 - (1 << 32)) >> 7) & 0xFFFFFFFF)
     s1 = sext32(t0_32)
     return (t1 + t2 + t3 + t4 + t5 + t6 + s1) & M
+
+
+SDIV_OPS = """
+    # signed div/rem: mixed signs, div-by-zero, INT64_MIN/-1 overflow
+    li a7, 3
+    ecall            # a0 = n (positive)
+    li t0, -1000
+    sub t0, t0, a0   # negative dividend
+    li t1, 7
+    div t2, t0, t1   # negative / positive
+    rem t3, t0, t1
+    li t4, -7
+    div t5, t0, t4   # negative / negative
+    rem t6, t0, t4
+    div s0, a0, t4   # positive / negative
+    li s1, 0
+    div s2, t0, s1   # div by zero -> -1
+    rem s3, t0, s1   # rem by zero -> t0
+    li s4, 1
+    slli s4, s4, 63  # INT64_MIN
+    li s5, -1
+    div s6, s4, s5   # overflow -> INT64_MIN
+    rem s7, s4, s5   # overflow -> 0
+    add s8, t2, t3
+    add s8, s8, t5
+    add s8, s8, t6
+    add s8, s8, s0
+    add s8, s8, s2
+    add s8, s8, s3
+    add s8, s8, s6
+    add s8, s8, s7
+    mv a0, s8
+    li a7, 0
+    ecall
+"""
+
+
+def sdiv_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def trem(a, b):
+        r = abs(a) % abs(b)
+        return -r if a < 0 else r
+
+    t0 = -1000 - n
+    vals = [
+        tdiv(t0, 7), trem(t0, 7),
+        tdiv(t0, -7), trem(t0, -7),
+        tdiv(n, -7),
+        -1, t0,                      # div/rem by zero
+        -(1 << 63), 0,               # overflow pair
+    ]
+    return sum(v & M for v in vals) & M

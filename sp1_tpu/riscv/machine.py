@@ -84,8 +84,9 @@ NUM_PV_ELTS = 20
     OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU, OP_SB, OP_SH, OP_SW,
     OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
     OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
-) = range(54)
-NUM_OPS = 54
+    OP_DIV, OP_REM,
+) = range(56)
+NUM_OPS = 56
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
@@ -96,6 +97,7 @@ SEL_NAMES = [
     "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
     "addw", "addiw", "subw", "mulw",
     "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
+    "div", "rem",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
 CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai",
@@ -113,6 +115,7 @@ SHIFT_RIGHT_SELS = ("srl", "sra", "srli", "srai")
 SRL_CLS_SELS = ("srl", "srli")
 SRA_CLS_SELS = ("sra", "srai")
 DIV_SELS = ("divu", "remu")
+SDIV_SELS = ("div", "rem")
 # Sub-word memory: read-modify-write on the 8-byte cell with a one-hot
 # byte-offset select.
 SUBW_LOAD_SELS = ("lb", "lbu", "lh", "lhu", "lw", "lwu")
@@ -227,6 +230,16 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.cols("dbor", nl)
     c.col("is_div0")
     c.col("dz_inv")
+    # signed division: operand magnitudes with their negate-chain carries,
+    # the quotient sign, and div0*op product gates
+    c.cols("mb", nl)
+    c.cols("mc2", nl)
+    c.cols("ncb", nl)
+    c.cols("ncc", nl)
+    c.col("qs")
+    c.col("d0_div")
+    c.col("d0_rem")
+    c.col("d0u")
     # sub-word memory: byte-offset one-hot, the stored cell's new word,
     # and the load sign-extension bit
     c.cols("moff", nl)
@@ -357,7 +370,8 @@ class CpuChip(Chip):
                   "lui", "auipc",
                   "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
                   "addw", "addiw", "subw", "mulw",
-                  "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw"):
+                  "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
+                  "div", "rem"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -852,17 +866,19 @@ class CpuChip(Chip):
         # r < c via a (c - 1 - r) borrow chain; c == 0 takes the RV64
         # special case q = 2^64-1, r = b through the is_div0 flag.
         sel_div = ops.add(sels["divu"], sels["remu"])
+        sel_sdiv = ops.add(sels["div"], sels["rem"])
+        sel_divany = ops.add(sel_div, sel_sdiv)
         dq, dr = g("dq"), g("dr")
         dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
         ddr, dbor = g("ddr"), g("dbor")
         is_div0, dz_inv = g("is_div0"), g("dz_inv")
         f.assert_bool(is_div0)
-        f.assert_zero(ops.mul(is_div0, ops.sub(sel_div, one)))
+        f.assert_zero(ops.mul(is_div0, ops.sub(sel_divany, one)))
         s_c = ops.zero()
         for i in range(nl):
             s_c = ops.add(s_c, c[i])
         f.assert_zero(
-            ops.mul(sel_div, ops.sub(ops.add(ops.mul(s_c, dz_inv), is_div0), one))
+            ops.mul(sel_divany, ops.sub(ops.add(ops.mul(s_c, dz_inv), is_div0), one))
         )
         f.assert_zero(ops.mul(is_div0, s_c))
         for k in range(2 * nl):
@@ -889,8 +905,12 @@ class CpuChip(Chip):
         for i in range(nl):
             f.assert_zero(ops.mul(is_div0, ops.sub(dq[i], ops.const((1 << lb) - 1))))
             f.assert_zero(ops.mul(is_div0, ops.sub(dr[i], b[i])))
-        # r < c when c != 0:  c - 1 - r has no final borrow
-        sel_nz = ops.sub(sel_div, is_div0)
+        # r < c when c != 0:  c - 1 - r has no final borrow.
+        # Gate by sel_div minus (is_div0 AND unsigned): is_div0 alone would
+        # drive this gate to -1 on SIGNED divide-by-zero rows.
+        d0u = g("d0u")
+        f.assert_eq(ops.mul(is_div0, sel_div), d0u)
+        sel_nz = ops.sub(sel_div, d0u)
         for i in range(nl):
             f.assert_bool(dbor[i])
             bin_ = dbor[i - 1] if i > 0 else one
@@ -908,6 +928,97 @@ class CpuChip(Chip):
         for i in range(nl):
             f.assert_zero(ops.mul(sels["divu"], ops.sub(a[i], dq[i])))
             f.assert_zero(ops.mul(sels["remu"], ops.sub(a[i], dr[i])))
+
+        # ---- signed division (div/rem) ------------------------------------
+        # Magnitudes via sign-conditional negate chains (x = b xor sign,
+        # +sign with carries), the UNSIGNED identity on magnitudes reusing
+        # the dq/dr/dvc/ddr columns, then a sign-conditional negate of the
+        # result: quotient sign = sb xor sc, remainder sign = sb. The RV64
+        # overflow case (INT64_MIN / -1) needs no special path: magnitudes
+        # give mq = 2^63 whose two's complement bits already equal the
+        # mandated result.
+        mb, mc2 = g("mb"), g("mc2")
+        ncb, ncc = g("ncb"), g("ncc")
+        qs = g("qs")
+        d0_div, d0_rem = g("d0_div"), g("d0_rem")
+        f.assert_bool(qs)
+        f.assert_eq(ops.mul(is_div0, sels["div"]), d0_div)
+        f.assert_eq(ops.mul(is_div0, sels["rem"]), d0_rem)
+        sel_sdiv_live = ops.sub(ops.sub(sel_sdiv, d0_div), d0_rem)
+        # qs = sb + sc - 2 sb sc away from div0
+        f.assert_zero(
+            ops.mul(
+                sel_sdiv_live,
+                ops.sub(
+                    qs,
+                    ops.sub(
+                        ops.add(hb_b, hb_c),
+                        ops.scale_base(ops.mul(hb_b, hb_c), 2),
+                    ),
+                ),
+            )
+        )
+        two55 = (1 << ws.limb_bits) - 1
+
+        def neg_chain(src, dst, carr, sign, gate, extra0):
+            for i in range(nl):
+                x = ops.add(src[i], ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))))
+                cin = extra0 if i == 0 else carr[i - 1]
+                f.assert_bool(carr[i])
+                f.assert_zero(
+                    ops.mul(
+                        gate,
+                        ops.sub(
+                            ops.add(x, cin),
+                            ops.add(dst[i], ops.mul(carr[i], base)),
+                        ),
+                    )
+                )
+
+        # mb = |b|, mc2 = |c|
+        neg_chain(b, mb, ncb, hb_b, sel_sdiv, hb_b)
+        neg_chain(c, mc2, ncc, hb_c, sel_sdiv, hb_c)
+        # magnitude identity: dq*mc2 + dr = mb  (off div0)
+        for k in range(2 * nl):
+            conv = ops.zero()
+            for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                conv = ops.add(conv, ops.mul(dq[i], mc2[k - i]))
+            if k < nl:
+                conv = ops.add(conv, dr[k])
+            if k > 0:
+                conv = ops.add(
+                    conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
+                )
+            out_k = mb[k] if k < nl else ops.zero()
+            cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+            f.assert_zero(
+                ops.mul(
+                    sel_sdiv_live,
+                    ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                )
+            )
+        f.assert_zero(ops.mul(sel_sdiv_live, dvc_lo[2 * nl - 1]))
+        f.assert_zero(ops.mul(sel_sdiv_live, dvc_hi[2 * nl - 1]))
+        # dr < mc2 off div0
+        for i in range(nl):
+            bin_ = dbor[i - 1] if i > 0 else one
+            f.assert_zero(
+                ops.mul(
+                    sel_sdiv_live,
+                    ops.sub(
+                        ops.sub(ops.sub(mc2[i], dr[i]), bin_),
+                        ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
+                    ),
+                )
+            )
+        f.assert_zero(ops.mul(sel_sdiv_live, dbor[nl - 1]))
+        # result negate chains (reuse the add/sub carry columns)
+        neg_chain(dq, a, carry, qs, ops.sub(sels["div"], d0_div), qs)
+        neg_chain(dr, a, carry, hb_b, ops.sub(sels["rem"], d0_rem), hb_b)
+        # div0: q = -1, r = b (dq/dr forcing is shared with divu; bind a)
+        for i in range(nl):
+            f.assert_zero(ops.mul(d0_div, ops.sub(a[i], ops.const(two55))))
+            f.assert_zero(ops.mul(d0_rem, ops.sub(a[i], b[i])))
 
         # ---- W-form arithmetic (addw/addiw/subw/mulw) ---------------------
         # 32-bit result in the low 4 limbs (carry out of limb 3 discarded),
@@ -998,6 +1109,7 @@ class CpuChip(Chip):
         for sname in W_ARITH_SELS:
             writes = ops.add(writes, sels[sname])
         writes = ops.add(writes, sel_wshift)
+        writes = ops.add(writes, sel_sdiv)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
@@ -1008,12 +1120,13 @@ class CpuChip(Chip):
         "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
         "addw", "addiw", "subw", "mulw",
         "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
+        "div", "rem",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
         "slt", "sltu", "blt", "bge", "bltu", "bgeu",
         "sll", "srl", "sra", "divu", "remu", "sb", "sh", "sw",
-        "addw", "subw", "mulw", "sllw", "srlw", "sraw",
+        "addw", "subw", "mulw", "sllw", "srlw", "sraw", "div", "rem",
     )
 
     def _uses_rs1(self, sels, ops):
@@ -1180,6 +1293,7 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in SUBW_LOAD_SELS]
             + [L[f"sel_{s}"] for s in W_ARITH_SELS]
             + [L[f"sel_{s}"] for s in WSHIFT_SELS]
+            + [L[f"sel_{s}"] for s in SDIV_SELS]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
@@ -1189,6 +1303,7 @@ class CpuChip(Chip):
         hb_b_mult = _aff_sum(
             [L[f"sel_{s}"] for s in SIGNED_CMP_SELS]
             + [L[f"sel_{s}"] for s in SRA_CLS_SELS]
+            + [L[f"sel_{s}"] for s in SDIV_SELS]
         )
         for i in range(nl):
             out.append(
@@ -1213,6 +1328,10 @@ class CpuChip(Chip):
                 KIND_RANGE,
             )
         )
+        hb_c_mult = _aff_sum(
+            [L[f"sel_{s}"] for s in SIGNED_CMP_SELS]
+            + [L[f"sel_{s}"] for s in SDIV_SELS]
+        )
         out.append(
             Interaction(
                 (
@@ -1224,7 +1343,7 @@ class CpuChip(Chip):
                         ),
                     ),
                 ),
-                sel_signed_aff,
+                hb_c_mult,
                 KIND_RANGE,
             )
         )
@@ -1262,11 +1381,16 @@ class CpuChip(Chip):
             out.append(Interaction((_aff(L["srw_lo"].start + i),), sel_right_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["srw_hi"].start + i),), sel_right_aff, KIND_RANGE))
         # division aux limbs
-        sel_div_aff = _aff_sum([L[f"sel_{s}"] for s in DIV_SELS])
+        sel_div_aff = _aff_sum(
+            [L[f"sel_{s}"] for s in DIV_SELS] + [L[f"sel_{s}"] for s in SDIV_SELS]
+        )
+        sel_sdiv_aff = _aff_sum([L[f"sel_{s}"] for s in SDIV_SELS])
         for i in range(nl):
             out.append(Interaction((_aff(L["dq"].start + i),), sel_div_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["dr"].start + i),), sel_div_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["ddr"].start + i),), sel_div_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["mb"].start + i),), sel_sdiv_aff, KIND_RANGE))
+            out.append(Interaction((_aff(L["mc2"].start + i),), sel_sdiv_aff, KIND_RANGE))
         for i in range(2 * nl):
             out.append(Interaction((_aff(L["dvc_lo"].start + i),), sel_div_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["dvc_hi"].start + i),), sel_div_aff, KIND_RANGE))

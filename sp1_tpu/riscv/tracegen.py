@@ -44,6 +44,8 @@ from .machine import (
     OP_SRAI,
     OP_DIVU,
     OP_REMU,
+    OP_DIV,
+    OP_REM,
     OP_JALR,
     OP_LUI,
     OP_AUIPC,
@@ -172,9 +174,9 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             assert ws.limb_bits <= 8, "mul requires limb_bits <= 8 for now"
             op_id[i] = OP_MUL
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
-        elif opc == 0x33 and f7 == 0x01 and f3 in (5, 7):
+        elif opc == 0x33 and f7 == 0x01 and f3 in (4, 5, 6, 7):
             assert ws.limb_bits == 8, "div requires 8-bit limbs"
-            op_id[i] = OP_DIVU if f3 == 5 else OP_REMU
+            op_id[i] = {4: OP_DIV, 5: OP_DIVU, 6: OP_REM, 7: OP_REMU}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x13 and f3 in (0, 2, 3, 4, 6, 7):
             op_id[i] = {
@@ -366,12 +368,14 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                     OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI, OP_DIVU, OP_REMU,
                     OP_JALR, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
                     OP_SB, OP_SH, OP_SW, OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
-                    OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW}
+                    OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
+                    OP_DIV, OP_REM}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
                     OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA,
                     OP_DIVU, OP_REMU, OP_SB, OP_SH, OP_SW,
-                    OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW}
+                    OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW,
+                    OP_DIV, OP_REM}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
                   OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
@@ -379,7 +383,8 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                   OP_JALR, OP_LUI, OP_AUIPC,
                   OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
                   OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
-                  OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW}
+                  OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
+                  OP_DIV, OP_REM}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -638,8 +643,9 @@ def generate_traces(
     hb_b = (b_l[:, top] >> (ws.limb_bits - 1)) & 1
     hb_c = (c_l[:, top] >> (ws.limb_bits - 1)) & 1
     is_sra_cls = np.isin(op, [OP_SRA, OP_SRAI])
-    cpu[:n, L["hb_b"]] = np.where(is_signed | is_sra_cls, hb_b, 0)
-    cpu[:n, L["hb_c"]] = np.where(is_signed, hb_c, 0)
+    is_sdiv = np.isin(op, [OP_DIV, OP_REM])
+    cpu[:n, L["hb_b"]] = np.where(is_signed | is_sra_cls | is_sdiv, hb_b, 0)
+    cpu[:n, L["hb_c"]] = np.where(is_signed | is_sdiv, hb_c, 0)
     eb = b_l.astype(np.int64).copy()
     ec = c_l.astype(np.int64).copy()
     flip_b = np.where(is_signed, half_top - 2 * half_top * hb_b.astype(np.int64), 0)
@@ -722,54 +728,103 @@ def generate_traces(
     sgpw_v = (whb_v * (((1 << lb) - p2rc_eff) % kb.P)) % kb.P
     cpu[:n, L["sgpw"]] = sgpw_v.astype(np.uint32)
 
-    # division machinery
+    # division machinery (unsigned + signed)
     is_div = np.isin(op, [OP_DIVU, OP_REMU])
+    is_divany = is_div | is_sdiv
+    M64 = np.uint64((1 << 64) - 1)
     bv = ev["b"].astype(np.uint64)
     cv = ev["c"].astype(np.uint64)
     c_nz = cv != 0
+    # magnitudes for the signed path
+    sb = (bv >> np.uint64(63)).astype(np.uint64)
+    sc = (cv >> np.uint64(63)).astype(np.uint64)
+    mbv = np.where(sb == 1, (~bv + np.uint64(1)) & M64, bv)
+    mcv = np.where(sc == 1, (~cv + np.uint64(1)) & M64, cv)
+    # effective dividend/divisor for the quotient witness
+    ubv = np.where(is_sdiv, mbv, bv)
+    ucv = np.where(is_sdiv, mcv, cv)
     qv = np.zeros(n, np.uint64)
-    rv = bv.copy()
-    np.floor_divide(bv, cv, out=qv, where=c_nz)
-    qv = np.where(c_nz, qv, np.uint64((1 << 64) - 1))
-    rv = np.where(c_nz, bv - qv * cv, bv)
+    np.floor_divide(ubv, ucv, out=qv, where=c_nz)
+    qv = np.where(c_nz, qv, M64)
+    rv = np.where(c_nz, ubv - qv * ucv, np.where(is_sdiv, bv, bv))
+    # signed div0: dq forced to all-ones, dr forced to raw b
+    qv = np.where(is_sdiv & ~c_nz, M64, qv)
+    rv = np.where(~c_nz, bv, rv)
     dq_l = limbs_of(qv, ws)
     dr_l = limbs_of(rv, ws)
-    cpu[:n, L["dq"]] = np.where(is_div[:, None], dq_l, 0)
-    cpu[:n, L["dr"]] = np.where(is_div[:, None], dr_l, 0)
-    # convolution carries for q*c + r = b over 2nl limbs
+    cpu[:n, L["dq"]] = np.where(is_divany[:, None], dq_l, 0)
+    cpu[:n, L["dr"]] = np.where(is_divany[:, None], dr_l, 0)
+    mb_l = limbs_of(mbv, ws)
+    mc_l = limbs_of(mcv, ws)
+    cpu[:n, L["mb"]] = np.where(is_sdiv[:, None], mb_l, 0)
+    cpu[:n, L["mc2"]] = np.where(is_sdiv[:, None], mc_l, 0)
+    # negate-chain carries: x(+sign) accumulation
+    def _neg_carries(src_l, sign):
+        outc = np.zeros((n, nl), np.uint32)
+        acc = sign.astype(np.uint64)
+        for i in range(nl):
+            x = np.where(
+                sign == 1,
+                np.uint64((1 << ws.limb_bits) - 1) - src_l[:, i].astype(np.uint64),
+                src_l[:, i].astype(np.uint64),
+            )
+            t = x + acc
+            outc[:, i] = (t >> np.uint64(ws.limb_bits)).astype(np.uint32)
+            acc = outc[:, i]
+        return outc
+    cpu[:n, L["ncb"]] = np.where(is_sdiv[:, None], _neg_carries(b_l, sb), 0)
+    cpu[:n, L["ncc"]] = np.where(is_sdiv[:, None], _neg_carries(c_l, sc), 0)
+    qs_v = np.where(is_sdiv & c_nz, sb ^ sc, 0).astype(np.uint32)
+    cpu[:n, L["qs"]] = qs_v
+    cpu[:n, L["d0_div"]] = ((op == OP_DIV) & ~c_nz).astype(np.uint32)
+    cpu[:n, L["d0_rem"]] = ((op == OP_REM) & ~c_nz).astype(np.uint32)
+    cpu[:n, L["d0u"]] = (is_div & ~c_nz).astype(np.uint32)
+    # result negate-chain carries go into the shared `carry` columns
+    res_sign = np.where(op == OP_DIV, qs_v.astype(np.uint64),
+                        np.where(op == OP_REM, sb, 0))
+    res_src = np.where((op == OP_DIV)[:, None], dq_l, dr_l)
+    sdiv_live = is_sdiv & c_nz
+    res_carr = _neg_carries(res_src, res_sign)
+    cpu[:n, L["carry"]] = np.where(
+        sdiv_live[:, None], res_carr, cpu[:n, L["carry"]]
+    )
+    # convolution carries for q*divisor + r = dividend over 2nl limbs
+    conv_c = np.where(is_sdiv[:, None], mc_l, c_l)
+    conv_out = np.where(is_sdiv[:, None], mb_l, b_l)
     dvc_lo = np.zeros((n, 2 * nl), np.uint32)
     dvc_hi = np.zeros((n, 2 * nl), np.uint32)
     accd = np.zeros(n, np.uint64)
     for k in range(2 * nl):
         conv = accd.copy()
         for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-            conv = conv + dq_l[:, i].astype(np.uint64) * c_l[:, k - i]
+            conv = conv + dq_l[:, i].astype(np.uint64) * conv_c[:, k - i]
         if k < nl:
             conv = conv + dr_l[:, k]
-        out_k = b_l[:, k].astype(np.uint64) if k < nl else np.uint64(0)
+        out_k = conv_out[:, k].astype(np.uint64) if k < nl else np.uint64(0)
         cout = (conv - out_k) >> np.uint64(ws.limb_bits)
         dvc_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
         dvc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
         accd = cout
-    cpu[:n, L["dvc_lo"]] = np.where(is_div[:, None], dvc_lo, 0)
-    cpu[:n, L["dvc_hi"]] = np.where(is_div[:, None], dvc_hi, 0)
-    # (c - 1 - r) borrow chain on c != 0 rows
+    conv_mask = is_div | sdiv_live
+    cpu[:n, L["dvc_lo"]] = np.where(conv_mask[:, None], dvc_lo, 0)
+    cpu[:n, L["dvc_hi"]] = np.where(conv_mask[:, None], dvc_hi, 0)
+    # (divisor - 1 - r) borrow chain on c != 0 rows
     ddr = np.zeros((n, nl), np.uint32)
     dbor = np.zeros((n, nl), np.uint32)
     accb2 = np.ones(n, np.int64)
     for i in range(nl):
-        d = c_l[:, i].astype(np.int64) - dr_l[:, i].astype(np.int64) - accb2
+        d = conv_c[:, i].astype(np.int64) - dr_l[:, i].astype(np.int64) - accb2
         bo = (d < 0).astype(np.int64)
         ddr[:, i] = (d + bo * (1 << ws.limb_bits)).astype(np.uint32)
         dbor[:, i] = bo.astype(np.uint32)
         accb2 = bo
-    div_nz = is_div & c_nz
+    div_nz = is_divany & c_nz
     cpu[:n, L["ddr"]] = np.where(div_nz[:, None], ddr, 0)
     cpu[:n, L["dbor"]] = np.where(div_nz[:, None], dbor, 0)
-    cpu[:n, L["is_div0"]] = (is_div & ~c_nz).astype(np.uint32)
+    cpu[:n, L["is_div0"]] = (is_divany & ~c_nz).astype(np.uint32)
     s_c = c_l.sum(axis=1).astype(np.uint64) % kb.P
     dz = np.zeros(n, np.uint64)
-    nzm = is_div & (s_c != 0)
+    nzm = is_divany & (s_c != 0)
     if np.any(nzm):
         vv = s_c[nzm]
         inv = np.ones_like(vv)
@@ -826,7 +881,7 @@ def generate_traces(
         + is_mul.astype(np.uint32)
         + is_slt_fam.astype(np.uint32)
         + is_shift.astype(np.uint32)
-        + is_div.astype(np.uint32)
+        + is_divany.astype(np.uint32)
         + is_jalr.astype(np.uint32)
         + (op == OP_LUI).astype(np.uint32)
         + (op == OP_AUIPC).astype(np.uint32)
@@ -841,7 +896,7 @@ def generate_traces(
     # ts diffs
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
-        | is_cmp | is_anyshift | is_div | is_jalr | is_subw | is_warith
+        | is_cmp | is_anyshift | is_divany | is_jalr | is_subw | is_warith
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -854,6 +909,7 @@ def generate_traces(
         | np.isin(op, [OP_SLL, OP_SRL, OP_SRA, OP_DIVU, OP_REMU])
         | is_subw_store
         | np.isin(op, [OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW])
+        | is_sdiv
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
@@ -919,8 +975,8 @@ def generate_traces(
     rest_c = (
         2 * (c_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_c"]].astype(np.int64))
     ) % kb.P
-    lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls).astype(np.uint32)))
-    lookups.append((rest_c.astype(np.uint32), is_signed.astype(np.uint32)))
+    lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls | is_sdiv).astype(np.uint32)))
+    lookups.append((rest_c.astype(np.uint32), (is_signed | is_sdiv).astype(np.uint32)))
     left_u = (is_sll | is_wl).astype(np.uint32)
     right_u = (is_right | is_wr).astype(np.uint32)
     for i in range(nl):
@@ -928,13 +984,16 @@ def generate_traces(
         lookups.append((cpu[:n, L["sll_hi"].start + i], left_u))
         lookups.append((cpu[:n, L["srw_lo"].start + i], right_u))
         lookups.append((cpu[:n, L["srw_hi"].start + i], right_u))
+    is_divany_u = is_divany.astype(np.uint32)
     for i in range(nl):
-        lookups.append((cpu[:n, L["dq"].start + i], is_div.astype(np.uint32)))
-        lookups.append((cpu[:n, L["dr"].start + i], is_div.astype(np.uint32)))
-        lookups.append((cpu[:n, L["ddr"].start + i], is_div.astype(np.uint32)))
+        lookups.append((cpu[:n, L["dq"].start + i], is_divany_u))
+        lookups.append((cpu[:n, L["dr"].start + i], is_divany_u))
+        lookups.append((cpu[:n, L["ddr"].start + i], is_divany_u))
+        lookups.append((cpu[:n, L["mb"].start + i], is_sdiv.astype(np.uint32)))
+        lookups.append((cpu[:n, L["mc2"].start + i], is_sdiv.astype(np.uint32)))
     for i in range(2 * nl):
-        lookups.append((cpu[:n, L["dvc_lo"].start + i], is_div.astype(np.uint32)))
-        lookups.append((cpu[:n, L["dvc_hi"].start + i], is_div.astype(np.uint32)))
+        lookups.append((cpu[:n, L["dvc_lo"].start + i], is_divany_u))
+        lookups.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u))
     for i in range(nl):
         lookups.append((cpu[:n, L["mem_prev_val"].start + i], is_subw.astype(np.uint32)))
     for opc_, top_i in ((OP_LB, 0), (OP_LH, 1), (OP_LW, 3)):
