@@ -552,3 +552,70 @@ def sdiv_ops_expected(n: int) -> int:
         -(1 << 63), 0,               # overflow pair
     ]
     return sum(v & M for v in vals) & M
+
+
+WDIV_OPS = """
+    # 32-bit division family: mixed signs, div-by-zero, INT32_MIN/-1
+    li a7, 3
+    ecall            # a0 = n (positive)
+    li t0, -1000
+    sub t0, t0, a0   # negative (64-bit, low32 used)
+    li t1, 7
+    divw t2, t0, t1
+    remw t3, t0, t1
+    divuw t4, t0, t1 # unsigned on the low 32 bits
+    remuw t5, t0, t1
+    li t6, 0
+    divw s0, t0, t6  # div0 -> -1
+    remw s1, t0, t6  # -> sext32(b32)
+    divuw s2, t0, t6 # -> -1
+    remuw s3, t0, t6 # -> sext32(b32)
+    li s4, 1
+    slli s4, s4, 31  # INT32_MIN as u64 0x80000000
+    li s5, -1
+    divw s6, s4, s5  # overflow -> sext32(INT32_MIN)
+    remw s7, s4, s5  # -> 0
+    add s8, t2, t3
+    add s8, s8, t4
+    add s8, s8, t5
+    add s8, s8, s0
+    add s8, s8, s1
+    add s8, s8, s2
+    add s8, s8, s3
+    add s8, s8, s6
+    add s8, s8, s7
+    mv a0, s8
+    li a7, 0
+    ecall
+"""
+
+
+def wdiv_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+
+    def sext32(v):
+        v &= 0xFFFFFFFF
+        return (v - (1 << 32) if v >> 31 else v) & M
+
+    def s32(v):
+        v &= 0xFFFFFFFF
+        return v - (1 << 32) if v >> 31 else v
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def trem(a, b):
+        r = abs(a) % abs(b)
+        return -r if a < 0 else r
+
+    t0_64 = (-1000 - n) & M
+    b32 = t0_64 & 0xFFFFFFFF
+    sb = s32(b32)
+    vals = [
+        sext32(tdiv(sb, 7)), sext32(trem(sb, 7)),
+        sext32(b32 // 7), sext32(b32 % 7),
+        M, sext32(b32), M, sext32(b32),          # div0 quartet
+        sext32(-(1 << 31)), 0,                   # overflow pair
+    ]
+    return sum(vals) & M

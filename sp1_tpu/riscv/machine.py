@@ -84,9 +84,9 @@ NUM_PV_ELTS = 20
     OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU, OP_SB, OP_SH, OP_SW,
     OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
     OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
-    OP_DIV, OP_REM,
-) = range(56)
-NUM_OPS = 56
+    OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW,
+) = range(60)
+NUM_OPS = 60
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
@@ -97,7 +97,7 @@ SEL_NAMES = [
     "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
     "addw", "addiw", "subw", "mulw",
     "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
-    "div", "rem",
+    "div", "rem", "divw", "divuw", "remw", "remuw",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
 CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai",
@@ -116,6 +116,9 @@ SRL_CLS_SELS = ("srl", "srli")
 SRA_CLS_SELS = ("sra", "srai")
 DIV_SELS = ("divu", "remu")
 SDIV_SELS = ("div", "rem")
+WDIV_SELS = ("divw", "divuw", "remw", "remuw")
+WUDIV_SELS = ("divuw", "remuw")
+WSDIV_SELS = ("divw", "remw")
 # Sub-word memory: read-modify-write on the 8-byte cell with a one-hot
 # byte-offset select.
 SUBW_LOAD_SELS = ("lb", "lbu", "lh", "lhu", "lw", "lwu")
@@ -240,6 +243,11 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.col("d0_div")
     c.col("d0_rem")
     c.col("d0u")
+    # W division: 32-bit divisor sign witness + div0*class product gates
+    c.col("whc")
+    c.col("d0_wu")
+    c.col("d0_ws")
+    c.col("d0_remw")
     # sub-word memory: byte-offset one-hot, the stored cell's new word,
     # and the load sign-extension bit
     c.cols("moff", nl)
@@ -371,7 +379,7 @@ class CpuChip(Chip):
                   "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
                   "addw", "addiw", "subw", "mulw",
                   "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
-                  "div", "rem"):
+                  "div", "rem", "divw", "divuw", "remw", "remuw"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -868,19 +876,41 @@ class CpuChip(Chip):
         sel_div = ops.add(sels["divu"], sels["remu"])
         sel_sdiv = ops.add(sels["div"], sels["rem"])
         sel_divany = ops.add(sel_div, sel_sdiv)
+        sel_wudiv = ops.add(sels["divuw"], sels["remuw"])
+        sel_wsdiv = ops.add(sels["divw"], sels["remw"])
+        sel_wdiv = ops.add(sel_wudiv, sel_wsdiv)
         dq, dr = g("dq"), g("dr")
         dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
         ddr, dbor = g("ddr"), g("dbor")
         is_div0, dz_inv = g("is_div0"), g("dz_inv")
         f.assert_bool(is_div0)
-        f.assert_zero(ops.mul(is_div0, ops.sub(sel_divany, one)))
+        f.assert_zero(
+            ops.mul(is_div0, ops.sub(ops.add(sel_divany, sel_wdiv), one))
+        )
         s_c = ops.zero()
         for i in range(nl):
             s_c = ops.add(s_c, c[i])
         f.assert_zero(
             ops.mul(sel_divany, ops.sub(ops.add(ops.mul(s_c, dz_inv), is_div0), one))
         )
-        f.assert_zero(ops.mul(is_div0, s_c))
+        d0_wu, d0_ws = g("d0_wu"), g("d0_ws")
+        d0_remw = g("d0_remw")
+        whc = g("whc")
+        f.assert_bool(whc)
+        f.assert_eq(ops.mul(is_div0, sel_wudiv), d0_wu)
+        f.assert_eq(ops.mul(is_div0, sel_wsdiv), d0_ws)
+        f.assert_eq(ops.mul(is_div0, sels["remw"]), d0_remw)
+        # div0 detection: full-width sum off W rows, low-half sum on W rows
+        f.assert_zero(
+            ops.mul(ops.sub(is_div0, ops.add(d0_wu, d0_ws)), s_c)
+        )
+        s_c4 = ops.zero()
+        for i in range(nl // 2):
+            s_c4 = ops.add(s_c4, c[i])
+        f.assert_zero(ops.mul(ops.add(d0_wu, d0_ws), s_c4))
+        f.assert_zero(
+            ops.mul(sel_wdiv, ops.sub(ops.add(ops.mul(s_c4, dz_inv), is_div0), one))
+        )
         for k in range(2 * nl):
             conv = ops.zero()
             for i in range(max(0, k - nl + 1), min(nl, k + 1)):
@@ -1064,6 +1094,116 @@ class CpuChip(Chip):
                 )
             )
 
+        # ---- W-form division (divw/divuw/remw/remuw) ----------------------
+        # The 64-bit division machinery at width 4: unsigned identity on
+        # (b32, c32) or on witnessed magnitudes, then sext32 through hbm.
+        # div0 falls out of the shared dq=all-ones / dr=b forcing.
+        h4 = nl // 2
+        sel_wu_live = ops.sub(sel_wudiv, d0_wu)
+        sel_ws_live = ops.sub(sel_wsdiv, d0_ws)
+        # signed sign witness binding handled by the whb/whc range sends;
+        # qs = whb xor whc away from div0
+        f.assert_zero(
+            ops.mul(
+                sel_ws_live,
+                ops.sub(
+                    qs,
+                    ops.sub(
+                        ops.add(whb, whc),
+                        ops.scale_base(ops.mul(whb, whc), 2),
+                    ),
+                ),
+            )
+        )
+        # 4-limb magnitude negate chains for the signed path
+        for src, dst, carr, sign in ((b, mb, ncb, whb), (c, mc2, ncc, whc)):
+            for i in range(h4):
+                x = ops.add(
+                    src[i],
+                    ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))),
+                )
+                cin = sign if i == 0 else carr[i - 1]
+                f.assert_zero(
+                    ops.mul(
+                        sel_wsdiv,
+                        ops.sub(
+                            ops.add(x, cin),
+                            ops.add(dst[i], ops.mul(carr[i], base)),
+                        ),
+                    )
+                )
+        # convolution identities over 8 limbs (q, divisor, r, dividend all
+        # 4-limb): unsigned on (c, b), signed on (mc2, mb)
+        for gate, dv, dd in ((sel_wu_live, c, b), (sel_ws_live, mc2, mb)):
+            for k in range(nl):
+                conv = ops.zero()
+                for i in range(max(0, k - h4 + 1), min(h4, k + 1)):
+                    conv = ops.add(conv, ops.mul(dq[i], dv[k - i]))
+                if k < h4:
+                    conv = ops.add(conv, dr[k])
+                if k > 0:
+                    conv = ops.add(
+                        conv,
+                        ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb)),
+                    )
+                out_k = dd[k] if k < h4 else ops.zero()
+                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                f.assert_zero(
+                    ops.mul(
+                        gate,
+                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                    )
+                )
+            f.assert_zero(ops.mul(gate, dvc_lo[nl - 1]))
+            f.assert_zero(ops.mul(gate, dvc_hi[nl - 1]))
+            # r < divisor via (divisor - 1 - r), 4 limbs
+            for i in range(h4):
+                bin_ = dbor[i - 1] if i > 0 else one
+                f.assert_zero(
+                    ops.mul(
+                        gate,
+                        ops.sub(
+                            ops.sub(ops.sub(dv[i], dr[i]), bin_),
+                            ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
+                        ),
+                    )
+                )
+            f.assert_zero(ops.mul(gate, dbor[h4 - 1]))
+        # results (low half); div0 rows satisfy these via the dq/dr forcing
+        for i in range(h4):
+            f.assert_zero(ops.mul(sels["divuw"], ops.sub(a[i], dq[i])))
+            f.assert_zero(ops.mul(sels["remuw"], ops.sub(a[i], dr[i])))
+        # signed results: 4-limb negate chains (reuse the carry columns)
+        for gate, src, sign in (
+            (sels["divw"], dq, qs),
+            (ops.sub(sels["remw"], d0_remw), dr, whb),
+        ):
+            for i in range(h4):
+                x = ops.add(
+                    src[i],
+                    ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))),
+                )
+                cin = sign if i == 0 else carry[i - 1]
+                f.assert_zero(
+                    ops.mul(
+                        gate,
+                        ops.sub(
+                            ops.add(x, cin),
+                            ops.add(a[i], ops.mul(carry[i], base)),
+                        ),
+                    )
+                )
+        for i in range(h4):
+            f.assert_zero(ops.mul(d0_remw, ops.sub(a[i], b[i])))
+        # sext32 into the high limbs through hbm (holds on div0 rows too)
+        for i in range(h4, nl):
+            f.assert_zero(
+                ops.mul(
+                    sel_wdiv,
+                    ops.sub(a[i], ops.scale_base(hbm, (1 << ws.limb_bits) - 1)),
+                )
+            )
+
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
         uses_rs2 = self._uses_rs2(sels, ops)
@@ -1110,6 +1250,7 @@ class CpuChip(Chip):
             writes = ops.add(writes, sels[sname])
         writes = ops.add(writes, sel_wshift)
         writes = ops.add(writes, sel_sdiv)
+        writes = ops.add(writes, sel_wdiv)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
@@ -1120,13 +1261,14 @@ class CpuChip(Chip):
         "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
         "addw", "addiw", "subw", "mulw",
         "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
-        "div", "rem",
+        "div", "rem", "divw", "divuw", "remw", "remuw",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
         "slt", "sltu", "blt", "bge", "bltu", "bgeu",
         "sll", "srl", "sra", "divu", "remu", "sb", "sh", "sw",
         "addw", "subw", "mulw", "sllw", "srlw", "sraw", "div", "rem",
+        "divw", "divuw", "remw", "remuw",
     )
 
     def _uses_rs1(self, sels, ops):
@@ -1294,6 +1436,7 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in W_ARITH_SELS]
             + [L[f"sel_{s}"] for s in WSHIFT_SELS]
             + [L[f"sel_{s}"] for s in SDIV_SELS]
+            + [L[f"sel_{s}"] for s in WDIV_SELS]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
@@ -1382,9 +1525,14 @@ class CpuChip(Chip):
             out.append(Interaction((_aff(L["srw_hi"].start + i),), sel_right_aff, KIND_RANGE))
         # division aux limbs
         sel_div_aff = _aff_sum(
-            [L[f"sel_{s}"] for s in DIV_SELS] + [L[f"sel_{s}"] for s in SDIV_SELS]
+            [L[f"sel_{s}"] for s in DIV_SELS]
+            + [L[f"sel_{s}"] for s in SDIV_SELS]
+            + [L[f"sel_{s}"] for s in WDIV_SELS]
         )
-        sel_sdiv_aff = _aff_sum([L[f"sel_{s}"] for s in SDIV_SELS])
+        sel_sdiv_aff = _aff_sum(
+            [L[f"sel_{s}"] for s in SDIV_SELS]
+            + [L[f"sel_{s}"] for s in WSDIV_SELS]
+        )
         for i in range(nl):
             out.append(Interaction((_aff(L["dq"].start + i),), sel_div_aff, KIND_RANGE))
             out.append(Interaction((_aff(L["dr"].start + i),), sel_div_aff, KIND_RANGE))
@@ -1404,6 +1552,7 @@ class CpuChip(Chip):
         warith_aff = _aff_sum(
             [L[f"sel_{s}"] for s in W_ARITH_SELS]
             + [L[f"sel_{s}"] for s in WSHIFT_SELS]
+            + [L[f"sel_{s}"] for s in WDIV_SELS]
         )
         # 32-bit operand sign bit for sraw/sraiw
         out.append(
@@ -1417,7 +1566,26 @@ class CpuChip(Chip):
                         ),
                     ),
                 ),
-                _aff_sum([L[f"sel_{s}"] for s in WSRA_CLS_SELS]),
+                _aff_sum(
+                    [L[f"sel_{s}"] for s in WSRA_CLS_SELS]
+                    + [L[f"sel_{s}"] for s in WDIV_SELS]
+                ),
+                KIND_RANGE,
+            )
+        )
+        # 32-bit divisor sign for divw/remw
+        out.append(
+            Interaction(
+                (
+                    Affine(
+                        0,
+                        (
+                            (main_col(L["c"].start + nl // 2 - 1), 2),
+                            (main_col(L["whc"]), (-(1 << ws.limb_bits)) % kb.P),
+                        ),
+                    ),
+                ),
+                _aff_sum([L[f"sel_{s}"] for s in WSDIV_SELS]),
                 KIND_RANGE,
             )
         )

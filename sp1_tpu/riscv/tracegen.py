@@ -46,6 +46,10 @@ from .machine import (
     OP_REMU,
     OP_DIV,
     OP_REM,
+    OP_DIVW,
+    OP_DIVUW,
+    OP_REMW,
+    OP_REMUW,
     OP_JALR,
     OP_LUI,
     OP_AUIPC,
@@ -199,6 +203,10 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
         elif opc == 0x3B and f7 == 0x01 and f3 == 0:
             assert ws.limb_bits <= 8, "mulw requires limb_bits <= 8"
             op_id[i] = OP_MULW
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x3B and f7 == 0x01 and f3 in (4, 5, 6, 7):
+            assert ws.limb_bits == 8, "div requires 8-bit limbs"
+            op_id[i] = {4: OP_DIVW, 5: OP_DIVUW, 6: OP_REMW, 7: OP_REMUW}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x3B and f7 == 0x00 and f3 == 1:
             assert ws.limb_bits == 8, "shifts require 8-bit limbs"
@@ -369,13 +377,13 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                     OP_JALR, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
                     OP_SB, OP_SH, OP_SW, OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
                     OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
-                    OP_DIV, OP_REM}
+                    OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
                     OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA,
                     OP_DIVU, OP_REMU, OP_SB, OP_SH, OP_SW,
                     OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW,
-                    OP_DIV, OP_REM}
+                    OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
                   OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
@@ -384,7 +392,7 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                   OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
                   OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
                   OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
-                  OP_DIV, OP_REM}
+                  OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -715,7 +723,10 @@ def generate_traces(
         t = b_l[:, i].astype(np.uint64) * p2rc
         cpu[:n, L["srw_lo"].start + i] = np.where(right_m, t & mask_l, 0).astype(np.uint32)
         cpu[:n, L["srw_hi"].start + i] = np.where(right_m, t >> np.uint64(lb), 0).astype(np.uint32)
-    whb_v = np.where(is_wsra, (b_l[:, half32w - 1] >> (lb - 1)) & 1, 0).astype(np.int64)
+    is_wdiv_pre = np.isin(op, [OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW])
+    whb_v = np.where(
+        is_wsra | is_wdiv_pre, (b_l[:, half32w - 1] >> (lb - 1)) & 1, 0
+    ).astype(np.int64)
     cpu[:n, L["whb"]] = whb_v.astype(np.uint32)
     # sgp = hb_b * (2^L - 2^(L-r)) holds UNGATED: on rows without shift
     # selectors the r one-hot is all-zero, so the affine 2^(L-r) is 0 and
@@ -728,36 +739,48 @@ def generate_traces(
     sgpw_v = (whb_v * (((1 << lb) - p2rc_eff) % kb.P)) % kb.P
     cpu[:n, L["sgpw"]] = sgpw_v.astype(np.uint32)
 
-    # division machinery (unsigned + signed)
+    # division machinery (unsigned + signed, 64-bit + W forms)
     is_div = np.isin(op, [OP_DIVU, OP_REMU])
-    is_divany = is_div | is_sdiv
+    is_wudiv = np.isin(op, [OP_DIVUW, OP_REMUW])
+    is_wsdiv = np.isin(op, [OP_DIVW, OP_REMW])
+    is_wdiv = is_wudiv | is_wsdiv
+    is_divany = is_div | is_sdiv | is_wdiv
     M64 = np.uint64((1 << 64) - 1)
-    bv = ev["b"].astype(np.uint64)
-    cv = ev["c"].astype(np.uint64)
+    M32 = np.uint64((1 << 32) - 1)
+    bv_full = ev["b"].astype(np.uint64)
+    cv_full = ev["c"].astype(np.uint64)
+    # W ops operate on the low 32 bits
+    bv = np.where(is_wdiv, bv_full & M32, bv_full)
+    cv = np.where(is_wdiv, cv_full & M32, cv_full)
     c_nz = cv != 0
-    # magnitudes for the signed path
-    sb = (bv >> np.uint64(63)).astype(np.uint64)
-    sc = (cv >> np.uint64(63)).astype(np.uint64)
-    mbv = np.where(sb == 1, (~bv + np.uint64(1)) & M64, bv)
-    mcv = np.where(sc == 1, (~cv + np.uint64(1)) & M64, cv)
+    # magnitudes for the signed paths (64-bit two's complement / 32-bit)
+    sb = np.where(
+        is_wsdiv, (bv >> np.uint64(31)) & np.uint64(1), bv >> np.uint64(63)
+    ).astype(np.uint64)
+    sc = np.where(
+        is_wsdiv, (cv >> np.uint64(31)) & np.uint64(1), cv >> np.uint64(63)
+    ).astype(np.uint64)
+    negw = lambda v: (~v + np.uint64(1)) & M32
+    mbv = np.where(sb == 1, np.where(is_wsdiv, negw(bv), (~bv + np.uint64(1)) & M64), bv)
+    mcv = np.where(sc == 1, np.where(is_wsdiv, negw(cv), (~cv + np.uint64(1)) & M64), cv)
+    is_any_signed = is_sdiv | is_wsdiv
     # effective dividend/divisor for the quotient witness
-    ubv = np.where(is_sdiv, mbv, bv)
-    ucv = np.where(is_sdiv, mcv, cv)
+    ubv = np.where(is_any_signed, mbv, bv)
+    ucv = np.where(is_any_signed, mcv, cv)
     qv = np.zeros(n, np.uint64)
     np.floor_divide(ubv, ucv, out=qv, where=c_nz)
     qv = np.where(c_nz, qv, M64)
-    rv = np.where(c_nz, ubv - qv * ucv, np.where(is_sdiv, bv, bv))
-    # signed div0: dq forced to all-ones, dr forced to raw b
-    qv = np.where(is_sdiv & ~c_nz, M64, qv)
-    rv = np.where(~c_nz, bv, rv)
+    rv = np.where(c_nz, ubv - qv * ucv, bv_full)
+    # div0: dq forced to all-ones, dr forced to the raw full-width b
+    qv = np.where(~c_nz, M64, qv)
     dq_l = limbs_of(qv, ws)
     dr_l = limbs_of(rv, ws)
     cpu[:n, L["dq"]] = np.where(is_divany[:, None], dq_l, 0)
     cpu[:n, L["dr"]] = np.where(is_divany[:, None], dr_l, 0)
     mb_l = limbs_of(mbv, ws)
     mc_l = limbs_of(mcv, ws)
-    cpu[:n, L["mb"]] = np.where(is_sdiv[:, None], mb_l, 0)
-    cpu[:n, L["mc2"]] = np.where(is_sdiv[:, None], mc_l, 0)
+    cpu[:n, L["mb"]] = np.where(is_any_signed[:, None], mb_l, 0)
+    cpu[:n, L["mc2"]] = np.where(is_any_signed[:, None], mc_l, 0)
     # negate-chain carries: x(+sign) accumulation
     def _neg_carries(src_l, sign):
         outc = np.zeros((n, nl), np.uint32)
@@ -772,25 +795,33 @@ def generate_traces(
             outc[:, i] = (t >> np.uint64(ws.limb_bits)).astype(np.uint32)
             acc = outc[:, i]
         return outc
-    cpu[:n, L["ncb"]] = np.where(is_sdiv[:, None], _neg_carries(b_l, sb), 0)
-    cpu[:n, L["ncc"]] = np.where(is_sdiv[:, None], _neg_carries(c_l, sc), 0)
-    qs_v = np.where(is_sdiv & c_nz, sb ^ sc, 0).astype(np.uint32)
+    cpu[:n, L["ncb"]] = np.where(is_any_signed[:, None], _neg_carries(b_l, sb), 0)
+    cpu[:n, L["ncc"]] = np.where(is_any_signed[:, None], _neg_carries(c_l, sc), 0)
+    qs_v = np.where(is_any_signed & c_nz, sb ^ sc, 0).astype(np.uint32)
     cpu[:n, L["qs"]] = qs_v
     cpu[:n, L["d0_div"]] = ((op == OP_DIV) & ~c_nz).astype(np.uint32)
     cpu[:n, L["d0_rem"]] = ((op == OP_REM) & ~c_nz).astype(np.uint32)
     cpu[:n, L["d0u"]] = (is_div & ~c_nz).astype(np.uint32)
-    # result negate-chain carries go into the shared `carry` columns
-    res_sign = np.where(op == OP_DIV, qs_v.astype(np.uint64),
-                        np.where(op == OP_REM, sb, 0))
-    res_src = np.where((op == OP_DIV)[:, None], dq_l, dr_l)
+    cpu[:n, L["d0_wu"]] = (is_wudiv & ~c_nz).astype(np.uint32)
+    cpu[:n, L["d0_ws"]] = (is_wsdiv & ~c_nz).astype(np.uint32)
+    cpu[:n, L["d0_remw"]] = ((op == OP_REMW) & ~c_nz).astype(np.uint32)
+    cpu[:n, L["whc"]] = np.where(is_wsdiv, sc, 0).astype(np.uint32)
+    # result negate-chain carries go into the shared `carry` columns;
+    # divw on div0 uses qs=0, dq=all-ones so the chain closes with a=~0
+    is_qop = (op == OP_DIV) | (op == OP_DIVW)
+    res_sign = np.where(is_qop, qs_v.astype(np.uint64),
+                        np.where((op == OP_REM) | (op == OP_REMW), sb, 0))
+    res_src = np.where(is_qop[:, None], dq_l, dr_l)
     sdiv_live = is_sdiv & c_nz
+    wsdiv_chain = is_wsdiv & (c_nz | is_qop)  # divw div0 still runs its chain
     res_carr = _neg_carries(res_src, res_sign)
     cpu[:n, L["carry"]] = np.where(
-        sdiv_live[:, None], res_carr, cpu[:n, L["carry"]]
+        (sdiv_live | wsdiv_chain)[:, None], res_carr, cpu[:n, L["carry"]]
     )
     # convolution carries for q*divisor + r = dividend over 2nl limbs
-    conv_c = np.where(is_sdiv[:, None], mc_l, c_l)
-    conv_out = np.where(is_sdiv[:, None], mb_l, b_l)
+    # (W rows: only the low-half limbs participate; dividend low half)
+    conv_c = np.where(is_any_signed[:, None], mc_l, np.where(is_wdiv[:, None], limbs_of(cv, ws), c_l))
+    conv_out = np.where(is_any_signed[:, None], mb_l, np.where(is_wdiv[:, None], limbs_of(bv, ws), b_l))
     dvc_lo = np.zeros((n, 2 * nl), np.uint32)
     dvc_hi = np.zeros((n, 2 * nl), np.uint32)
     accd = np.zeros(n, np.uint64)
@@ -805,7 +836,7 @@ def generate_traces(
         dvc_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
         dvc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
         accd = cout
-    conv_mask = is_div | sdiv_live
+    conv_mask = is_div | sdiv_live | (is_wdiv & c_nz)
     cpu[:n, L["dvc_lo"]] = np.where(conv_mask[:, None], dvc_lo, 0)
     cpu[:n, L["dvc_hi"]] = np.where(conv_mask[:, None], dvc_hi, 0)
     # (divisor - 1 - r) borrow chain on c != 0 rows
@@ -822,7 +853,11 @@ def generate_traces(
     cpu[:n, L["ddr"]] = np.where(div_nz[:, None], ddr, 0)
     cpu[:n, L["dbor"]] = np.where(div_nz[:, None], dbor, 0)
     cpu[:n, L["is_div0"]] = (is_divany & ~c_nz).astype(np.uint32)
-    s_c = c_l.sum(axis=1).astype(np.uint64) % kb.P
+    s_c = np.where(
+        is_wdiv,
+        c_l[:, : nl // 2].sum(axis=1).astype(np.uint64),
+        c_l.sum(axis=1).astype(np.uint64),
+    ) % kb.P
     dz = np.zeros(n, np.uint64)
     nzm = is_divany & (s_c != 0)
     if np.any(nzm):
@@ -844,7 +879,8 @@ def generate_traces(
         hbm_v = np.where(m, (a_l[:, top_i] >> (ws.limb_bits - 1)) & 1, hbm_v)
     is_warith = np.isin(op, [OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW])
     is_wext = is_warith | np.isin(
-        op, [OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW]
+        op, [OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
+             OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW]
     )
     hbm_v = np.where(
         is_wext, (a_l[:, nl // 2 - 1] >> (ws.limb_bits - 1)) & 1, hbm_v
@@ -910,6 +946,7 @@ def generate_traces(
         | is_subw_store
         | np.isin(op, [OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW])
         | is_sdiv
+        | is_wdiv
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
@@ -989,8 +1026,8 @@ def generate_traces(
         lookups.append((cpu[:n, L["dq"].start + i], is_divany_u))
         lookups.append((cpu[:n, L["dr"].start + i], is_divany_u))
         lookups.append((cpu[:n, L["ddr"].start + i], is_divany_u))
-        lookups.append((cpu[:n, L["mb"].start + i], is_sdiv.astype(np.uint32)))
-        lookups.append((cpu[:n, L["mc2"].start + i], is_sdiv.astype(np.uint32)))
+        lookups.append((cpu[:n, L["mb"].start + i], (is_sdiv | is_wsdiv).astype(np.uint32)))
+        lookups.append((cpu[:n, L["mc2"].start + i], (is_sdiv | is_wsdiv).astype(np.uint32)))
     for i in range(2 * nl):
         lookups.append((cpu[:n, L["dvc_lo"].start + i], is_divany_u))
         lookups.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u))
@@ -1008,7 +1045,12 @@ def generate_traces(
     rest_whb = (
         2 * (b_l[:, nl // 2 - 1].astype(np.int64) - half_top * whb_v)
     ) % kb.P
-    lookups.append((rest_whb.astype(np.uint32), is_wsra.astype(np.uint32)))
+    lookups.append((rest_whb.astype(np.uint32), (is_wsra | is_wdiv).astype(np.uint32)))
+    rest_whc = (
+        2 * (c_l[:, nl // 2 - 1].astype(np.int64)
+             - half_top * cpu[:n, L["whc"]].astype(np.int64))
+    ) % kb.P
+    lookups.append((rest_whc.astype(np.uint32), is_wsdiv.astype(np.uint32)))
     for nm, uses in (
         ("tsd_rs1", uses_rs1),
         ("tsd_rs2", uses_rs2),
