@@ -619,3 +619,43 @@ def wdiv_ops_expected(n: int) -> int:
         sext32(-(1 << 31)), 0,                   # overflow pair
     ]
     return sum(vals) & M
+
+
+MULH_OPS = """
+    # high-word multiplication: mulh/mulhu/mulhsu with mixed signs
+    li a7, 3
+    ecall            # a0 = n
+    li t0, -1
+    srli t0, t0, 13  # large unsigned
+    add t0, t0, a0
+    li t1, -2037
+    mulhu t2, t0, t0 # unsigned x unsigned
+    mulh t3, t0, t1  # signed (pos x neg)
+    mulh t4, t1, t1  # neg x neg
+    mulhsu t5, t1, t0  # signed x unsigned
+    mulhu t6, t1, t1
+    add s1, t2, t3
+    add s1, s1, t4
+    add s1, s1, t5
+    add s1, s1, t6
+    mv a0, s1
+    li a7, 0
+    ecall
+"""
+
+
+def mulh_ops_expected(n: int) -> int:
+    M = (1 << 64) - 1
+
+    def s64(v):
+        v &= M
+        return v - (1 << 64) if v >> 63 else v
+
+    t0 = (((1 << 64) - 1) >> 13) + n & M
+    t1 = (-2037) & M
+    t2 = (t0 * t0) >> 64
+    t3 = (s64(t0) * s64(t1)) >> 64 & M
+    t4 = (s64(t1) * s64(t1)) >> 64
+    t5 = (s64(t1) * t0) >> 64 & M
+    t6 = (t1 * t1) >> 64
+    return (t2 + t3 + t4 + t5 + t6) & M

@@ -85,8 +85,9 @@ NUM_PV_ELTS = 20
     OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
     OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
     OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW,
-) = range(60)
-NUM_OPS = 60
+    OP_MULH, OP_MULHU, OP_MULHSU,
+) = range(63)
+NUM_OPS = 63
 
 SEL_NAMES = [
     "add", "addi", "sub", "beq", "bne", "jal", "ecall",
@@ -98,6 +99,7 @@ SEL_NAMES = [
     "addw", "addiw", "subw", "mulw",
     "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
     "div", "rem", "divw", "divuw", "remw", "remuw",
+    "mulh", "mulhu", "mulhsu",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
 CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai",
@@ -119,6 +121,7 @@ SDIV_SELS = ("div", "rem")
 WDIV_SELS = ("divw", "divuw", "remw", "remuw")
 WUDIV_SELS = ("divuw", "remuw")
 WSDIV_SELS = ("divw", "remw")
+MULH_SELS = ("mulh", "mulhu", "mulhsu")
 # Sub-word memory: read-modify-write on the 8-byte cell with a one-hot
 # byte-offset select.
 SUBW_LOAD_SELS = ("lb", "lbu", "lh", "lhu", "lw", "lwu")
@@ -379,7 +382,8 @@ class CpuChip(Chip):
                   "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
                   "addw", "addiw", "subw", "mulw",
                   "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
-                  "div", "rem", "divw", "divuw", "remw", "remuw"):
+                  "div", "rem", "divw", "divuw", "remw", "remuw",
+                  "mulh", "mulhu", "mulhsu"):
             seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
@@ -1204,6 +1208,52 @@ class CpuChip(Chip):
                 )
             )
 
+        # ---- high multiplication (mulh/mulhu/mulhsu) ----------------------
+        # Full 128-bit product via the division convolution columns:
+        # b*c = dq (low 64) + 2^64 * mb (high 64). Signed variants correct
+        # the unsigned high half: mulh = uh - sb*c - sc*b, mulhsu = uh - sb*c
+        # (mod 2^64), proven limb-wise with small witnessed carries in mc_lo.
+        sel_mulh_any = ops.add(ops.add(sels["mulh"], sels["mulhu"]), sels["mulhsu"])
+        for k in range(2 * nl):
+            conv = ops.zero()
+            for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                conv = ops.add(conv, ops.mul(b[i], c[k - i]))
+            if k > 0:
+                conv = ops.add(
+                    conv,
+                    ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb)),
+                )
+            out_k = dq[k] if k < nl else mb[k - nl]
+            cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+            f.assert_zero(
+                ops.mul(
+                    sel_mulh_any,
+                    ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                )
+            )
+        f.assert_zero(ops.mul(sel_mulh_any, dvc_lo[2 * nl - 1]))
+        f.assert_zero(ops.mul(sel_mulh_any, dvc_hi[2 * nl - 1]))
+        # mulhu: the high half is the result
+        for i in range(nl):
+            f.assert_zero(ops.mul(sels["mulhu"], ops.sub(a[i], mb[i])))
+        # signed corrections: a + sb*c (+ sc*b) = mb + carries*2^L chain
+        for gate, use_sc in ((sels["mulh"], True), (sels["mulhsu"], False)):
+            for i in range(nl):
+                lhs = ops.add(a[i], ops.mul(hb_b, c[i]))
+                if use_sc:
+                    lhs = ops.add(lhs, ops.mul(hb_c, b[i]))
+                if i > 0:
+                    lhs = ops.add(lhs, mc_lo[i - 1])
+                f.assert_zero(
+                    ops.mul(
+                        gate,
+                        ops.sub(
+                            lhs,
+                            ops.add(mb[i], ops.scale_base(mc_lo[i], 1 << lb)),
+                        ),
+                    )
+                )
+
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
         uses_rs2 = self._uses_rs2(sels, ops)
@@ -1251,6 +1301,7 @@ class CpuChip(Chip):
         writes = ops.add(writes, sel_wshift)
         writes = ops.add(writes, sel_sdiv)
         writes = ops.add(writes, sel_wdiv)
+        writes = ops.add(writes, sel_mulh_any)
         f.assert_eq(g("rd_write_mult"), ops.mul(writes, rd_nonzero))
 
     USES_RS1 = (
@@ -1262,13 +1313,14 @@ class CpuChip(Chip):
         "addw", "addiw", "subw", "mulw",
         "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
         "div", "rem", "divw", "divuw", "remw", "remuw",
+        "mulh", "mulhu", "mulhsu",
     )
     USES_RS2 = (
         "add", "sub", "beq", "bne", "ecall", "sd", "and", "or", "xor", "mul",
         "slt", "sltu", "blt", "bge", "bltu", "bgeu",
         "sll", "srl", "sra", "divu", "remu", "sb", "sh", "sw",
         "addw", "subw", "mulw", "sllw", "srlw", "sraw", "div", "rem",
-        "divw", "divuw", "remw", "remuw",
+        "divw", "divuw", "remw", "remuw", "mulh", "mulhu", "mulhsu",
     )
 
     def _uses_rs1(self, sels, ops):
@@ -1317,7 +1369,11 @@ class CpuChip(Chip):
 
     def _sel_mul_aff(self):
         L = self.layout
-        return _aff_sum([L[f"sel_{s}"] for s in MUL_SELS] + [L["sel_mulw"]])
+        return _aff_sum(
+            [L[f"sel_{s}"] for s in MUL_SELS]
+            + [L["sel_mulw"]]
+            + [L[f"sel_{s}"] for s in MULH_SELS]
+        )
 
     def sends(self) -> list:
         ws, L = self.ws, self.layout
@@ -1437,6 +1493,7 @@ class CpuChip(Chip):
             + [L[f"sel_{s}"] for s in WSHIFT_SELS]
             + [L[f"sel_{s}"] for s in SDIV_SELS]
             + [L[f"sel_{s}"] for s in WDIV_SELS]
+            + [L[f"sel_{s}"] for s in MULH_SELS]
             + [L["is_read"]]
         )
         # comparison aux: difference limbs + sign-bit rests
@@ -1447,6 +1504,7 @@ class CpuChip(Chip):
             [L[f"sel_{s}"] for s in SIGNED_CMP_SELS]
             + [L[f"sel_{s}"] for s in SRA_CLS_SELS]
             + [L[f"sel_{s}"] for s in SDIV_SELS]
+            + [L["sel_mulh"], L["sel_mulhsu"]]
         )
         for i in range(nl):
             out.append(
@@ -1474,6 +1532,7 @@ class CpuChip(Chip):
         hb_c_mult = _aff_sum(
             [L[f"sel_{s}"] for s in SIGNED_CMP_SELS]
             + [L[f"sel_{s}"] for s in SDIV_SELS]
+            + [L["sel_mulh"]]
         )
         out.append(
             Interaction(
@@ -1528,10 +1587,12 @@ class CpuChip(Chip):
             [L[f"sel_{s}"] for s in DIV_SELS]
             + [L[f"sel_{s}"] for s in SDIV_SELS]
             + [L[f"sel_{s}"] for s in WDIV_SELS]
+            + [L[f"sel_{s}"] for s in MULH_SELS]
         )
         sel_sdiv_aff = _aff_sum(
             [L[f"sel_{s}"] for s in SDIV_SELS]
             + [L[f"sel_{s}"] for s in WSDIV_SELS]
+            + [L[f"sel_{s}"] for s in MULH_SELS]
         )
         for i in range(nl):
             out.append(Interaction((_aff(L["dq"].start + i),), sel_div_aff, KIND_RANGE))

@@ -50,6 +50,9 @@ from .machine import (
     OP_DIVUW,
     OP_REMW,
     OP_REMUW,
+    OP_MULH,
+    OP_MULHU,
+    OP_MULHSU,
     OP_JALR,
     OP_LUI,
     OP_AUIPC,
@@ -181,6 +184,10 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
         elif opc == 0x33 and f7 == 0x01 and f3 in (4, 5, 6, 7):
             assert ws.limb_bits == 8, "div requires 8-bit limbs"
             op_id[i] = {4: OP_DIV, 5: OP_DIVU, 6: OP_REM, 7: OP_REMU}[f3]
+            rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
+        elif opc == 0x33 and f7 == 0x01 and f3 in (1, 2, 3):
+            assert ws.limb_bits == 8, "mulh requires 8-bit limbs"
+            op_id[i] = {1: OP_MULH, 2: OP_MULHSU, 3: OP_MULHU}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x13 and f3 in (0, 2, 3, 4, 6, 7):
             op_id[i] = {
@@ -377,13 +384,15 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                     OP_JALR, OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
                     OP_SB, OP_SH, OP_SW, OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
                     OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
-                    OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW}
+                    OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW,
+                    OP_MULH, OP_MULHU, OP_MULHSU}
     uses_rs2_ops = {OP_ADD, OP_SUB, OP_BEQ, OP_BNE, OP_ECALL, OP_SD,
                     OP_AND, OP_OR, OP_XOR, OP_MUL, OP_SLT, OP_SLTU,
                     OP_BLT, OP_BGE, OP_BLTU, OP_BGEU, OP_SLL, OP_SRL, OP_SRA,
                     OP_DIVU, OP_REMU, OP_SB, OP_SH, OP_SW,
                     OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW,
-                    OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW}
+                    OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW,
+                    OP_MULH, OP_MULHU, OP_MULHSU}
     writes_ops = {OP_ADD, OP_ADDI, OP_SUB, OP_JAL, OP_LD, OP_AND, OP_OR,
                   OP_XOR, OP_ANDI, OP_ORI, OP_XORI, OP_MUL, OP_MULI,
                   OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU,
@@ -392,7 +401,8 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
                   OP_LB, OP_LBU, OP_LH, OP_LHU, OP_LW, OP_LWU,
                   OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW,
                   OP_SLLW, OP_SRLW, OP_SRAW, OP_SLLIW, OP_SRLIW, OP_SRAIW,
-                  OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW}
+                  OP_DIV, OP_REM, OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW,
+                  OP_MULH, OP_MULHU, OP_MULHSU}
     for j in range(len(events)):
         ev = events[j]
         op = int(ops[j])
@@ -652,8 +662,10 @@ def generate_traces(
     hb_c = (c_l[:, top] >> (ws.limb_bits - 1)) & 1
     is_sra_cls = np.isin(op, [OP_SRA, OP_SRAI])
     is_sdiv = np.isin(op, [OP_DIV, OP_REM])
-    cpu[:n, L["hb_b"]] = np.where(is_signed | is_sra_cls | is_sdiv, hb_b, 0)
-    cpu[:n, L["hb_c"]] = np.where(is_signed | is_sdiv, hb_c, 0)
+    is_mulh_b = np.isin(op, [OP_MULH, OP_MULHSU])
+    is_mulh_bc = op == OP_MULH
+    cpu[:n, L["hb_b"]] = np.where(is_signed | is_sra_cls | is_sdiv | is_mulh_b, hb_b, 0)
+    cpu[:n, L["hb_c"]] = np.where(is_signed | is_sdiv | is_mulh_bc, hb_c, 0)
     eb = b_l.astype(np.int64).copy()
     ec = c_l.astype(np.int64).copy()
     flip_b = np.where(is_signed, half_top - 2 * half_top * hb_b.astype(np.int64), 0)
@@ -873,6 +885,57 @@ def generate_traces(
         dz[nzm] = inv
     cpu[:n, L["dz_inv"]] = dz.astype(np.uint32)
 
+    # high multiplication: full product halves + conv carries + correction
+    is_mulh_any = np.isin(op, [OP_MULH, OP_MULHU, OP_MULHSU])
+    if np.any(is_mulh_any):
+        idxs = np.nonzero(is_mulh_any)[0]
+        lo_l = np.zeros((n, nl), np.uint32)
+        uh_l = np.zeros((n, nl), np.uint32)
+        hc_l = np.zeros((n, nl), np.uint32)
+        dvcm_lo = np.zeros((n, 2 * nl), np.uint32)
+        dvcm_hi = np.zeros((n, 2 * nl), np.uint32)
+        for j in idxs:
+            bi, ci = int(bv_full[j]), int(cv_full[j])
+            prod = bi * ci
+            uh = prod >> 64
+            sbj, scj = bi >> 63, ci >> 63
+            for i in range(nl):
+                lo_l[j, i] = (prod >> (8 * i)) & 0xFF
+                uh_l[j, i] = (uh >> (8 * i)) & 0xFF
+            opj = int(op[j])
+            av = int(ev["a"][j])
+            accj = 0
+            for i in range(nl):
+                lhs = (av >> (8 * i)) & 0xFF
+                if opj in (OP_MULH, OP_MULHSU):
+                    lhs += sbj * ((ci >> (8 * i)) & 0xFF)
+                if opj == OP_MULH:
+                    lhs += scj * ((bi >> (8 * i)) & 0xFF)
+                lhs += accj
+                hc_l[j, i] = (lhs - ((uh >> (8 * i)) & 0xFF)) >> 8
+                accj = int(hc_l[j, i])
+            acc2 = 0
+            for k in range(2 * nl):
+                conv = acc2
+                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                    conv += ((bi >> (8 * i)) & 0xFF) * ((ci >> (8 * (k - i))) & 0xFF)
+                outk = (prod >> (8 * k)) & 0xFF
+                cout = (conv - outk) >> 8
+                dvcm_lo[j, k] = cout & 0xFF
+                dvcm_hi[j, k] = cout >> 8
+                acc2 = cout
+        cpu[:n, L["dq"]] = np.where(is_mulh_any[:, None], lo_l, cpu[:n, L["dq"]])
+        cpu[:n, L["mb"]] = np.where(is_mulh_any[:, None], uh_l, cpu[:n, L["mb"]])
+        cpu[:n, L["mc_lo"]] = np.where(
+            is_mulh_any[:, None], hc_l, cpu[:n, L["mc_lo"]]
+        )
+        cpu[:n, L["dvc_lo"]] = np.where(
+            is_mulh_any[:, None], dvcm_lo, cpu[:n, L["dvc_lo"]]
+        )
+        cpu[:n, L["dvc_hi"]] = np.where(
+            is_mulh_any[:, None], dvcm_hi, cpu[:n, L["dvc_hi"]]
+        )
+
     hbm_v = np.zeros(n, np.uint32)
     for opc_, top_i in ((OP_LB, 0), (OP_LH, 1), (OP_LW, 3)):
         m = op == opc_
@@ -919,6 +982,7 @@ def generate_traces(
         + is_shift.astype(np.uint32)
         + is_divany.astype(np.uint32)
         + is_jalr.astype(np.uint32)
+        + is_mulh_any.astype(np.uint32)
         + (op == OP_LUI).astype(np.uint32)
         + (op == OP_AUIPC).astype(np.uint32)
         + is_subw_load.astype(np.uint32)
@@ -933,6 +997,7 @@ def generate_traces(
     uses_rs1 = (
         is_add | is_addi | is_sub | is_br | is_ecall | is_mem | is_bw | is_mul
         | is_cmp | is_anyshift | is_divany | is_jalr | is_subw | is_warith
+        | is_mulh_any
     ).astype(np.uint32)
     uses_rs2 = (
         (op == OP_ADD)
@@ -947,6 +1012,7 @@ def generate_traces(
         | np.isin(op, [OP_ADDW, OP_SUBW, OP_MULW, OP_SLLW, OP_SRLW, OP_SRAW])
         | is_sdiv
         | is_wdiv
+        | is_mulh_any
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
     for nm, uses, slot, prev in (
@@ -999,7 +1065,7 @@ def generate_traces(
     for i in range(nl):
         if ws.limb_bits * i < 24:
             lookups.append((cpu[:n, L["maddr"].start + i], is_addr_u))
-    is_anymul = (is_mul | is_mulw).astype(np.uint32)
+    is_anymul = (is_mul | is_mulw | is_mulh_any).astype(np.uint32)
     for i in range(nl):
         lookups.append((cpu[:n, L["mc_lo"].start + i], is_anymul))
         lookups.append((cpu[:n, L["mc_hi"].start + i], is_anymul))
@@ -1012,8 +1078,8 @@ def generate_traces(
     rest_c = (
         2 * (c_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_c"]].astype(np.int64))
     ) % kb.P
-    lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls | is_sdiv).astype(np.uint32)))
-    lookups.append((rest_c.astype(np.uint32), (is_signed | is_sdiv).astype(np.uint32)))
+    lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls | is_sdiv | is_mulh_b).astype(np.uint32)))
+    lookups.append((rest_c.astype(np.uint32), (is_signed | is_sdiv | is_mulh_bc).astype(np.uint32)))
     left_u = (is_sll | is_wl).astype(np.uint32)
     right_u = (is_right | is_wr).astype(np.uint32)
     for i in range(nl):
@@ -1021,13 +1087,13 @@ def generate_traces(
         lookups.append((cpu[:n, L["sll_hi"].start + i], left_u))
         lookups.append((cpu[:n, L["srw_lo"].start + i], right_u))
         lookups.append((cpu[:n, L["srw_hi"].start + i], right_u))
-    is_divany_u = is_divany.astype(np.uint32)
+    is_divany_u = (is_divany | is_mulh_any).astype(np.uint32)
     for i in range(nl):
         lookups.append((cpu[:n, L["dq"].start + i], is_divany_u))
         lookups.append((cpu[:n, L["dr"].start + i], is_divany_u))
         lookups.append((cpu[:n, L["ddr"].start + i], is_divany_u))
-        lookups.append((cpu[:n, L["mb"].start + i], (is_sdiv | is_wsdiv).astype(np.uint32)))
-        lookups.append((cpu[:n, L["mc2"].start + i], (is_sdiv | is_wsdiv).astype(np.uint32)))
+        lookups.append((cpu[:n, L["mb"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
+        lookups.append((cpu[:n, L["mc2"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
     for i in range(2 * nl):
         lookups.append((cpu[:n, L["dvc_lo"].start + i], is_divany_u))
         lookups.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u))

@@ -411,3 +411,46 @@ class TestWordDiv:
         proof = prover.prove_shard(pk, traces, pv2, DuplexChallenger())
         verifier = mm.ShardVerifier(machine, CONFIG)
         assert verifier.verify_shard(pk.vk, proof, DuplexChallenger())
+
+
+class TestMulHigh:
+    @pytest.mark.parametrize("n", [0, 13, (1 << 40) + 7])
+    def test_executor(self, n):
+        prog = asm.assemble(asm.MULH_OPS)
+        res = native.execute(prog, inputs=[n])
+        assert res.exit_code == asm.mulh_ops_expected(n)
+
+    def test_constraints_and_prove(self):
+        prog = asm.assemble(asm.MULH_OPS)
+        res = native.execute(prog, inputs=[13])
+        machine = build_machine(WS)
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            pv,
+        )
+        assert violations == [], violations[:10]
+        imbal = check_balance(
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+        )
+        from sp1_tpu.air.builder import KIND_STATE
+
+        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        assert real == {}, dict(list(real.items())[:5])
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
+        from sp1_tpu.iop.challenger import DuplexChallenger
+
+        proof = prover.prove_shard(pk, traces, pv2, DuplexChallenger())
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        assert verifier.verify_shard(pk.vk, proof, DuplexChallenger())
