@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import koalabear as kb
-from ..ops.poseidon2 import DIGEST, RATE, WIDTH, hostp2
+from ..ops.poseidon2 import DIGEST, RATE, WIDTH, hostp2, permute_ints
 
 
 class DuplexChallenger:
@@ -43,7 +43,7 @@ class DuplexChallenger:
         for i, v in enumerate(self.input_buffer):
             self.state[i] = v
         self.input_buffer.clear()
-        self.state = hostp2.permute(self.state)
+        self.state = np.asarray(permute_ints(self.state), np.uint32)
         self.output_buffer = [int(x) for x in self.state[:RATE]]
 
     # -- observe -----------------------------------------------------------

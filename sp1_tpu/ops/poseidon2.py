@@ -199,7 +199,11 @@ def hash_rows(rows):
         state = jnp.concatenate([chunk, state[..., RATE:]], axis=-1)
         return permute(state), None
 
-    state = jnp.zeros(batch + (WIDTH,), dtype=jnp.uint32)
+    # Derive the zero state from the input so it inherits any shard_map
+    # varying-axis metadata (a plain jnp.zeros carry breaks lax.scan's
+    # carry-type check under shard_map).
+    zrow = rows[..., :1] ^ rows[..., :1]
+    state = jnp.broadcast_to(zrow, batch + (WIDTH,)).astype(jnp.uint32)
     state, _ = jax.lax.scan(absorb, state, chunks)
     return state[..., :DIGEST]
 
@@ -293,3 +297,58 @@ class hostp2:
             [np.asarray(left, np.uint32), np.asarray(right, np.uint32)], axis=-1
         )
         return hostp2.permute(state)[..., :DIGEST]
+
+
+# ---------------------------------------------------------------------------
+# Scalar (python-int) permutation — Fiat-Shamir hot path
+# ---------------------------------------------------------------------------
+
+_EXT_RC_I = [[int(c) for c in row] for row in EXTERNAL_RC]
+_INT_RC_I = [int(c) for c in INTERNAL_RC]
+_DIAG_I = [int(c) for c in INTERNAL_DIAG]
+_P_I = int(kb.P)
+
+
+def _ext_layer_ints(s):
+    for g in range(0, 16, 4):
+        x0, x1, x2, x3 = s[g], s[g + 1], s[g + 2], s[g + 3]
+        t01 = x0 + x1
+        t23 = x2 + x3
+        t0123 = t01 + t23
+        t01123 = t0123 + x1
+        t01233 = t0123 + x3
+        s[g] = (t01123 + t01) % _P_I
+        s[g + 1] = (t01123 + 2 * x2) % _P_I
+        s[g + 2] = (t01233 + t23) % _P_I
+        s[g + 3] = (t01233 + 2 * x0) % _P_I
+    sums = [0, 0, 0, 0]
+    for g in range(0, 16, 4):
+        for l in range(4):
+            sums[l] += s[g + l]
+    for g in range(0, 16, 4):
+        for l in range(4):
+            s[g + l] = (s[g + l] + sums[l]) % _P_I
+    return s
+
+
+def permute_ints(state):
+    """Poseidon2 on a python list of 16 canonical ints (single sponge).
+
+    ~10x faster than the row-wise numpy mirror for the sequential
+    Fiat-Shamir challenger, where per-call numpy overhead dominates."""
+    s = _ext_layer_ints([int(x) for x in state])
+    P = _P_I
+    for r in range(ROUNDS_F // 2):
+        rc = _EXT_RC_I[r]
+        s = [pow((x + c) % P, 3, P) for x, c in zip(s, rc)]
+        s = _ext_layer_ints(s)
+    for r in range(ROUNDS_P):
+        s0 = pow((s[0] + _INT_RC_I[r]) % P, 3, P)
+        s[0] = s0
+        total = sum(s) % P
+        s = [(x * d + total) % P for x, d in zip(s, _DIAG_I)]
+    for r in range(ROUNDS_F // 2, ROUNDS_F):
+        rc = _EXT_RC_I[r]
+        s = [pow((x + c) % P, 3, P) for x, c in zip(s, rc)]
+        s = _ext_layer_ints(s)
+    return s

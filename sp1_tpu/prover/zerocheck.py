@@ -248,35 +248,46 @@ class ZeroCheckPoly:
         return int(self.eq.shape[0]).bit_length() - 1
 
     def _host_sums(self) -> list:
+        # Evaluate the chip's constraints ONCE on all degree+1 X-points by
+        # stacking the interpolated tables along the row axis — the python
+        # constraint-building overhead (~3000 vector ops for the wide Cpu
+        # chip) dominates at shard sizes, so batching X is a ~(degree+1)x
+        # win over per-X evaluation.
         n2 = self.eq.shape[0] // 2
-        ys = []
-        for x in range(self.degree + 1):
-            eq_x = hostmle.at_x(self.eq, x)
-            geq_x = hostmle.at_x(self.geq, x)
-            main_x = hostmle.at_x(self.main, x)
-            prep_x = hostmle.at_x(self.prep, x) if self.prep.shape[1] else self.prep[:n2]
-            ops = NpVecOps(n2)
-            main_cols = [main_x[:, i] for i in range(main_x.shape[1])]
-            prep_cols = [prep_x[:, i] for i in range(prep_x.shape[1])]
-            alpha_b = np.broadcast_to(self.alpha_c, (n2, 4))
-            pv_vals = [
-                np.broadcast_to(self.pv_c[i], (n2, 4))
-                for i in range(self.pv_c.shape[0])
-            ]
-            folder = ConstraintFolder(ops, prep_cols, main_cols, pv_vals, alpha_b)
-            self.chip.eval(folder)
-            E = ext.npext4
-            constr = E.sub(
-                folder.accumulator,
-                E.mul(geq_x, np.broadcast_to(self.adj_c, (n2, 4))),
+        D = self.degree + 1
+        eq_s = np.concatenate([hostmle.at_x(self.eq, x) for x in range(D)], axis=0)
+        geq_s = np.concatenate([hostmle.at_x(self.geq, x) for x in range(D)], axis=0)
+        main_s = np.concatenate([hostmle.at_x(self.main, x) for x in range(D)], axis=0)
+        if self.prep.shape[1]:
+            prep_s = np.concatenate(
+                [hostmle.at_x(self.prep, x) for x in range(D)], axis=0
             )
-            batch = np.zeros((n2, 4), np.uint32)
-            for k, col in enumerate(main_cols + prep_cols):
-                batch = E.add(
-                    batch, E.mul(col, np.broadcast_to(self.gkr_powers_c[k], (n2, 4)))
-                )
-            ys.append(hostmle.sum0_fast(E.mul(eq_x, E.add(constr, batch))))
-        return ys
+        else:
+            prep_s = self.prep[: D * n2]
+        N = D * n2
+        ops = NpVecOps(N)
+        main_cols = [main_s[:, i] for i in range(main_s.shape[1])]
+        prep_cols = [prep_s[:, i] for i in range(prep_s.shape[1])]
+        alpha_b = np.broadcast_to(self.alpha_c, (N, 4))
+        pv_vals = [
+            np.broadcast_to(self.pv_c[i], (N, 4)) for i in range(self.pv_c.shape[0])
+        ]
+        folder = ConstraintFolder(ops, prep_cols, main_cols, pv_vals, alpha_b)
+        self.chip.eval(folder)
+        E = ext.npext4
+        constr = E.sub(
+            folder.accumulator,
+            E.mul(geq_s, np.broadcast_to(self.adj_c, (N, 4))),
+        )
+        batch = np.zeros((N, 4), np.uint32)
+        for k, col in enumerate(main_cols + prep_cols):
+            batch = E.add(
+                batch, E.mul(col, np.broadcast_to(self.gkr_powers_c[k], (N, 4)))
+            )
+        total = E.mul(eq_s, E.add(constr, batch))
+        return [
+            hostmle.sum0_fast(total[x * n2: (x + 1) * n2]) for x in range(D)
+        ]
 
     def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
         if self.host:
