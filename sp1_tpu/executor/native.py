@@ -1,13 +1,16 @@
 """ctypes binding for the native RV64IM executor (native/executor.cpp).
 
-Builds the shared library on demand with g++ (cached by mtime). The
-events come back as a structured numpy array matching the C++ `Event`
+Always builds from source: the library filename is keyed by a hash of
+executor.cpp, so a stale or foreign binary can never be loaded (build
+artifacts live under native/build/, which is gitignored). The events
+come back as a structured numpy array matching the C++ `Event`
 layout — the input to trace generation.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -15,7 +18,12 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "executor.cpp")
-_LIB = os.path.join(_REPO, "native", "libsp1executor.so")
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    return os.path.join(_REPO, "native", "build", f"libsp1executor-{digest}.so")
 
 EVENT_DTYPE = np.dtype(
     [
@@ -45,20 +53,23 @@ FLAG_HALT = 4
 _lib = None
 
 
-def _build():
-    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+def _build(lib_path: str):
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    tmp = lib_path + f".tmp{os.getpid()}"
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC],
         check=True,
     )
+    os.replace(tmp, lib_path)  # atomic under concurrent builders
 
 
 def get_lib():
     global _lib
     if _lib is None:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            _build()
-        lib = ctypes.CDLL(_LIB)
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.ex_create.restype = ctypes.c_void_p
         lib.ex_create.argtypes = [
             ctypes.POINTER(ctypes.c_uint32),

@@ -23,6 +23,7 @@ from ..iop import sumcheck as sc
 from ..iop.challenger import DuplexChallenger
 from ..ops import mle as mle_ops
 from ..pcs import jagged
+from ..utils import timing
 from ..pcs.jagged import JaggedConfig, full_geq_host, point_from_usize
 from . import logup_gkr as gkr
 from . import zerocheck as zc
@@ -117,12 +118,27 @@ def global_chips_of(machine, chips):
 
 class _BindingChip:
     """Constraint-free chip mirror used for the zerocheck polys that bind
-    the global GKR's trace openings to the zerocheck final point."""
+    the global GKR's trace openings to the zerocheck final point.
+
+    Instances are cached per wrapped chip (`of`) so the jit round kernels
+    memoized on the mirror survive across prove calls.
+    """
 
     def __init__(self, chip):
         self.name = chip.name + "#global"
         self.width = chip.width
         self.preprocessed_width = chip.preprocessed_width
+
+    @staticmethod
+    def of(chip) -> "_BindingChip":
+        mirror = getattr(chip, "_binding_mirror", None)
+        if mirror is None:
+            mirror = _BindingChip(chip)
+            try:
+                chip._binding_mirror = mirror
+            except AttributeError:
+                pass
+        return mirror
 
     def eval(self, f):
         pass
@@ -192,9 +208,10 @@ class ShardProver:
         # Commit main traces (in chip order).
         main_mles = [trace_mles[c.name] for c in chips]
         main_heights = [heights[c.name] for c in chips]
-        main_commit, main_data = jagged.commit_multilinears(
-            main_mles, main_heights, self.config
-        )
+        with timing.span("commit"):
+            main_commit, main_data = jagged.commit_multilinears(
+                main_mles, main_heights, self.config
+            )
         challenger.observe_digest(main_commit)
         challenger.observe(len(chips))
         for c in chips:
@@ -203,15 +220,16 @@ class ShardProver:
             for b in c.name.encode():
                 challenger.observe(b)
 
-        logup_proof = gkr.prove_logup_gkr(
-            machine,
-            chips,
-            pk.preprocessed_traces,
-            trace_mles,
-            heights,
-            public_values,
-            challenger,
-        )
+        with timing.span("gkr"):
+            logup_proof = gkr.prove_logup_gkr(
+                machine,
+                chips,
+                pk.preprocessed_traces,
+                trace_mles,
+                heights,
+                public_values,
+                challenger,
+            )
 
         # Global (cross-shard) LogUp instance over the global-scope
         # interactions; challenges are shared across shards when provided.
@@ -225,17 +243,18 @@ class ShardProver:
                 betas_g = mle_ops.host.partial_lagrange_ext(seed_g)
             else:
                 alpha_g, betas_g = global_ctx
-            global_proof = gkr.prove_logup_gkr(
-                machine,
-                g_chips,
-                pk.preprocessed_traces,
-                {c.name: trace_mles[c.name] for c in g_chips},
-                {c.name: heights[c.name] for c in g_chips},
-                public_values,
-                challenger,
-                scope="global",
-                global_challenges=(alpha_g, betas_g),
-            )
+            with timing.span("global_gkr"):
+                global_proof = gkr.prove_logup_gkr(
+                    machine,
+                    g_chips,
+                    pk.preprocessed_traces,
+                    {c.name: trace_mles[c.name] for c in g_chips},
+                    {c.name: heights[c.name] for c in g_chips},
+                    public_values,
+                    challenger,
+                    scope="global",
+                    global_challenges=(alpha_g, betas_g),
+                )
 
         batching_challenge = challenger.sample_ext()  # alpha for constraints
         gkr_batch_challenge = challenger.sample_ext()
@@ -280,7 +299,7 @@ class ShardProver:
             for chip in g_chips:
                 opening2 = global_proof.logup_evaluations.chip_openings[chip.name]
                 bpoly = zc.make_zerocheck_poly(
-                    _BindingChip(chip),
+                    _BindingChip.of(chip),
                     trace_mles[chip.name],
                     pk.preprocessed_traces.get(chip.name),
                     heights[chip.name],
@@ -306,9 +325,10 @@ class ShardProver:
                 claims.append(claim2)
 
         lam = challenger.sample_ext()
-        zerocheck_proof, component_evals = sc.reduce_sumcheck_to_evaluation(
-            polys, challenger, claims, lam
-        )
+        with timing.span("zerocheck"):
+            zerocheck_proof, component_evals = sc.reduce_sumcheck_to_evaluation(
+                polys, challenger, claims, lam
+            )
         component_evals = component_evals[: len(chips)]
 
         challenger.observe(len(chips))
@@ -334,13 +354,14 @@ class ShardProver:
         if not prep_claims:
             prep_claims = [np.zeros((1, 4), np.uint32)]  # dummy table
         main_claims = [opened_values[c.name].main for c in chips]
-        evaluation_proof = jagged.prove_trusted_evaluations(
-            eval_point,
-            [prep_claims, main_claims],
-            [pk.preprocessed_data, main_data],
-            self.config,
-            challenger,
-        )
+        with timing.span("opening"):
+            evaluation_proof = jagged.prove_trusted_evaluations(
+                eval_point,
+                [prep_claims, main_claims],
+                [pk.preprocessed_data, main_data],
+                self.config,
+                challenger,
+            )
 
         return ShardProof(
             public_values=public_values,
@@ -449,7 +470,27 @@ class ShardVerifier:
         ):
             return False
 
-        # PCS opening proof.
+        # PCS opening proof. First bind the two height declarations
+        # together: the degree bits in opened_values (which drove the
+        # GKR/zerocheck padded-row adjustments above) must equal the row
+        # counts in the jagged layout metadata (which drive the PCS
+        # semantics) — the prover must not control them independently
+        # (reference: verifier derives jagged params from opened degrees,
+        # crates/hypercube/src/verifier/shard.rs).
+        rc_cc = proof.evaluation_proof.row_counts_and_column_counts
+        if len(rc_cc) != 2:
+            return False
+        main_rc = rc_cc[1]
+        # main round layout = one (rows, cols) per chip + 2 padding tables
+        if len(main_rc) != len(chips) + 2:
+            return False
+        for i, chip in enumerate(chips):
+            height = 0
+            for b in proof.opened_values[chip.name].degree:
+                height = int(b) + 2 * height
+            if int(main_rc[i][0]) != height or int(main_rc[i][1]) != chip.width:
+                return False
+
         prep_claims = [
             proof.opened_values[c.name].preprocessed
             for c in chips

@@ -120,7 +120,14 @@ def padded_row_adjustment_host(chip, public_values, alpha):
 
 
 def _make_round_kernel(chip, num_points: int):
-    """Build the jit kernel computing the restricted sums for one chip."""
+    """Build (and memoize on the chip) the jit kernel computing the
+    restricted sums for one chip. Memoization keeps one traced function
+    per chip across prove calls so jax's in-process jit cache is hit on
+    every round/shard after the first."""
+    attr = f"_zc_round_kernel_{num_points}"
+    cached = getattr(chip, attr, None)
+    if cached is not None:
+        return cached
 
     @partial(jax.jit, static_argnums=())
     def kernel(eq, geq, main, prep, alpha_m, adj_m, gkr_powers_m, pv_m):
@@ -181,6 +188,10 @@ def _make_round_kernel(chip, num_points: int):
             outs.append(mle_ops._sum_ext_axis0(total))
         return outs
 
+    try:
+        setattr(chip, attr, kernel)
+    except AttributeError:
+        pass  # chips with __slots__ just skip memoization
     return kernel
 
 

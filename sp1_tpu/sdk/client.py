@@ -43,14 +43,26 @@ class SP1ProofWithPublicValues:
 
 
 class CpuProver:
-    """Local prover running the TPU-backed proving stack in-process."""
+    """Local prover running the TPU-backed proving stack in-process.
 
-    def __init__(self, word_spec=None, max_log_row_count=14, config=None):
-        self.ws = word_spec or WordSpec(limb_bits=8)
+    Defaults are the production parameters (reference:
+    crates/primitives/src/fri_params.rs core config — log_blowup=2,
+    unique-decoding query count, 16-bit PoW grind — and the 16-bit limb
+    word model). Pass explicit `word_spec`/`config` to opt into smaller
+    test shapes.
+    """
+
+    def __init__(self, word_spec=None, max_log_row_count=16, config=None):
+        self.ws = word_spec or WordSpec(limb_bits=16)
+        if max_log_row_count < self.ws.limb_bits:
+            raise ValueError(
+                f"max_log_row_count={max_log_row_count} cannot fit the "
+                f"2^{self.ws.limb_bits}-row range table"
+            )
         self.mlrc = max_log_row_count
         self.config = config or JaggedConfig(
-            FriConfig(log_blowup=1, num_queries=84, proof_of_work_bits=16),
-            log_stacking_height=min(16, max_log_row_count + 3),
+            FriConfig.core(),
+            log_stacking_height=min(21, max_log_row_count + 3),
             max_log_row_count=max_log_row_count,
         )
         self.machine = build_machine(self.ws)
@@ -123,10 +135,16 @@ class _Builder:
 
 
 class MockProver(CpuProver):
-    """Executes and fakes proofs (reference: crates/sdk MockProver)."""
+    """Executes and fakes proofs (reference: crates/sdk MockProver).
+
+    Uses a small toy word model — no real proof is ever produced, so the
+    production parameters would only slow setup down.
+    """
 
     def __init__(self):
-        super().__init__(max_log_row_count=10)
+        from ..riscv.machine import WordSpec
+
+        super().__init__(word_spec=WordSpec(limb_bits=8), max_log_row_count=10)
 
     def prove(self, pk, stdin=None):
         res = native.execute(pk.program, inputs=stdin or [])

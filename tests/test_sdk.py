@@ -3,13 +3,18 @@
 from sp1_tpu.executor import asm
 from sp1_tpu.pcs.basefold import FriConfig
 from sp1_tpu.pcs.jagged import JaggedConfig
+from sp1_tpu.riscv.machine import WordSpec
 from sp1_tpu.sdk.client import ProverClient
 
 
 def small_client():
+    # The toy word model / small FRI parameters are an explicit opt-in;
+    # the SDK defaults are the production parameters (16-bit limbs,
+    # FriConfig.core()).
     return (
         ProverClient.builder()
         .cpu(
+            word_spec=WordSpec(limb_bits=8),
             max_log_row_count=8,
             config=JaggedConfig(
                 FriConfig(log_blowup=1, num_queries=6, proof_of_work_bits=2),
