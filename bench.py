@@ -111,9 +111,11 @@ def child_main(mode: str):
     prover = mm.ShardProver(machine, config)
     pk = prover.setup(preprocessed_traces=prep)
 
-    # Warm-up run (compilation), then timed run.
+    # Warm-up run (jit compilation) in device mode only — the host child
+    # is pure numpy, where a warmup just burns the time budget.
     pv = tracegen.make_public_values(res, 0, ws)
-    for timed in (False, True):
+    runs = (False, True) if mode == "device" else (True,)
+    for timed in runs:
         timing.reset()
         ch = DuplexChallenger()
         pk.vk.observe_into(ch)

@@ -64,6 +64,13 @@ class Machine:
         """
         return True, np.zeros(4, np.uint32)
 
+    def pv_digest_spec(self):
+        """Declarative form of eval_public_values for external verifiers:
+        (boolean_pv_indices, [(kind, [pv_index, ...], sign)]) where the
+        digest is sum of sign * 1/fingerprint(kind, pv values). The base
+        machine has no public-value interactions."""
+        return [], []
+
 
 @dataclass
 class MachineVerifyingKey:

@@ -251,10 +251,19 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.col("d0_wu")
     c.col("d0_ws")
     c.col("d0_remw")
-    # sub-word memory: byte-offset one-hot, the stored cell's new word,
-    # and the load sign-extension bit
-    c.cols("moff", nl)
+    # sub-word memory: byte-offset one-hot (always 8 byte offsets of the
+    # 8-byte cell), the stored cell's new word, and the load
+    # sign-extension bit. With 16-bit limbs (bpl=2) the byte-granular
+    # ops (lb/lbu/sb) additionally witness a byte split of the previous
+    # word (mpb) and of the stored register's low limb (cb0/cb1), all
+    # byte-checked through the byte table (whose half-limbs are 8-bit
+    # exactly when limb_bits=16).
+    c.cols("moff", 8)
     c.cols("nw", nl)
+    if ws.limb_bits == 16:
+        c.cols("mpb", 8)
+        c.col("cb0")
+        c.col("cb1")
     c.col("hbm")
     c.col("is_halt")
     c.col("is_read")
@@ -499,13 +508,22 @@ class CpuChip(Chip):
             f.assert_zero(ops.mul(sels["ld"], ops.sub(a[i], mem_prev_val[i])))
 
         # ---- sub-word memory (lb/lh/lw families, sb/sh/sw) ----------------
+        # moff is a one-hot over the 8 *byte* offsets of the 8-byte cell.
+        # bpl = bytes per limb: 1 (limb_bits=8, limbs are bytes — the byte
+        # loops below degenerate to the limb loops) or 2 (limb_bits=16,
+        # where byte-granular lb/lbu/sb operate through the mpb/cb byte
+        # split witnesses). Reference handles the same split with
+        # per-width memory chips (crates/core/machine/src/memory/).
+        assert ws.limb_bits in (8, 16), "sub-word memory supports 8/16-bit limbs"
+        bpl = ws.limb_bits // 8
+        NB = 8
         moff = g("moff")
         nw = g("nw")
         hbm = g("hbm")
         f.assert_bool(hbm)
         sum_off = ops.zero()
         off_val = ops.zero()
-        for k in range(nl):
+        for k in range(NB):
             f.assert_bool(moff[k])
             sum_off = ops.add(sum_off, moff[k])
             off_val = ops.add(off_val, ops.scale_base(moff[k], k))
@@ -525,28 +543,70 @@ class CpuChip(Chip):
             odd = ops.add(odd, moff[k])
         f.assert_zero(ops.mul(sel_half, odd))
         nonw = ops.zero()
-        for k in range(nl):
+        for k in range(NB):
             if k % 4:
                 nonw = ops.add(nonw, moff[k])
         f.assert_zero(ops.mul(sel_word, nonw))
-        # loads: a_i = selected byte(s) of the (unchanged) word; extension
+        # byte split of the previous word / stored low limb (bpl == 2):
+        # mpv_i = mpb_{2i} + 256*mpb_{2i+1} on lb/lbu/sb rows,
+        # c_0 = cb0 + 256*cb1 on sb rows; all bytes checked < 256 through
+        # the byte table (see sends()).
+        if bpl == 2:
+            mpb = g("mpb")
+            cb0, cb1 = g("cb0"), g("cb1")
+            sel_bytemem = ops.add(
+                ops.add(sels["lb"], sels["lbu"]), sels["sb"]
+            )
+            for i in range(nl):
+                f.assert_zero(
+                    ops.mul(
+                        sel_bytemem,
+                        ops.sub(
+                            mem_prev_val[i],
+                            ops.add(mpb[2 * i], ops.scale_base(mpb[2 * i + 1], 256)),
+                        ),
+                    )
+                )
+            f.assert_zero(
+                ops.mul(
+                    sels["sb"],
+                    ops.sub(c[0], ops.add(cb0, ops.scale_base(cb1, 256))),
+                )
+            )
+        # loads: a = selected byte(s) of the (unchanged) word + extension
+        full_limb = (1 << ws.limb_bits) - 1
         for sname in SUBW_LOAD_SELS:
-            size = SUBW_SIZE[sname]
+            size = SUBW_SIZE[sname]  # bytes
             signed = sname in SUBW_SIGNED_LOADS
-            for i in range(size):
-                ext_v = ops.zero()
-                for k in range(0, nl - size + 1, size):
-                    ext_v = ops.add(ext_v, ops.mul(moff[k], mem_prev_val[k + i]))
-                f.assert_zero(ops.mul(sels[sname], ops.sub(a[i], ext_v)))
-            for i in range(size, nl):
+            if size >= bpl:
+                sl = size // bpl  # limbs occupied by the loaded value
+                for i in range(sl):
+                    val = ops.zero()
+                    for k in range(0, NB - size + 1, size):
+                        val = ops.add(
+                            val, ops.mul(moff[k], mem_prev_val[k // bpl + i])
+                        )
+                    f.assert_zero(ops.mul(sels[sname], ops.sub(a[i], val)))
+                ext_start = sl
+            else:
+                # lb/lbu with 16-bit limbs: select a byte; the low limb is
+                # that byte plus an in-limb sign fill of 0xFF00 * hbm.
+                eb0 = ops.zero()
+                for k in range(NB):
+                    eb0 = ops.add(eb0, ops.mul(moff[k], mpb[k]))
+                fill = (
+                    ops.scale_base(hbm, full_limb - 0xFF) if signed else ops.zero()
+                )
+                f.assert_zero(
+                    ops.mul(sels[sname], ops.sub(a[0], ops.add(eb0, fill)))
+                )
+                ext_start = 1
+            for i in range(ext_start, nl):
                 if signed:
                     f.assert_zero(
                         ops.mul(
                             sels[sname],
-                            ops.sub(
-                                a[i],
-                                ops.scale_base(hbm, (1 << ws.limb_bits) - 1),
-                            ),
+                            ops.sub(a[i], ops.scale_base(hbm, full_limb)),
                         )
                     )
                 else:
@@ -554,20 +614,41 @@ class CpuChip(Chip):
         # stores: nw = prev with the addressed bytes replaced by c
         for sname in SUBW_STORE_SELS:
             size = SUBW_SIZE[sname]
-            for i in range(nl):
-                delta = ops.zero()
-                for k in range(0, nl - size + 1, size):
-                    if k <= i < k + size:
-                        delta = ops.add(
-                            delta,
-                            ops.mul(moff[k], ops.sub(c[i - k], mem_prev_val[i])),
+            if size >= bpl:
+                sl = size // bpl
+                for i in range(nl):
+                    delta = ops.zero()
+                    for k in range(0, NB - size + 1, size):
+                        li = k // bpl
+                        if li <= i < li + sl:
+                            delta = ops.add(
+                                delta,
+                                ops.mul(
+                                    moff[k], ops.sub(c[i - li], mem_prev_val[i])
+                                ),
+                            )
+                    f.assert_zero(
+                        ops.mul(
+                            sels[sname],
+                            ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
                         )
-                f.assert_zero(
-                    ops.mul(
-                        sels[sname],
-                        ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
                     )
-                )
+            else:
+                # sb with 16-bit limbs: replace one byte of one limb.
+                for i in range(nl):
+                    delta = ops.add(
+                        ops.mul(moff[2 * i], ops.sub(cb0, mpb[2 * i])),
+                        ops.scale_base(
+                            ops.mul(moff[2 * i + 1], ops.sub(cb0, mpb[2 * i + 1])),
+                            256,
+                        ),
+                    )
+                    f.assert_zero(
+                        ops.mul(
+                            sels[sname],
+                            ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
+                        )
+                    )
 
         # ---- bitwise (half-limb decomposition; results via byte table) ----
         sel_bw = ops.zero()
@@ -1665,22 +1746,69 @@ class CpuChip(Chip):
                 KIND_RANGE,
             )
         )
-        for sname, top_i in (("lb", 0), ("lh", 1), ("lw", 3)):
-            out.append(
-                Interaction(
-                    (
-                        Affine(
-                            0,
-                            (
-                                (main_col(L["a"].start + top_i), 2),
-                                (main_col(L["hbm"]), (-2 * half_top2) % kb.P),
+        bpl = ws.limb_bits // 8
+        for sname, size in (("lb", 1), ("lh", 2), ("lw", 4)):
+            if size >= bpl:
+                # top loaded byte is the high byte of limb (size-1)//bpl:
+                # 2*limb - 2^limb_bits * hbm must stay in the range table.
+                out.append(
+                    Interaction(
+                        (
+                            Affine(
+                                0,
+                                (
+                                    (main_col(L["a"].start + (size - 1) // bpl), 2),
+                                    (main_col(L["hbm"]), (-2 * half_top2) % kb.P),
+                                ),
                             ),
                         ),
-                    ),
-                    _aff_sum([L[f"sel_{sname}"]]),
-                    KIND_RANGE,
+                        _aff_sum([L[f"sel_{sname}"]]),
+                        KIND_RANGE,
+                    )
                 )
-            )
+            else:
+                # lb with 16-bit limbs: a_0 = byte + 0xFF00*hbm, so
+                # 2*(a_0 - 0xFF00*hbm) - 256*hbm in [0, 256) pins hbm to
+                # the byte's bit 7; enforced as an AND-identity row of the
+                # byte table (whose halves are 8-bit here).
+                e = Affine(
+                    0,
+                    (
+                        (main_col(L["a"].start), 2),
+                        (
+                            main_col(L["hbm"]),
+                            (-(2 * (((1 << ws.limb_bits) - 1) - 0xFF) + 256))
+                            % kb.P,
+                        ),
+                    ),
+                )
+                out.append(
+                    Interaction(
+                        (Affine.const(0), e, e, e),
+                        _aff_sum([L[f"sel_{sname}"]]),
+                        KIND_BYTE,
+                    )
+                )
+        if bpl == 2:
+            # byte-split witnesses must be genuine bytes: AND-identity
+            # lookups (op=0, v, v, v) in the byte table.
+            sel_bytemem_aff = _aff_sum([L["sel_lb"], L["sel_lbu"], L["sel_sb"]])
+            for k in range(8):
+                v = _aff(L["mpb"].start + k)
+                out.append(
+                    Interaction(
+                        (Affine.const(0), v, v, v), sel_bytemem_aff, KIND_BYTE
+                    )
+                )
+            for nm in ("cb0", "cb1"):
+                v = _aff(L[nm])
+                out.append(
+                    Interaction(
+                        (Affine.const(0), v, v, v),
+                        _aff_sum([L["sel_sb"]]),
+                        KIND_BYTE,
+                    )
+                )
         for nm, mult in (
             ("tsd_rs1", self._uses_rs1_aff()),
             ("tsd_rs2", self._uses_rs2_aff()),
@@ -1989,6 +2117,17 @@ class RiscvMachine(Machine):
         # receive (next_pc, clk_end)
         digest = E4.sub(digest, E4.inv(fp([pv[PV_NEXT_PC], pv[PV_CLK_END]])))
         return True, digest
+
+    def pv_digest_spec(self):
+        """See Machine.pv_digest_spec: the state chain sends the initial
+        (pc_start, clk_start) and receives the final (next_pc, clk_end)."""
+        return (
+            [PV_IS_HALTED],
+            [
+                (KIND_STATE, [PV_PC_START, PV_CLK_START], +1),
+                (KIND_STATE, [PV_NEXT_PC, PV_CLK_END], -1),
+            ],
+        )
 
     def global_digest_from_pv(self, public_values):
         import numpy as np

@@ -568,13 +568,29 @@ def generate_traces(
     cpu[:n, L["mem_prev_val"]] = np.where(
         is_anymem[:, None], limbs_of(ev["mem_prev_val"], ws), 0
     )
-    # sub-word machinery: offset one-hot, new stored word, load sign bit
+    # sub-word machinery: byte-offset one-hot, new stored word, load sign
+    # bit; with 16-bit limbs also the byte splits of the previous word
+    # (lb/lbu/sb rows) and of the stored register's low limb (sb rows).
     offs = (addr_limb[:, 0] & 7).astype(np.uint32)
-    for k in range(nl):
+    for k in range(8):
         cpu[:n, L["moff"].start + k] = (is_subw & (offs == k)).astype(np.uint32)
     cpu[:n, L["nw"]] = np.where(
         is_subw_store[:, None], limbs_of(ev["mem_val"], ws), 0
     )
+    bpl = ws.limb_bits // 8
+    if bpl == 2:
+        is_bytemem = np.isin(op, [OP_LB, OP_LBU, OP_SB])
+        mpv_l = limbs_of(ev["mem_prev_val"], ws)
+        for i in range(nl):
+            cpu[:n, L["mpb"].start + 2 * i] = np.where(
+                is_bytemem, mpv_l[:, i] & 0xFF, 0
+            )
+            cpu[:n, L["mpb"].start + 2 * i + 1] = np.where(
+                is_bytemem, mpv_l[:, i] >> 8, 0
+            )
+        is_sb = op == OP_SB
+        cpu[:n, L["cb0"]] = np.where(is_sb, c_l[:, 0] & 0xFF, 0)
+        cpu[:n, L["cb1"]] = np.where(is_sb, c_l[:, 0] >> 8, 0)
 
     # bitwise half decompositions
     is_bw = np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI, OP_XORI])
@@ -937,8 +953,9 @@ def generate_traces(
         )
 
     hbm_v = np.zeros(n, np.uint32)
-    for opc_, top_i in ((OP_LB, 0), (OP_LH, 1), (OP_LW, 3)):
+    for opc_, size in ((OP_LB, 1), (OP_LH, 2), (OP_LW, 4)):
         m = op == opc_
+        top_i = max(size // (ws.limb_bits // 8), 1) - 1
         hbm_v = np.where(m, (a_l[:, top_i] >> (ws.limb_bits - 1)) & 1, hbm_v)
     is_warith = np.isin(op, [OP_ADDW, OP_ADDIW, OP_SUBW, OP_MULW])
     is_wext = is_warith | np.isin(
@@ -1099,7 +1116,11 @@ def generate_traces(
         lookups.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u))
     for i in range(nl):
         lookups.append((cpu[:n, L["mem_prev_val"].start + i], is_subw.astype(np.uint32)))
-    for opc_, top_i in ((OP_LB, 0), (OP_LH, 1), (OP_LW, 3)):
+    bpl_ = ws.limb_bits // 8
+    for opc_, size in ((OP_LB, 1), (OP_LH, 2), (OP_LW, 4)):
+        if size < bpl_:
+            continue  # byte-table sign check instead (see below)
+        top_i = (size - 1) // bpl_
         rest = (
             2 * (a_l[:, top_i].astype(np.int64) - half_top * hbm_v.astype(np.int64))
         ) % kb.P
@@ -1154,6 +1175,27 @@ def generate_traces(
             pair_idx = (x.astype(np.int64) << hb) | y
             byte_mult[:, col] += np.bincount(
                 pair_idx, weights=sel.astype(np.int64), minlength=byte_h
+            )[:byte_h].astype(np.uint32)
+    if ws.limb_bits == 16:
+        # AND-identity byte checks for the sub-word byte-split witnesses,
+        # plus the lb sign-rest check (see CpuChip.sends).
+        id_lookups = []
+        is_bytemem_ = np.isin(op, [OP_LB, OP_LBU, OP_SB]).astype(np.int64)
+        for k in range(8):
+            id_lookups.append((cpu[:n, L["mpb"].start + k], is_bytemem_))
+        is_sb_ = (op == OP_SB).astype(np.int64)
+        id_lookups.append((cpu[:n, L["cb0"]], is_sb_))
+        id_lookups.append((cpu[:n, L["cb1"]], is_sb_))
+        lb_rest = (
+            2 * a_l[:, 0].astype(np.int64)
+            - (2 * (((1 << ws.limb_bits) - 1) - 0xFF) + 256)
+            * hbm_v.astype(np.int64)
+        ) % kb.P
+        id_lookups.append((lb_rest, (op == OP_LB).astype(np.int64)))
+        for v, mult in id_lookups:
+            pair_idx = (v.astype(np.int64) << hb) | v.astype(np.int64)
+            byte_mult[:, 0] += np.bincount(
+                pair_idx, weights=mult, minlength=byte_h
             )[:byte_h].astype(np.uint32)
 
     # --- Memory init/final (segment boundary states) ----------------------
