@@ -156,7 +156,7 @@ def verify_mle_evaluations(bk, commitments, eval_point, evaluation_claims,
     # Prover fixes the last coordinate first -> reverse for verification.
     point = point[::-1]
 
-    challenger.observe(num_rounds)
+    challenger.observe_const(num_rounds)
     betas = []
     for r in range(num_rounds):
         for m in proof.univariate_messages[r]:

@@ -42,13 +42,16 @@ class VChallenger:
 
     # -- observe ------------------------------------------------------------
     def observe(self, value):
-        """value: a felt handle, or a plain int (treated as a constant)."""
-        if isinstance(value, int):
-            value = self.bk.felt(value)
+        """value: a backend felt HANDLE (never a plain int — symbolic
+        handles are ints too, so constants must go through observe_const)."""
         self.output_buffer.clear()
         self.input_buffer.append(value)
         if len(self.input_buffer) == RATE:
             self._duplex()
+
+    def observe_const(self, v: int):
+        """Observe a static protocol constant (length, height, name byte)."""
+        self.observe(self.bk.felt(int(v)))
 
     def observe_slice(self, values):
         for v in values:
@@ -66,11 +69,11 @@ class VChallenger:
         self.observe_slice(digest)
 
     def observe_variable_length_slice(self, values):
-        self.observe(len(values))
+        self.observe_const(len(values))
         self.observe_slice(values)
 
     def observe_variable_length_ext_slice(self, exts):
-        self.observe(4 * len(exts))
+        self.observe_const(4 * len(exts))
         self.observe_ext_slice(exts)
 
     # -- sample -------------------------------------------------------------

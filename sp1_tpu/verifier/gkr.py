@@ -64,8 +64,11 @@ def eval_pv_digest(bk, machine, public_values, alpha, betas):
     digest = bk.zero_ext()
     for kind, idxs, sign in terms:
         fp = bk.eadd(alpha, bk.emul_const(betas[0], kind))
-        for k, pv_i in enumerate(idxs):
-            fp = bk.eadd(fp, bk.emul_f(betas[k + 1], public_values[pv_i]))
+        for k, item in enumerate(idxs):
+            if isinstance(item, tuple):  # ("c", v): a static constant value
+                fp = bk.eadd(fp, bk.emul_const(betas[k + 1], item[1]))
+            else:  # a public-values index
+                fp = bk.eadd(fp, bk.emul_f(betas[k + 1], public_values[item]))
         inv = bk.einv(fp)
         digest = bk.eadd(digest, inv) if sign > 0 else bk.esub(digest, inv)
     return digest
@@ -154,7 +157,7 @@ def verify_logup_gkr(bk, machine, chips, degrees, max_log_row_count: int,
     numerator_values, denominator_values = [], []
     # add_dimension prepends at the FRONT (MSB).
     point_extended = [bk.zero_ext()] + trace_point
-    challenger.observe(len(chips))
+    challenger.observe_const(len(chips))
     for chip in chips:
         opening = proof.chip_openings.get(chip.name)
         if opening is None:

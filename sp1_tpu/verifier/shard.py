@@ -40,7 +40,8 @@ def observe_vk(vk, challenger):
     challenger.observe_slice(vk.initial_global_cumulative_sum[:7])
     challenger.observe_slice(vk.initial_global_cumulative_sum[7:])
     challenger.observe(vk.enable_untrusted_programs)
-    challenger.observe_slice([0] * 6)
+    for _ in range(6):
+        challenger.observe_const(0)
 
 
 def _pv_exts(bk, public_values):
@@ -88,7 +89,7 @@ def verify_shard(bk, machine, config, vk, proof, challenger, global_ctx=None):
 
     challenger.observe_slice(public_values)
     challenger.observe_digest(proof.main_commitment)
-    challenger.observe(len(chips))
+    challenger.observe_const(len(chips))
     degrees = {}
     for name, ov in proof.opened_values.items():
         bits = ov.degree
@@ -102,10 +103,10 @@ def verify_shard(bk, machine, config, vk, proof, challenger, global_ctx=None):
         for b in bits:
             height = b + 2 * height
         degrees[name] = bits
-        challenger.observe(height)
-        challenger.observe(len(name))
+        challenger.observe_const(height)
+        challenger.observe_const(len(name))
         for b in name.encode():
-            challenger.observe(b)
+            challenger.observe_const(b)
 
     # GKR verification.
     if len(proof.logup_gkr_proof.chip_openings) != len(chips):
@@ -265,7 +266,7 @@ def _verify_zerocheck(bk, machine, chips, g_chips, proof, public_values,
         proof.zerocheck_proof.claimed_sum, expected_claim, "zerocheck claimed sum"
     )
 
-    challenger.observe(len(chips))
+    challenger.observe_const(len(chips))
     for chip in chips:
         ov = proof.opened_values[chip.name]
         challenger.observe_variable_length_ext_slice(ov.preprocessed)
@@ -301,7 +302,7 @@ def verify_program(bk, machine, config, vk, proofs, pv_layout):
 
     for i, proof in enumerate(proofs):
         fork = ch.clone()
-        fork.observe(i)
+        fork.observe_const(i)
         verify_shard(
             bk, machine, config, vk, proof, fork, global_ctx=(alpha_g, betas_g)
         )
