@@ -25,7 +25,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..verifier.backend import P, VerificationError, WIDTH
+from ..verifier.backend import (
+    P,
+    VerificationError,
+    WIDTH,
+    _ext_inv_ints,
+    _ext_mul_ints,
+    poseidon2_permute_ints,
+)
 from . import program as prog
 from .program import ADD, DIV, MUL, SUB, NUM_BITS
 
@@ -49,6 +56,7 @@ class SymbolicBackend:
         self._commit_pv = []  # [addr, pv_index]
         self._exec = []  # (tag, chip_row)
         self._const_cache = {}  # value-tuple -> addr
+        self._const_val = {}  # const addr -> value-tuple (for folding)
         self._const_msgs = {}  # const row -> assert message (recv rows)
         self._committed = 0
 
@@ -74,9 +82,25 @@ class SymbolicBackend:
             addr = self._cell()
             self._emit(prog.T_CONST, self._const, [addr, *key, 1, 0])
             self._const_cache[key] = addr
+            self._const_val[addr] = key
         return addr
 
     def _base_alu(self, op, a, b) -> int:
+        ca, cb = self._const_val.get(a), self._const_val.get(b)
+        if ca is not None and cb is not None:
+            # constant folding: compute at compile time, emit nothing
+            x, y = ca[0], cb[0]
+            if op == ADD:
+                v = (x + y) % P
+            elif op == SUB:
+                v = (x - y) % P
+            elif op == MUL:
+                v = (x * y) % P
+            else:
+                if y == 0:
+                    raise VerificationError("constant division by zero")
+                v = (x * pow(y, P - 2, P)) % P
+            return self._const_block((v, 0, 0, 0))
         out = self._cell()
         self._emit(
             prog.T_BASE, self._base, [op, out, self._read(a), self._read(b)]
@@ -84,6 +108,17 @@ class SymbolicBackend:
         return out
 
     def _ext_alu(self, op, a, b) -> int:
+        ca, cb = self._const_val.get(a), self._const_val.get(b)
+        if ca is not None and cb is not None:
+            if op == ADD:
+                v = tuple((x + y) % P for x, y in zip(ca, cb))
+            elif op == SUB:
+                v = tuple((x - y) % P for x, y in zip(ca, cb))
+            elif op == MUL:
+                v = _ext_mul_ints(ca, cb)
+            else:
+                v = _ext_mul_ints(ca, _ext_inv_ints(cb))
+            return self._const_block(v)
         out = self._cell()
         self._emit(
             prog.T_EXT, self._ext, [op, out, self._read(a), self._read(b)]
@@ -116,6 +151,9 @@ class SymbolicBackend:
 
     def ext_from_felts(self, fs):
         assert len(fs) == 4
+        cs = [self._const_val.get(f) for f in fs]
+        if all(c is not None for c in cs):
+            return self._const_block(tuple(c[0] for c in cs))
         out = self._cell()
         self._emit(
             prog.T_CONVERT,
@@ -125,6 +163,9 @@ class SymbolicBackend:
         return out
 
     def ext_coeffs(self, e):
+        c = self._const_val.get(e)
+        if c is not None:
+            return [self._const_block((v, 0, 0, 0)) for v in c]
         outs = [self._cell() for _ in range(4)]
         self._emit(
             prog.T_CONVERT, self._convert, [0, self._read(e)] + outs
@@ -179,6 +220,14 @@ class SymbolicBackend:
     # -- assertions ---------------------------------------------------------
     def _assert_const(self, addr, vals4, msg: str = ""):
         """Bind cell `addr` to the static block vals4 (Const receive)."""
+        c = self._const_val.get(addr)
+        if c is not None:
+            # compile-time check: the assertion involves no witness data
+            if c != tuple(int(v) % P for v in vals4):
+                raise VerificationError(
+                    f"static assertion failed ({msg}): {c} != {tuple(vals4)}"
+                )
+            return
         self._read(addr)
         row = self._emit(
             prog.T_CONST,
@@ -213,6 +262,12 @@ class SymbolicBackend:
 
     # -- bit operations -----------------------------------------------------
     def num2bits(self, f, nbits: int):
+        c = self._const_val.get(f)
+        if c is not None:
+            return [
+                self._const_block(((c[0] >> i) & 1, 0, 0, 0))
+                for i in range(nbits)
+            ]
         outs = [self._cell() for _ in range(NUM_BITS)]
         self._emit(prog.T_BITS, self._bits, [self._read(f)] + outs)
         return outs[:nbits]
@@ -231,6 +286,11 @@ class SymbolicBackend:
     # -- selection ----------------------------------------------------------
     def select_f(self, bit, t, f):
         """bit ? t : f."""
+        cb = self._const_val.get(bit)
+        if cb is not None:
+            if cb[0] not in (0, 1):
+                raise VerificationError("constant select bit not boolean")
+            return t if cb[0] else f
         out1 = self._cell()
         out2 = self._cell()
         self._emit(
@@ -246,6 +306,10 @@ class SymbolicBackend:
     # -- hashing ------------------------------------------------------------
     def poseidon2(self, state):
         assert len(state) == WIDTH
+        cs = [self._const_val.get(s) for s in state]
+        if all(c is not None for c in cs):
+            out_vals = poseidon2_permute_ints([c[0] for c in cs])
+            return [self._const_block((v, 0, 0, 0)) for v in out_vals]
         outs = [self._cell() for _ in range(WIDTH)]
         self._emit(
             prog.T_POSEIDON2,

@@ -29,6 +29,15 @@ from .witness import LiftToWitness, StreamWriter
 NUM_VK_PVS = 11  # preprocessed_commit (8) + pc_start (3)
 
 
+class _ShapeVk:
+    """Static vk shape for witnessing (values are ignored at compile)."""
+
+    pc_start = [0, 0, 0]
+    initial_global_cumulative_sum = [0] * 14
+    preprocessed_commit = [0] * 8
+    enable_untrusted_programs = 0
+
+
 def num_recursion_pvs(machine) -> int:
     return NUM_VK_PVS + machine.num_pv_elts()
 
@@ -42,13 +51,6 @@ def build_shard_verify_program(machine, config, proof):
     """
     sym = SymbolicBackend(num_pvs=num_recursion_pvs(machine))
     wbk = LiftToWitness(sym)
-
-    class _ShapeVk:
-        pc_start = [0, 0, 0]
-        initial_global_cumulative_sum = [0] * 14
-        preprocessed_commit = [0] * 8
-        enable_untrusted_programs = 0
-
     vvk = lift_vk(wbk, _ShapeVk)
     vproof = lift_shard_proof(wbk, proof)
     ch = VChallenger(sym)
