@@ -125,6 +125,33 @@ def _static_bits_to_ext(bk, bits):
     return [one if b else zero for b in bits]
 
 
+class _StaticEq:
+    """eq(bits, point) for STATIC bit vectors against one fixed point.
+
+    Each factor is y_k (bit 1) or 1-y_k (bit 0) — no generic eq ops —
+    and prefix products are cached, so evaluating eq for a sorted run of
+    bit vectors (jagged prefix sums) costs ~1 mul per new suffix bit
+    instead of 4 ops per coordinate per vector. This is what makes the
+    recursion-compiled jagged verifier small."""
+
+    def __init__(self, bk, point):
+        self.bk = bk
+        one = bk.one_ext()
+        self.factors = [(bk.esub(one, y), y) for y in point]
+        self.cache = {(): one}
+
+    def eval(self, bits) -> object:
+        bits = tuple(bits)
+        assert len(bits) <= len(self.factors)
+        got = self.cache.get(bits)
+        if got is not None:
+            return got
+        prev = self.eval(bits[:-1])
+        v = self.bk.emul(prev, self.factors[len(bits) - 1][bits[-1]])
+        self.cache[bits] = v
+        return v
+
+
 def verify_jagged_eval(bk, col_heights, max_log_row_count, log_m, z_row, z_col,
                        z_trace, proof: VSumcheckProof, challenger):
     """Returns the verified jagged evaluation (ext handle).
@@ -144,19 +171,14 @@ def verify_jagged_eval(bk, col_heights, max_log_row_count, log_m, z_row, z_col,
     C = len(col_heights)
     if C > len(z_col_eq):
         raise VerificationError("more columns than z_col space")
+    eq_first = _StaticEq(bk, first_half)
+    eq_second = _StaticEq(bk, second_half)
     acc = bk.zero_ext()
-    prev_merged = None
-    prev_eval = None
     for c in range(C):
-        merged = point_from_usize(prefix_sums[c], bits) + point_from_usize(
-            prefix_sums[c + 1], bits
+        fle = bk.emul(
+            eq_first.eval(point_from_usize(prefix_sums[c], bits)),
+            eq_second.eval(point_from_usize(prefix_sums[c + 1], bits)),
         )
-        if prev_merged is not None and prev_merged == merged:
-            fle = prev_eval
-        else:
-            fle = eq_points(bk, _static_bits_to_ext(bk, merged), point)
-            prev_eval = fle
-        prev_merged = merged
         acc = bk.eadd(acc, bk.emul(z_col_eq[c], fle))
     bp = VBranchingProgram(bk, z_row, z_trace)
     h = bp.eval(first_half, second_half)
