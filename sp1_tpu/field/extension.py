@@ -143,24 +143,30 @@ class npext4:
 
     @staticmethod
     def mul(a, b):
-        """Schoolbook product via one outer-product einsum.
+        """Schoolbook product via direct 7-coefficient convolution.
 
-        prod[..., i, j] < p after the mod; each output coefficient sums at
-        most 4 direct + 3*W4-weighted terms (< 10p < 2^35), safe in uint64.
+        int64 intermediates (numpy uint64 kernels are scalar on this
+        target); every partial sum keeps <= 2 raw products (< 2^63) before
+        reduction, and the binomial fold x^4 = 3 adds < 4p terms.
         """
-        a64 = np.asarray(a, np.uint64)
-        b64 = np.asarray(b, np.uint64)
-        if a64.shape != b64.shape:
-            shape = np.broadcast_shapes(a64.shape, b64.shape)
-            a64 = np.broadcast_to(a64, shape)
-            b64 = np.broadcast_to(b64, shape)
-        prod = np.einsum("...i,...j->...ij", a64, b64) % kb.P
-        w = np.uint64(W4)
-        c0 = prod[..., 0, 0] + w * (prod[..., 1, 3] + prod[..., 2, 2] + prod[..., 3, 1])
-        c1 = prod[..., 0, 1] + prod[..., 1, 0] + w * (prod[..., 2, 3] + prod[..., 3, 2])
-        c2 = prod[..., 0, 2] + prod[..., 1, 1] + prod[..., 2, 0] + w * prod[..., 3, 3]
-        c3 = prod[..., 0, 3] + prod[..., 1, 2] + prod[..., 2, 1] + prod[..., 3, 0]
-        return (np.stack([c0, c1, c2, c3], axis=-1) % kb.P).astype(np.uint32)
+        a64 = np.asarray(a).astype(np.int64)
+        b64 = np.asarray(b).astype(np.int64)
+        p = kb.P
+        a0, a1, a2, a3 = a64[..., 0], a64[..., 1], a64[..., 2], a64[..., 3]
+        b0, b1, b2, b3 = b64[..., 0], b64[..., 1], b64[..., 2], b64[..., 3]
+        c0 = a0 * b0 % p
+        c1 = (a0 * b1 + a1 * b0) % p
+        c2 = (a0 * b2 + a1 * b1) % p + a2 * b0 % p
+        c3 = (a0 * b3 + a1 * b2) % p + (a2 * b1 + a3 * b0) % p
+        c4 = (a1 * b3 + a2 * b2) % p + a3 * b1 % p
+        c5 = (a2 * b3 + a3 * b2) % p
+        c6 = a3 * b3 % p
+        out = np.empty(np.broadcast_shapes(a64.shape, b64.shape), np.int64)
+        out[..., 0] = (c0 + W4 * (c4 % p)) % p
+        out[..., 1] = (c1 + W4 * c5) % p
+        out[..., 2] = (c2 + W4 * c6) % p
+        out[..., 3] = c3 % p
+        return out.astype(np.uint32)
 
     @staticmethod
     def add(a, b):

@@ -27,11 +27,18 @@ _RINV = pow(1 << 32, -1, kb.P)
 
 
 def from_monty_host(x: np.ndarray) -> np.ndarray:
-    return (np.asarray(x, np.uint64) * _RINV % kb.P).astype(np.uint32)
+    # monty values are < 2^32: split 16/16 so int64 products stay < 2^63
+    # (numpy uint64 kernels are scalar on this target; int64 is SIMD).
+    x64 = np.asarray(x).astype(np.int64)
+    hi = (x64 >> 16) * ((_RINV << 16) % kb.P) % kb.P
+    lo = (x64 & 0xFFFF) * _RINV % kb.P
+    return ((hi + lo) % kb.P).astype(np.uint32)
 
 
 def to_monty_host(x: np.ndarray) -> np.ndarray:
-    return ((np.asarray(x, np.uint64) << 32) % kb.P).astype(np.uint32)
+    return (np.asarray(x).astype(np.int64) * ((1 << 32) % kb.P) % kb.P).astype(
+        np.uint32
+    )
 
 
 def dev_to_host(x) -> np.ndarray:
@@ -46,6 +53,16 @@ def fix_last(guts: np.ndarray, alpha: np.ndarray) -> np.ndarray:
     return E4.add(lo, E4.mul(E4.sub(hi, lo), np.broadcast_to(alpha, lo.shape)))
 
 
+def fix_last_base_to_ext(guts: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """(2m, ...) BASE canonical -> (m, ..., 4) ext: lo + alpha*(hi - lo)."""
+    v = guts.reshape((guts.shape[0] // 2, 2) + guts.shape[1:]).astype(np.int64)
+    lo, hi = v[:, 0], v[:, 1]
+    diff = (hi + kb.P - lo) % kb.P
+    out = diff[..., None] * alpha.astype(np.int64) % kb.P
+    out[..., 0] = (out[..., 0] + lo) % kb.P
+    return out.astype(np.uint32)
+
+
 def fold(guts: np.ndarray, beta: np.ndarray) -> np.ndarray:
     """(2m, 4) canonical -> (m, 4): lo + beta*hi (BaseFold fold)."""
     v = guts.reshape(-1, 2, 4)
@@ -54,15 +71,15 @@ def fold(guts: np.ndarray, beta: np.ndarray) -> np.ndarray:
 
 def sum0(x: np.ndarray) -> np.ndarray:
     """Field-sum along axis 0 of a canonical array (..., 4)."""
-    acc = x[0].astype(np.uint64)
+    acc = x[0].astype(np.int64)
     for i in range(1, x.shape[0]):
         acc = (acc + x[i]) % kb.P
     return acc.astype(np.uint32)
 
 
 def sum0_fast(x: np.ndarray) -> np.ndarray:
-    """Vectorized field-sum along axis 0 (batches of uint64 adds)."""
-    v = x.astype(np.uint64)
+    """Vectorized field-sum along axis 0 (batches of int64 adds)."""
+    v = x.astype(np.int64)
     while v.shape[0] > 1:
         n = v.shape[0]
         if n % 2:
@@ -78,7 +95,7 @@ def at_x(table: np.ndarray, x: int) -> np.ndarray:
     table: (2m, ..., 4) canonical.
     """
     v = table.reshape((table.shape[0] // 2, 2) + table.shape[1:])
-    lo, hi = v[:, 0].astype(np.uint64), v[:, 1].astype(np.uint64)
+    lo, hi = v[:, 0].astype(np.int64), v[:, 1].astype(np.int64)
     if x == 0:
         return lo.astype(np.uint32)
     if x == 1:

@@ -167,11 +167,12 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, 
         prep = preprocessed.get(chip.name)
         h = heights[chip.name]
         if host_small:
+            # Stay in canonical numpy: the whole GKR tree runs on host.
             nums_c, dens_c = _host_first_layer(
                 chip, main, prep, h, alpha, betas, n_rows, scope
             )
-            num_parts.append(jnp.asarray(hostmle.to_monty_host(nums_c)))
-            den_parts.append(jnp.asarray(hostmle.to_monty_host(dens_c)))
+            num_parts.append(nums_c)
+            den_parts.append(dens_c)
             continue
         if prep is None:
             prep = jnp.zeros((n_rows, 0), jnp.uint32)
@@ -182,11 +183,25 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, 
         den_parts.append(dens)
     pad = (1 << iv) - num_interactions
     if pad:
-        zeros = jnp.zeros((n_rows, 4), jnp.uint32)
-        ones = jnp.broadcast_to(jnp.asarray(one), (n_rows, 4))
-        for _ in range(pad):
-            num_parts.append(zeros)
-            den_parts.append(ones)
+        if host_small:
+            zeros_c = np.zeros((n_rows, 4), np.uint32)
+            ones_c = np.zeros((n_rows, 4), np.uint32)
+            ones_c[:, 0] = 1
+            for _ in range(pad):
+                num_parts.append(zeros_c)
+                den_parts.append(ones_c)
+        else:
+            zeros = jnp.zeros((n_rows, 4), jnp.uint32)
+            ones = jnp.broadcast_to(jnp.asarray(one), (n_rows, 4))
+            for _ in range(pad):
+                num_parts.append(zeros)
+                den_parts.append(ones)
+    if host_small:
+        return (
+            np.concatenate(num_parts, axis=0),
+            np.concatenate(den_parts, axis=0),
+            iv,
+        )
     num = jnp.concatenate(num_parts, axis=0)
     den = jnp.concatenate(den_parts, axis=0)
     return num, den, iv
@@ -443,7 +458,7 @@ def prove_logup_gkr(
 
     # Build all layers down to row-variables == 1. Small layers transition
     # on the host (canonical form) to avoid per-shape compiles.
-    host = False
+    host = isinstance(num, np.ndarray)
     layers = [(num, den, host)]
     for _ in range(mlrc - 1):
         if not host and int(num.shape[0]) // 2 <= HOST_THRESH:

@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..air import tape as air_tape
 from ..air.builder import ConstraintFolder, JnpOps, NpOps
 from ..field import extension as ext
 from ..field import koalabear as kb
@@ -252,6 +253,7 @@ class ZeroCheckPoly:
         self.gkr_powers_c = gkr_powers_c
         self.pv_c = pv_c
         self.host = isinstance(eq, np.ndarray)
+        self._apow = None  # alpha powers for the tape combine (host, lazy)
         self._kernel = None if self.host else _make_round_kernel(chip, self.degree + 1)
 
     @property
@@ -259,13 +261,14 @@ class ZeroCheckPoly:
         return int(self.eq.shape[0]).bit_length() - 1
 
     def _host_sums(self) -> list:
-        # Evaluate the chip's constraints ONCE on all degree+1 X-points by
-        # stacking the interpolated tables along the row axis — the python
-        # constraint-building overhead (~3000 vector ops for the wide Cpu
-        # chip) dominates at shard sizes, so batching X is a ~(degree+1)x
-        # win over per-X evaluation.
+        # Tape-driven evaluation: the chip's constraint tape runs ONCE on
+        # all degree+1 X-points stacked along the row axis; the Horner
+        # alpha-fold and the gkrc column batching become exact modular
+        # matmuls (see air/tape.py). Round 1 runs entirely in the base
+        # field (trace tables are still base there).
         n2 = self.eq.shape[0] // 2
         D = self.degree + 1
+        N = D * n2
         eq_s = np.concatenate([hostmle.at_x(self.eq, x) for x in range(D)], axis=0)
         geq_s = np.concatenate([hostmle.at_x(self.geq, x) for x in range(D)], axis=0)
         main_s = np.concatenate([hostmle.at_x(self.main, x) for x in range(D)], axis=0)
@@ -274,28 +277,32 @@ class ZeroCheckPoly:
                 [hostmle.at_x(self.prep, x) for x in range(D)], axis=0
             )
         else:
-            prep_s = self.prep[: D * n2]
-        N = D * n2
-        ops = NpVecOps(N)
-        main_cols = [main_s[:, i] for i in range(main_s.shape[1])]
-        prep_cols = [prep_s[:, i] for i in range(prep_s.shape[1])]
-        alpha_b = np.broadcast_to(self.alpha_c, (N, 4))
-        pv_vals = [
-            np.broadcast_to(self.pv_c[i], (N, 4)) for i in range(self.pv_c.shape[0])
-        ]
-        folder = ConstraintFolder(ops, prep_cols, main_cols, pv_vals, alpha_b)
-        self.chip.eval(folder)
+            prep_s = np.zeros((N, 0) + self.main.shape[2:], self.main.dtype)
         E = ext.npext4
-        constr = E.sub(
-            folder.accumulator,
-            E.mul(geq_s, np.broadcast_to(self.adj_c, (N, 4))),
-        )
-        batch = np.zeros((N, 4), np.uint32)
-        for k, col in enumerate(main_cols + prep_cols):
-            batch = E.add(
-                batch, E.mul(col, np.broadcast_to(self.gkr_powers_c[k], (N, 4)))
+        base_mode = main_s.ndim == 2
+        tape = air_tape.trace_chip_tape(self.chip, n_pv=self.pv_c.shape[0])
+        if self._apow is None:
+            self._apow = air_tape.alpha_powers(self.alpha_c, tape.n_constraints)
+        gkrp = self.gkr_powers_c.astype(np.uint64)
+        if base_mode:
+            roots = air_tape.run_base(tape, main_s, prep_s, self.pv_c[:, 0])
+            constr = air_tape.ext_weighted_sum_base(self._apow, roots)
+            # padded-row adjustment: geq is base 0/1-interpolated here
+            adjt = (
+                self.adj_c[None, :].astype(np.int64) * geq_s[:, None].astype(np.int64)
+            ) % kb.P
+            cols = np.concatenate([main_s.T, prep_s.T], axis=0)  # (W+Wp, N)
+            batch = air_tape.ext_weighted_sum_base(gkrp, cols)
+        else:
+            roots = air_tape.run_ext(tape, main_s, prep_s, self.pv_c)
+            constr = air_tape.ext_weighted_sum_ext(self._apow, roots)
+            adjt = E.mul(geq_s, np.broadcast_to(self.adj_c, (N, 4)))
+            cols = np.concatenate(
+                [main_s.transpose(1, 0, 2), prep_s.transpose(1, 0, 2)], axis=0
             )
-        total = E.mul(eq_s, E.add(constr, batch))
+            batch = air_tape.ext_weighted_sum_ext(gkrp, cols.astype(np.uint64))
+        inner = E.add(E.sub(constr.astype(np.uint32), adjt.astype(np.uint32)), batch)
+        total = E.mul(eq_s, inner)
         return [
             hostmle.sum0_fast(total[x * n2: (x + 1) * n2]) for x in range(D)
         ]
@@ -335,12 +342,19 @@ class ZeroCheckPoly:
         poly.adj_c = self.adj_c
         poly.gkr_powers_c = self.gkr_powers_c
         poly.pv_c = self.pv_c
+        poly._apow = self._apow
         if self.host:
             alpha = np.asarray(alpha, np.uint32)
             poly.eq = hostmle.fix_last(self.eq, alpha)
-            poly.geq = hostmle.fix_last(self.geq, alpha)
-            poly.main = hostmle.fix_last(self.main, alpha)
-            poly.prep = hostmle.fix_last(self.prep, alpha)
+            if self.main.ndim == 2:
+                # base tables fold into the extension field here
+                poly.geq = hostmle.fix_last_base_to_ext(self.geq, alpha)
+                poly.main = hostmle.fix_last_base_to_ext(self.main, alpha)
+                poly.prep = hostmle.fix_last_base_to_ext(self.prep, alpha)
+            else:
+                poly.geq = hostmle.fix_last(self.geq, alpha)
+                poly.main = hostmle.fix_last(self.main, alpha)
+                poly.prep = hostmle.fix_last(self.prep, alpha)
             poly.host = True
             poly._kernel = None
             return poly
@@ -351,6 +365,7 @@ class ZeroCheckPoly:
         poly.eq, poly.geq, poly.main, poly.prep = eq, geq, main, prep
         poly.host = False
         poly._kernel = self._kernel
+        poly._apow = None
         if int(eq.shape[0]) <= HOST_THRESH:
             poly._to_host()
         return poly
@@ -360,13 +375,21 @@ class ZeroCheckPoly:
 
         Reference: crates/hypercube/src/prover/zerocheck/mod.rs:95.
         """
+        def _ext_of(v):
+            if not self.host:
+                return _from_monty_np(v)
+            v = np.asarray(v, np.uint32)
+            if v.shape != (4,):  # base scalar (0-variable base table)
+                e = np.zeros(4, np.uint32)
+                e[0] = v
+                return e
+            return v
+
         out = []
         for i in range(self.prep.shape[1]):
-            v = self.prep[0, i]
-            out.append(np.asarray(v, np.uint32) if self.host else _from_monty_np(v))
+            out.append(_ext_of(self.prep[0, i]))
         for i in range(self.main.shape[1]):
-            v = self.main[0, i]
-            out.append(np.asarray(v, np.uint32) if self.host else _from_monty_np(v))
+            out.append(_ext_of(self.main[0, i]))
         return out
 
 
@@ -382,15 +405,8 @@ def make_zerocheck_poly(
 ) -> ZeroCheckPoly:
     n = int(main_trace.shape[0])
     mlrc = n.bit_length() - 1
-    if prep_trace is None or int(prep_trace.shape[1]) == 0:
-        prep_trace = jnp.zeros((n, 0), jnp.uint32)
-    geq_mask = jnp.asarray(np.arange(n) >= height)
-    eq, geq, main_e, prep_e = _build_tables_kernel(
-        main_trace, prep_trace, jnp.asarray(_to_monty_np(zeta)), geq_mask
-    )
-    alpha_m = jnp.asarray(_to_monty_np(alpha))
+    host_small = n <= HOST_THRESH
     adj = padded_row_adjustment_host(chip, public_values, alpha)
-    adj_m = jnp.asarray(_to_monty_np(adj))
     # gkr powers: gkrc^1, gkrc^2, ... for main+prep columns
     w_total = chip.width + chip.preprocessed_width
     powers = []
@@ -398,18 +414,45 @@ def make_zerocheck_poly(
     for _ in range(w_total):
         powers.append(p)
         p = E4.mul(p, gkr_batch_challenge)
-    gkr_powers_m = jnp.asarray(_to_monty_np(np.stack(powers)))
     pv_arr = np.zeros((len(public_values), 4), np.uint32)
     for i, v in enumerate(public_values):
         pv_arr[i, 0] = int(v) % kb.P
+
+    if host_small:
+        # Pure-numpy table build: no jit compiles on the host path. Main
+        # and preprocessed tables stay BASE field (2D) until the first
+        # fix_last fold; geq is a base 0/1 column.
+        main_c = hostmle.dev_to_host(main_trace)  # (n, W) canonical
+        eq_c = mle_ops.host.partial_lagrange_ext(np.asarray(zeta, np.uint32))
+        geq_c = np.zeros(n, np.uint32)
+        geq_c[height:] = 1
+        wp = chip.preprocessed_width
+        if prep_trace is not None and wp:
+            prep_c = hostmle.dev_to_host(prep_trace)
+        else:
+            prep_c = np.zeros((n, 0), np.uint32)
+        return ZeroCheckPoly(
+            chip, eq_c, geq_c, main_c, prep_c, None, None, None, None,
+            alpha_c=np.asarray(alpha, np.uint32),
+            adj_c=np.asarray(adj, np.uint32),
+            gkr_powers_c=np.stack(powers),
+            pv_c=pv_arr,
+        )
+
+    if prep_trace is None or int(prep_trace.shape[1]) == 0:
+        prep_trace = jnp.zeros((n, 0), jnp.uint32)
+    geq_mask = jnp.asarray(np.arange(n) >= height)
+    eq, geq, main_e, prep_e = _build_tables_kernel(
+        main_trace, prep_trace, jnp.asarray(_to_monty_np(zeta)), geq_mask
+    )
+    alpha_m = jnp.asarray(_to_monty_np(alpha))
+    adj_m = jnp.asarray(_to_monty_np(adj))
+    gkr_powers_m = jnp.asarray(_to_monty_np(np.stack(powers)))
     pv_m = jnp.asarray(_to_monty_np(pv_arr))
-    poly = ZeroCheckPoly(
+    return ZeroCheckPoly(
         chip, eq, geq, main_e, prep_e, alpha_m, adj_m, gkr_powers_m, pv_m,
         alpha_c=np.asarray(alpha, np.uint32),
         adj_c=np.asarray(adj, np.uint32),
         gkr_powers_c=np.stack(powers),
         pv_c=pv_arr,
     )
-    if n <= HOST_THRESH:
-        poly._to_host()
-    return poly

@@ -57,7 +57,13 @@ class TestElfProve:
         words = asm.assemble(asm.FIBONACCI)
         data = elf.make_elf(words, pc_base=0)
         prog = elf.load_elf(data)
-        client = ProverClient.builder().cpu(max_log_row_count=9).build()
+        from sp1_tpu.riscv.machine import WordSpec
+
+        client = (
+            ProverClient.builder()
+            .cpu(max_log_row_count=9, word_spec=WordSpec(limb_bits=8))
+            .build()
+        )
         pk, vk = client.setup(prog.words, pc_base=prog.pc_base)
         proof = client.prove(pk, stdin=[8])
         assert client.verify(proof, vk)
