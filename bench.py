@@ -50,19 +50,20 @@ def run_child(mode: str, timeout: float, mlrc: int, limb_bits: int):
         env["JAX_PLATFORMS"] = "cpu"
         env["SP1_TPU_HOST_THRESH"] = str(1 << 62)
     try:
+        # Child stderr streams through live so a timeout still leaves the
+        # per-stage progress trail in the driver log.
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             cwd=REPO,
             timeout=timeout,
-            capture_output=True,
+            stdout=subprocess.PIPE,
+            stderr=None,
             text=True,
         )
     except subprocess.TimeoutExpired:
         print(f"[bench] {mode} child timed out after {timeout:.0f}s", file=sys.stderr)
         return None
-    for line in proc.stderr.splitlines():
-        print(f"[bench:{mode}] {line}", file=sys.stderr)
     if proc.returncode != 0:
         print(f"[bench] {mode} child rc={proc.returncode}", file=sys.stderr)
         return None
@@ -102,18 +103,24 @@ def child_main(mode: str):
         max_log_row_count=mlrc,
     )
 
+    def progress(msg):
+        print(f"[{time.time() - t_begin:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    t_begin = time.time()
     prog = asm.assemble(asm.FIBONACCI)
     # fibonacci loop is 6 cycles/iteration + 9 fixed; fill the shard
     n_iters = ((1 << mlrc) - 9) // 6
     res = native.execute(prog, inputs=[n_iters])
     traces, prep = tracegen.generate_traces(res, prog, 0, ws, mlrc)
+    progress(f"traces generated ({res.cycles} cycles)")
     machine = build_machine(ws)
     prover = mm.ShardProver(machine, config)
     pk = prover.setup(preprocessed_traces=prep)
+    progress("setup done (preprocessed commit)")
 
     # Warm-up run (jit compilation) in device mode only — the host child
     # is pure numpy, where a warmup just burns the time budget.
-    pv = tracegen.make_public_values(res, 0, ws)
+    pv = tracegen.make_public_values(res, 0, ws, traces=traces)
     runs = (False, True) if mode == "device" else (True,)
     for timed in runs:
         timing.reset()
@@ -122,6 +129,8 @@ def child_main(mode: str):
         t0 = time.time()
         proof = prover.prove_shard(pk, traces, pv, ch)
         dt = time.time() - t0
+        progress(f"{'timed' if timed else 'warmup'} prove: {dt:.1f}s "
+                 f"stages={json.dumps(timing.report())}")
         if timed:
             prove_secs = dt
     print(f"stages: {json.dumps(timing.report())}", file=sys.stderr)

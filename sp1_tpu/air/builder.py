@@ -40,6 +40,7 @@ KIND_BYTE = 5
 KIND_STATE = 7
 KIND_SYSCALL = 8
 KIND_GLOBAL = 9
+KIND_GLOBAL_ACC = 10  # septic-digest accumulation chain (Global chip rows)
 KIND_RANGE = 22  # framework-specific kinds may extend past the reference's
 KIND_GLOBAL_MEMORY = 30  # cross-shard memory-state interactions (global scope)
 

@@ -40,6 +40,7 @@ from ..ops import hostmle
 from ..ops import mle as mle_ops
 from ..ops.hostmle import HOST_THRESH
 from ..ops import poseidon2 as p2
+from ..utils import timing
 from . import stacked
 from .basefold import FriConfig
 from .stacked import StackedProof, StackedProverData
@@ -693,9 +694,10 @@ def prove_trusted_evaluations(
     )
 
     # The jagged sumcheck: dense * J over log_m variables.
-    jag = partial_jagged_mle(params, z_row, z_col)
-    dense = _dense_padded(prover_data, params.log_m)
-    poly = HadamardPoly(mle_ops.ext4_embed(dense), jag)
+    with timing.span("jtable"):
+        jag = partial_jagged_mle(params, z_row, z_col)
+        dense = _dense_padded(prover_data, params.log_m)
+        poly = HadamardPoly(mle_ops.ext4_embed(dense), jag)
 
     # claim = column-claims MLE evaluated at z_col
     padded = np.zeros((1 << num_col_vars, 4), np.uint32)
@@ -703,9 +705,10 @@ def prove_trusted_evaluations(
     claim = stacked._host_eval_ext_mle(padded, z_col)
 
     lam_one = E4.one()
-    sumcheck_proof, _ = sc.reduce_sumcheck_to_evaluation(
-        [poly], challenger, [claim], lam_one
-    )
+    with timing.span("jagged_sumcheck"):
+        sumcheck_proof, _ = sc.reduce_sumcheck_to_evaluation(
+            [poly], challenger, [claim], lam_one
+        )
     final_point = sumcheck_proof.point
 
     # expected_eval = dense MLE evaluation at the final point.
@@ -721,15 +724,19 @@ def prove_trusted_evaluations(
             )[0]
         )
 
-    jagged_eval_proof = prove_jagged_eval(params, z_row, z_col, final_point, challenger)
+    with timing.span("jagged_eval"):
+        jagged_eval_proof = prove_jagged_eval(
+            params, z_row, z_col, final_point, challenger
+        )
 
-    pcs_proof = stacked.prove_trusted_evaluation(
-        final_point,
-        [pd.stacked_data for pd in prover_data],
-        config.fri,
-        config.log_stacking_height,
-        challenger,
-    )
+    with timing.span("stacked_pcs"):
+        pcs_proof = stacked.prove_trusted_evaluation(
+            final_point,
+            [pd.stacked_data for pd in prover_data],
+            config.fri,
+            config.log_stacking_height,
+            challenger,
+        )
 
     return JaggedPcsProof(
         pcs_proof=pcs_proof,

@@ -36,6 +36,20 @@ from ..ops import mle as mle_ops
 from ..ops import hostmle
 from ..ops.hostmle import HOST_THRESH
 from ..pcs.jagged import full_geq_host, log2_ceil, point_from_usize
+from ..utils import timing
+
+
+def _spanned_range(n_layers):
+    """range(n_layers - 2, -1, -1), accumulating per-iteration wall time
+    into the "rounds" timing key (the per-layer sumcheck loop)."""
+    import time as _time
+
+    for i in range(n_layers - 2, -1, -1):
+        t0 = _time.perf_counter()
+        yield i
+        timing._TOTALS["gkr_rounds"] = timing._TOTALS.get(
+            "gkr_rounds", 0.0
+        ) + (_time.perf_counter() - t0)
 
 E4 = ext.npext4
 
@@ -451,30 +465,32 @@ def prove_logup_gkr(
         witness = 0
         alpha, betas = global_challenges
 
-    num, den, iv = materialize_first_layer(
-        chips, preprocessed, traces, heights, alpha, betas, scope
-    )
+    with timing.span("first_layer"):
+        num, den, iv = materialize_first_layer(
+            chips, preprocessed, traces, heights, alpha, betas, scope
+        )
     mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
 
     # Build all layers down to row-variables == 1. Small layers transition
     # on the host (canonical form) to avoid per-shape compiles.
     host = isinstance(num, np.ndarray)
     layers = [(num, den, host)]
-    for _ in range(mlrc - 1):
-        if not host and int(num.shape[0]) // 2 <= HOST_THRESH:
-            num = hostmle.dev_to_host(num)
-            den = hostmle.dev_to_host(den)
-            host = True
-        if host:
-            nv = num.reshape(-1, 2, 4)
-            dv = den.reshape(-1, 2, 4)
-            num = E4.add(
-                E4.mul(nv[:, 0], dv[:, 1]), E4.mul(nv[:, 1], dv[:, 0])
-            )
-            den = E4.mul(dv[:, 0], dv[:, 1])
-        else:
-            num, den = _layer_transition(num, den)
-        layers.append((num, den, host))
+    with timing.span("layer_tree"):
+        for _ in range(mlrc - 1):
+            if not host and int(num.shape[0]) // 2 <= HOST_THRESH:
+                num = hostmle.dev_to_host(num)
+                den = hostmle.dev_to_host(den)
+                host = True
+            if host:
+                nv = num.reshape(-1, 2, 4)
+                dv = den.reshape(-1, 2, 4)
+                num = E4.add(
+                    E4.mul(nv[:, 0], dv[:, 1]), E4.mul(nv[:, 1], dv[:, 0])
+                )
+                den = E4.mul(dv[:, 0], dv[:, 1])
+            else:
+                num, den = _layer_transition(num, den)
+            layers.append((num, den, host))
 
     out_num, out_den, out_host = layers[-1]  # (2^(iv+1), 4)
     if out_host:
@@ -493,7 +509,7 @@ def prove_logup_gkr(
 
     round_proofs = []
     # Rounds process layers from second-smallest upward.
-    for layer_idx in range(len(layers) - 2, -1, -1):
+    for layer_idx in _spanned_range(len(layers)):
         lnum, lden, lhost = layers[layer_idx]
         lam = challenger.sample_ext()
         lam_m = jnp.asarray(_to_monty_np(lam))
@@ -551,6 +567,10 @@ def prove_logup_gkr(
         eq_c = mle_ops.host.partial_lagrange_ext(trace_point)
 
     def _trace_eval(t):
+        with timing.span("trace_open"):
+            return _trace_eval_inner(t)
+
+    def _trace_eval_inner(t):
         if host_small:
             tc = hostmle.dev_to_host(t)  # (2^mlrc, W)
             acc = np.zeros((tc.shape[1], 4), np.uint64)

@@ -1,44 +1,40 @@
-"""Multi-shard proving: event-stream splicing + shared-challenge orchestration.
+"""Multi-shard proving: event-stream splicing + septic-digest linking.
 
 An execution's event stream is split into segments of at most 2^mlrc
-cycles; each segment proves independently (reference role:
-crates/core/executor/src/splicing.rs + worker/controller/core.rs shard
-fan-out). Cross-shard memory consistency uses the GLOBAL interaction
-scope: every shard's memory-boundary states enter a second LogUp
-instance whose challenges are sampled AFTER all shard commitments are
-observed (the v3-style two-pass global argument; the reference's v6
-septic-digest variant replaces this in a later revision — groundwork in
-prover/septic.py). The verifier checks that the global cumulative sums
-of all shards (including the genesis/final bookend tables) sum to zero,
-and that pc/clk chain across shards.
+cycles; each segment proves FULLY INDEPENDENTLY (no cross-shard
+challenge barrier — reference role: crates/core/executor/src/splicing.rs
++ worker/controller/core.rs shard fan-out). Cross-shard memory
+consistency uses the septic-curve global digest: every shard's Global
+chip accumulates hash-to-curve points of its boundary-state messages
+(riscv/global_chip.py), the per-shard digests land in the public
+values, and the verifier checks that the digest values of all shards
+sum to the identity (reference: crates/hypercube/src/septic_digest.rs).
+The verifier additionally checks that pc/clk chain across shards.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..field import extension as ext
 from ..iop.challenger import DuplexChallenger
-from ..ops import mle as mle_ops
 from ..riscv import tracegen
 from ..riscv.machine import (
     PV_CLK_END,
     PV_CLK_START,
+    PV_GLOBAL_COUNT,
+    PV_GLOBAL_SUM,
     PV_IS_HALTED,
     PV_NEXT_PC,
     PV_PC_START,
 )
-from . import logup_gkr as gkr
-from .machine import global_chips_of
-
-E4 = ext.npext4
+from ..field import septic
 
 
 def split_events(events, max_rows: int) -> list:
     return [events[i : i + max_rows] for i in range(0, len(events), max_rows)]
 
 
-def make_segment_pv(events, ws, is_last: bool, exit_code: int) -> list:
+def make_segment_pv(events, ws, is_last: bool, exit_code: int, traces=None) -> list:
     from ..riscv.machine import NUM_PV_ELTS, PV_EXIT_CODE
 
     pv = [0] * NUM_PV_ELTS
@@ -52,23 +48,15 @@ def make_segment_pv(events, ws, is_last: bool, exit_code: int) -> list:
                 (1 << ws.limb_bits) - 1
             )
         pv[PV_IS_HALTED] = 1
+    if traces is not None:
+        tracegen.set_global_pv(pv, traces, ws)
     return pv
 
 
-def prove_program(
-    prover,
-    pk,
-    result,
-    program_words,
-    pc_base: int,
-    ws,
-    mlrc: int,
-    max_rows: int | None = None,
+def shard_inputs_of(
+    result, program_words, pc_base: int, ws, mlrc: int, max_rows: int | None = None
 ) -> list:
-    """Prove a (possibly multi-shard) execution; returns [ShardProof]."""
-    from ..pcs import jagged
-
-    machine = prover.machine
+    """Split an execution into per-shard (traces, public_values) inputs."""
     max_rows = max_rows or (1 << mlrc)
     segments = split_events(result.events, max_rows)
     rom = tracegen.decode_program(program_words, pc_base, ws)
@@ -94,40 +82,50 @@ def prove_program(
             include_bookends=False,
         )
         pv = make_segment_pv(
-            seg, ws, i == len(segments) - 1, int(result.exit_code)
+            seg, ws, i == len(segments) - 1, int(result.exit_code), traces=traces
         )
-        pv = pv + [0] * (machine.max_num_pvs - len(pv))
         shard_inputs.append((traces, pv))
+    return shard_inputs
 
-    # Shared transcript prefix: vk + every shard's (pv, main commitment).
-    ch = DuplexChallenger()
-    pk.vk.observe_into(ch)
-    commits = []
-    for traces, pv in shard_inputs:
-        chips = [c for c in machine.chips if c.name in traces]
-        mles = [traces[c.name][0] for c in chips]
-        heights = [traces[c.name][1] for c in chips]
-        commit, _ = jagged.commit_multilinears(mles, heights, prover.config)
-        commits.append(commit)
-        ch.observe_slice(np.asarray(pv, np.uint32))
-        ch.observe_digest(commit)
 
-    g_chips = global_chips_of(machine, machine.chips)
-    dim = gkr.gkr_beta_seed_dim(machine, g_chips, "global")
-    alpha_g = ch.sample_ext()
-    seed_g = ch.sample_ext_vec(dim)
-    betas_g = mle_ops.host.partial_lagrange_ext(seed_g)
+def prove_program(
+    prover,
+    pk,
+    result,
+    program_words,
+    pc_base: int,
+    ws,
+    mlrc: int,
+    max_rows: int | None = None,
+) -> list:
+    """Prove a (possibly multi-shard) execution; returns [ShardProof].
 
+    Shards are independent: each proof runs over its own transcript
+    (vk + its public values + its commitment), so they can be proven
+    concurrently on separate devices with no synchronization.
+    """
+    shard_inputs = shard_inputs_of(
+        result, program_words, pc_base, ws, mlrc, max_rows
+    )
     proofs = []
-    for i, (traces, pv) in enumerate(shard_inputs):
-        fork = ch.clone()
-        fork.observe(i)
-        proofs.append(
-            prover.prove_shard(
-                pk, traces, pv, fork, global_ctx=(alpha_g, betas_g)
-            )
-        )
+    for traces, pv in shard_inputs:
+        ch = DuplexChallenger()
+        pk.vk.observe_into(ch)
+        proofs.append(prover.prove_shard(pk, traces, pv, ch))
     return proofs
+
+
+def _shard_digest_value(machine, pv) -> septic.CompletePoint:
+    """The septic digest value (digest - Z) claimed by a shard's PVs."""
+    if int(pv[PV_GLOBAL_COUNT]) == 0:
+        return septic.CompletePoint.infinity()
+    coords = [int(v) for v in pv[PV_GLOBAL_SUM : PV_GLOBAL_SUM + 14]]
+    point = septic.SepticCurvePoint(
+        septic.Septic(coords[:7]), septic.Septic(coords[7:])
+    )
+    if not point.check_on_curve():
+        return None
+    return septic.digest_value(point)
 
 
 def verify_program(verifier, vk, proofs: list) -> bool:
@@ -136,35 +134,21 @@ def verify_program(verifier, vk, proofs: list) -> bool:
     if not proofs:
         return False
 
-    ch = DuplexChallenger()
-    vk.observe_into(ch)
     for proof in proofs:
-        ch.observe_slice(np.asarray(proof.public_values, np.uint32))
-        ch.observe_digest(proof.main_commitment)
-
-    g_chips = global_chips_of(machine, machine.chips)
-    dim = gkr.gkr_beta_seed_dim(machine, g_chips, "global")
-    alpha_g = ch.sample_ext()
-    seed_g = ch.sample_ext_vec(dim)
-    betas_g = mle_ops.host.partial_lagrange_ext(seed_g)
-
-    for i, proof in enumerate(proofs):
-        fork = ch.clone()
-        fork.observe(i)
-        if not verifier.verify_shard(
-            vk, proof, fork, global_ctx=(alpha_g, betas_g)
-        ):
+        ch = DuplexChallenger()
+        vk.observe_into(ch)
+        if not verifier.verify_shard(vk, proof, ch):
             return False
 
-    # Global cumulative sums must cancel across shards.
-    total = np.zeros(4, np.uint32)
+    # Septic digest values must cancel across shards: every global send
+    # is matched by exactly one receive somewhere in the execution.
+    total = septic.CompletePoint.infinity()
     for proof in proofs:
-        if proof.global_gkr_proof is None:
+        value = _shard_digest_value(machine, proof.public_values)
+        if value is None:
             return False
-        total = E4.add(
-            total, np.asarray(proof.global_gkr_proof.cumulative_sum, np.uint32)
-        )
-    if np.any(total != 0):
+        total = total + value
+    if not (total == septic.CompletePoint.infinity()):
         return False
 
     # Public-values chaining.

@@ -28,6 +28,8 @@ from ..air.builder import (
     Chip,
     Interaction,
     KIND_BYTE,
+    KIND_GLOBAL,
+    KIND_GLOBAL_ACC,
     KIND_GLOBAL_MEMORY,
     KIND_MEMORY,
     KIND_PROGRAM,
@@ -38,6 +40,12 @@ from ..air.builder import (
 )
 from ..field import koalabear as kb
 from ..prover.machine import Machine
+from ..field.septic import CURVE_CUMULATIVE_SUM_START_X, CURVE_CUMULATIVE_SUM_START_Y
+
+# The accumulation chain's start point Z (14 canonical values, x then y).
+_GLOBAL_ACC_START = list(CURVE_CUMULATIVE_SUM_START_X) + list(
+    CURVE_CUMULATIVE_SUM_START_Y
+)
 
 
 @dataclass(frozen=True)
@@ -68,8 +76,9 @@ PV_CLK_START = 2  # first row's clk (1 for a fresh execution)
 PV_CLK_END = 3  # last row's clk + 1
 PV_EXIT_CODE = 4  # NUM_LIMBS limbs of the halt code (a0)
 PV_IS_HALTED = 12  # boolean
-PV_GLOBAL_DIGEST = 16  # 4 slots: ext4 cumulative sum of global interactions
-NUM_PV_ELTS = 20
+PV_GLOBAL_COUNT = 13  # number of Global chip rows (accumulation chain length)
+PV_GLOBAL_SUM = 16  # 14 slots: septic digest (x, y) of the global interactions
+NUM_PV_ELTS = 30
 
 
 # Opcode ids (our machine's decode vocabulary). `muli` is the internal
@@ -1950,6 +1959,33 @@ def _state_tuple(nl):
     ]
 
 
+def _global_msg(ws: WordSpec, is_send: int) -> tuple:
+    """The 8-element global message + direction flags + kind for a memory
+    state row (col0 addr, col2 ts, col3.. value limbs).
+
+    message = [addr, ts, packed value limbs..., 0...]; at limb_bits=8
+    limb pairs pack into 16-bit elements (injective, since each limb is
+    range-checked to 8 bits by the memory argument)."""
+    msg = [Affine.col(main_col(0)), Affine.col(main_col(2))]
+    if ws.limb_bits == 16:
+        msg += [Affine.col(main_col(3 + i)) for i in range(ws.num_limbs)]
+    else:
+        for i in range(0, ws.num_limbs, 2):
+            msg.append(
+                Affine(0, ((main_col(3 + i), 1), (main_col(3 + i + 1), 256)))
+            )
+    while len(msg) < 8:
+        msg.append(Affine.const(0))
+    return tuple(
+        msg
+        + [
+            Affine.const(is_send),
+            Affine.const(1 - is_send),
+            Affine.const(KIND_GLOBAL_MEMORY),
+        ]
+    )
+
+
 class MemoryInitChip(Chip):
     """The shard-start state of touched cells.
 
@@ -1973,17 +2009,15 @@ class MemoryInitChip(Chip):
                 tuple(_state_tuple(self.ws.num_limbs)),
                 Affine.col(main_col(1)),
                 KIND_MEMORY,
-            )
-        ]
-
-    def receives(self) -> list:
-        return [
+            ),
+            # Route the boundary state to the Global chip as a RECEIVE
+            # (a previous shard's final-state send cancels it in the
+            # septic digest sum).
             Interaction(
-                tuple(_state_tuple(self.ws.num_limbs)),
+                _global_msg(self.ws, is_send=0),
                 Affine.col(main_col(1)),
-                KIND_GLOBAL_MEMORY,
-                scope="global",
-            )
+                KIND_GLOBAL,
+            ),
         ]
 
 
@@ -2016,10 +2050,9 @@ class MemoryFinalChip(Chip):
     def sends(self) -> list:
         return [
             Interaction(
-                tuple(_state_tuple(self.ws.num_limbs)),
+                _global_msg(self.ws, is_send=1),
                 Affine.col(main_col(1)),
-                KIND_GLOBAL_MEMORY,
-                scope="global",
+                KIND_GLOBAL,
             )
         ]
 
@@ -2039,16 +2072,19 @@ class MemoryGenesisChip(Chip):
         f.assert_bool(f.main[1])
 
     def sends(self) -> list:
-        nl = self.ws.num_limbs
-        values = [Affine.col(main_col(0)), Affine.const(0)] + [
-            Affine.const(0) for _ in range(nl)
-        ]
+        values = [Affine.col(main_col(0))] + [Affine.const(0)] * 7
         return [
             Interaction(
-                tuple(values),
+                tuple(
+                    values
+                    + [
+                        Affine.const(1),  # is_send
+                        Affine.const(0),  # is_receive
+                        Affine.const(KIND_GLOBAL_MEMORY),
+                    ]
+                ),
                 Affine.col(main_col(1)),
-                KIND_GLOBAL_MEMORY,
-                scope="global",
+                KIND_GLOBAL,
             )
         ]
 
@@ -2066,13 +2102,12 @@ class MemoryFinalGlobalChip(Chip):
     def eval(self, f):
         f.assert_bool(f.main[1])
 
-    def receives(self) -> list:
+    def sends(self) -> list:
         return [
             Interaction(
-                tuple(_state_tuple(self.ws.num_limbs)),
+                _global_msg(self.ws, is_send=0),
                 Affine.col(main_col(1)),
-                KIND_GLOBAL_MEMORY,
-                scope="global",
+                KIND_GLOBAL,
             )
         ]
 
@@ -2087,7 +2122,7 @@ class RiscvMachine(Machine):
     """
 
     def max_pv_interaction_arity(self) -> int:
-        return 3  # (pc, clk) + 1
+        return 16  # GlobalAccumulation boundary: (index, digest[14]) + 1
 
     def eval_public_values(self, public_values, challenge, alpha, betas):
         import numpy as np
@@ -2096,10 +2131,10 @@ class RiscvMachine(Machine):
 
         E4 = ext.npext4
 
-        def fp(vals):
+        def fp(kind, vals):
             acc = E4.add(
                 np.asarray(alpha, np.uint32),
-                kb.npf.mul(np.asarray(betas[0], np.uint32), np.uint32(KIND_STATE)),
+                kb.npf.mul(np.asarray(betas[0], np.uint32), np.uint32(kind)),
             )
             for k, v in enumerate(vals):
                 acc = E4.add(
@@ -2113,28 +2148,44 @@ class RiscvMachine(Machine):
             return False, None
         digest = np.zeros(4, np.uint32)
         # send (pc_start, clk_start)
-        digest = E4.add(digest, E4.inv(fp([pv[PV_PC_START], pv[PV_CLK_START]])))
+        digest = E4.add(digest, E4.inv(fp(KIND_STATE, [pv[PV_PC_START], pv[PV_CLK_START]])))
         # receive (next_pc, clk_end)
-        digest = E4.sub(digest, E4.inv(fp([pv[PV_NEXT_PC], pv[PV_CLK_END]])))
+        digest = E4.sub(digest, E4.inv(fp(KIND_STATE, [pv[PV_NEXT_PC], pv[PV_CLK_END]])))
+        # GlobalAccumulation chain boundary: send the start digest at
+        # index 0, receive the claimed final digest at index count.
+        start = _GLOBAL_ACC_START
+        digest = E4.add(digest, E4.inv(fp(KIND_GLOBAL_ACC, [0] + start)))
+        digest = E4.sub(
+            digest,
+            E4.inv(
+                fp(
+                    KIND_GLOBAL_ACC,
+                    [pv[PV_GLOBAL_COUNT]]
+                    + pv[PV_GLOBAL_SUM : PV_GLOBAL_SUM + 14],
+                )
+            ),
+        )
         return True, digest
 
     def pv_digest_spec(self):
         """See Machine.pv_digest_spec: the state chain sends the initial
-        (pc_start, clk_start) and receives the final (next_pc, clk_end)."""
+        (pc_start, clk_start) and receives the final (next_pc, clk_end);
+        the Global accumulation chain sends (0, start digest) and
+        receives (count, claimed final digest)."""
+        start = [("c", v) for v in _GLOBAL_ACC_START]
         return (
             [PV_IS_HALTED],
             [
                 (KIND_STATE, [PV_PC_START, PV_CLK_START], +1),
                 (KIND_STATE, [PV_NEXT_PC, PV_CLK_END], -1),
+                (KIND_GLOBAL_ACC, [("c", 0)] + start, +1),
+                (
+                    KIND_GLOBAL_ACC,
+                    [PV_GLOBAL_COUNT]
+                    + list(range(PV_GLOBAL_SUM, PV_GLOBAL_SUM + 14)),
+                    -1,
+                ),
             ],
-        )
-
-    def global_digest_from_pv(self, public_values):
-        import numpy as np
-
-        return np.asarray(
-            [int(v) % kb.P for v in public_values[PV_GLOBAL_DIGEST : PV_GLOBAL_DIGEST + 4]],
-            np.uint32,
         )
 
 
@@ -2151,6 +2202,8 @@ def build_machine(ws: WordSpec = WordSpec()) -> Machine:
 
 
 def _build_machine_uncached(ws: WordSpec) -> Machine:
+    from .global_chip import GlobalChip
+
     return RiscvMachine(
         [
             CpuChip(ws),
@@ -2161,6 +2214,7 @@ def _build_machine_uncached(ws: WordSpec) -> Machine:
             MemoryFinalChip(ws),
             MemoryGenesisChip(ws),
             MemoryFinalGlobalChip(ws),
+            GlobalChip(ws),
         ],
         num_pv_elts=NUM_PV_ELTS,
     )

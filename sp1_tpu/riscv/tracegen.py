@@ -93,7 +93,27 @@ from .machine import (
 )
 
 
-def make_public_values(result, pc_base: int, ws: WordSpec) -> list:
+def set_global_pv(pv: list, traces: dict, ws: WordSpec) -> list:
+    """Fill PV_GLOBAL_COUNT / PV_GLOBAL_SUM from the shard's Global trace
+    (count = chain length; sum = the last real row's cumulative digest,
+    or the start point Z when the chain is empty)."""
+    from .machine import PV_GLOBAL_COUNT, PV_GLOBAL_SUM, _GLOBAL_ACC_START, build_machine
+
+    gtrace, gcount = traces["Global"]
+    pv[PV_GLOBAL_COUNT] = gcount
+    if gcount == 0:
+        pv[PV_GLOBAL_SUM : PV_GLOBAL_SUM + 14] = _GLOBAL_ACC_START
+        return pv
+    # last real row's cum_sum columns (trace is monty)
+    c0 = build_machine(ws).chip("Global").cols["cum_sum"]
+    row = np.asarray(gtrace[gcount - 1, c0 : c0 + 14], np.uint64)
+    rinv = pow(1 << 32, -1, kb.P)
+    digest = (row * rinv % kb.P).astype(np.uint32)
+    pv[PV_GLOBAL_SUM : PV_GLOBAL_SUM + 14] = [int(v) for v in digest]
+    return pv
+
+
+def make_public_values(result, pc_base: int, ws: WordSpec, traces: dict | None = None) -> list:
     """Build the shard's public values from an execution result."""
     from .machine import NUM_PV_ELTS
 
@@ -107,6 +127,8 @@ def make_public_values(result, pc_base: int, ws: WordSpec) -> list:
     for i in range(ws.num_limbs):
         pv[PV_EXIT_CODE + i] = (code >> (ws.limb_bits * i)) & ((1 << ws.limb_bits) - 1)
     pv[PV_IS_HALTED] = 1
+    if traces is not None:
+        set_global_pv(pv, traces, ws)
     return pv
 
 
@@ -1220,15 +1242,13 @@ def generate_traces(
         fin[j, 2] = fts
         fin[j, 3 : 3 + nl] = limbs_of(np.array([fval], np.uint64), ws)[0]
 
-    traces = {
-        "Cpu": (jnp.asarray(to_monty(cpu)), n),
-        "Program": (jnp.asarray(to_monty(prog_mult)), np_rows),
-        "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
-        "Byte": (jnp.asarray(to_monty(byte_mult)), 1 << ws.limb_bits),
-        "MemoryInit": (jnp.asarray(to_monty(init)), m),
-        "MemoryFinal": (jnp.asarray(to_monty(fin)), m),
-    }
-    # Global bookend chips: genesis (first shard) and final-global (last).
+    # Global bookend tables: genesis (first shard) and final-global (last).
+    gen = None
+    fg = None
+    if include_bookends and genesis_addrs is None and final_global_states is None:
+        # single-shard: bookends from this segment's states
+        genesis_addrs = sorted(final_states.keys())
+        final_global_states = final_states
     if genesis_addrs is not None:
         g = sorted(genesis_addrs)
         gh = _pad_pow2(max(len(g), 1), mlrc)
@@ -1236,7 +1256,6 @@ def generate_traces(
         for j, addr in enumerate(g):
             gen[j, 0] = addr
             gen[j, 1] = 1
-        traces["MemoryGenesis"] = (jnp.asarray(to_monty(gen)), len(g))
     if final_global_states is not None:
         fg_cells = sorted(final_global_states.keys())
         fh = _pad_pow2(max(len(fg_cells), 1), mlrc)
@@ -1247,26 +1266,60 @@ def generate_traces(
             fg[j, 1] = 1
             fg[j, 2] = fts
             fg[j, 3 : 3 + nl] = limbs_of(np.array([fval], np.uint64), ws)[0]
-        traces["MemoryFinalGlobal"] = (jnp.asarray(to_monty(fg)), len(fg_cells))
-    if include_bookends and genesis_addrs is None and final_global_states is None:
-        # single-shard: bookends from this segment's states
-        g = sorted(final_states.keys())
-        gh = _pad_pow2(max(len(g), 1), mlrc)
-        gen = np.zeros((gh, 2), np.uint32)
-        for j, addr in enumerate(g):
-            gen[j, 0] = addr
-            gen[j, 1] = 1
-        traces["MemoryGenesis"] = (jnp.asarray(to_monty(gen)), len(g))
-        fg_cells = g
-        fh = _pad_pow2(max(len(fg_cells), 1), mlrc)
-        fg = np.zeros((fh, 3 + nl), np.uint32)
-        for j, addr in enumerate(fg_cells):
-            fts, fval = final_states[addr]
-            fg[j, 0] = addr
-            fg[j, 1] = 1
-            fg[j, 2] = fts
-            fg[j, 3 : 3 + nl] = limbs_of(np.array([fval], np.uint64), ws)[0]
-        traces["MemoryFinalGlobal"] = (jnp.asarray(to_monty(fg)), len(fg_cells))
+
+    # --- Global chip: septic digest of the cross-shard interactions -------
+    from .global_chip import GlobalChip, generate_global_trace
+    from .machine import build_machine as _bm
+
+    gchip = _bm(ws).chip("Global")
+
+    def _msg_of(row):
+        """Mirror machine._global_msg's packing of a state row."""
+        vals = row[3 : 3 + nl].astype(np.int64)
+        if ws.limb_bits == 16:
+            packed = list(vals)
+        else:
+            packed = [int(vals[i] + (vals[i + 1] << 8)) for i in range(0, nl, 2)]
+        msg = [int(row[0]), int(row[2])] + [int(v) for v in packed]
+        return msg + [0] * (8 - len(msg))
+
+    global_events = []
+    from ..air.builder import KIND_GLOBAL_MEMORY
+
+    for j in range(m):
+        global_events.append((_msg_of(init[j]), True, KIND_GLOBAL_MEMORY))
+    for j in range(m):
+        global_events.append((_msg_of(fin[j]), False, KIND_GLOBAL_MEMORY))
+    if gen is not None:
+        for j in range(int(gen[:, 1].sum())):
+            global_events.append(
+                ([int(gen[j, 0])] + [0] * 7, False, KIND_GLOBAL_MEMORY)
+            )
+    if fg is not None:
+        for j in range(int(fg[:, 1].sum())):
+            global_events.append((_msg_of(fg[j]), True, KIND_GLOBAL_MEMORY))
+    gtrace, gcount, gdigest, grange = generate_global_trace(
+        gchip, global_events, mlrc
+    )
+    for v, cnt in grange.items():
+        rng_mult[v, 0] += cnt
+
+    traces = {
+        "Cpu": (jnp.asarray(to_monty(cpu)), n),
+        "Program": (jnp.asarray(to_monty(prog_mult)), np_rows),
+        "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
+        "Byte": (jnp.asarray(to_monty(byte_mult)), 1 << ws.limb_bits),
+        "MemoryInit": (jnp.asarray(to_monty(init)), m),
+        "MemoryFinal": (jnp.asarray(to_monty(fin)), m),
+        "Global": (jnp.asarray(to_monty(gtrace)), gcount),
+    }
+    if gen is not None:
+        traces["MemoryGenesis"] = (jnp.asarray(to_monty(gen)), int(gen[:, 1].sum()))
+    if fg is not None:
+        traces["MemoryFinalGlobal"] = (
+            jnp.asarray(to_monty(fg)),
+            int(fg[:, 1].sum()),
+        )
     preprocessed = {
         "Program": (jnp.asarray(to_monty(prep_prog)), np_rows),
         "Range": (jnp.asarray(to_monty(prep_rng)), 1 << ws.limb_bits),

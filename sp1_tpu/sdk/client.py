@@ -96,7 +96,7 @@ class CpuProver:
         traces, prep = tracegen.generate_traces(
             res, pk.program, pk.pc_base, self.ws, self.mlrc
         )
-        pv = tracegen.make_public_values(res, pk.pc_base, self.ws)
+        pv = tracegen.make_public_values(res, pk.pc_base, self.ws, traces=traces)
         # The setup-time preprocessed commitment must match tracegen's.
         challenger = DuplexChallenger()
         pk.vk.observe_into(challenger)
@@ -106,12 +106,9 @@ class CpuProver:
         )
 
     def verify(self, proof: SP1ProofWithPublicValues, vk) -> bool:
-        for shard in proof.shard_proofs:
-            challenger = DuplexChallenger()
-            vk.observe_into(challenger)
-            if not self.shard_verifier.verify_shard(vk, shard, challenger):
-                return False
-        return True
+        from ..prover import multi
+
+        return multi.verify_program(self.shard_verifier, vk, proof.shard_proofs)
 
 
 class _Builder:

@@ -19,6 +19,7 @@ import os
 import time
 
 _ENABLED = os.environ.get("SP1_TPU_TIMING", "0") == "1"
+_VERBOSE = os.environ.get("SP1_TPU_TIMING_VERBOSE", "0") == "1"
 _TOTALS: dict[str, float] = {}
 _STACK: list[str] = []
 
@@ -46,6 +47,10 @@ def span(name: str):
         dt = time.perf_counter() - t0
         _STACK.pop()
         _TOTALS[key] = _TOTALS.get(key, 0.0) + dt
+        if _VERBOSE:
+            import sys
+
+            print(f"[span] {key}: {dt:.2f}s", file=sys.stderr, flush=True)
 
 
 def report() -> dict[str, float]:

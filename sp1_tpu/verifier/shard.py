@@ -277,43 +277,46 @@ def _verify_zerocheck(bk, machine, chips, g_chips, proof, public_values,
 def verify_program(bk, machine, config, vk, proofs, pv_layout):
     """Multi-shard chain verification (reference:
     crates/prover/src/verify.rs:109-260 public-values chaining + the
-    two-pass global-challenge argument of prover/multi.py).
+    septic-digest global argument, crates/hypercube/src/septic_digest.rs).
 
     pv_layout: object exposing PV_PC_START / PV_NEXT_PC / PV_CLK_START /
-    PV_CLK_END / PV_IS_HALTED index attributes (the riscv machine module).
+    PV_CLK_END / PV_IS_HALTED / PV_GLOBAL_COUNT / PV_GLOBAL_SUM index
+    attributes (the riscv machine module).
     """
     from .challenger import VChallenger
-    from .mle import partial_lagrange
 
     if not proofs:
         raise VerificationError("empty proof list")
 
-    ch = VChallenger(bk)
-    observe_vk(vk, ch)
+    # Shards are transcript-independent: each verifies standalone.
     for proof in proofs:
-        ch.observe_slice(proof.public_values)
-        ch.observe_digest(proof.main_commitment)
+        ch = VChallenger(bk)
+        observe_vk(vk, ch)
+        verify_shard(bk, machine, config, vk, proof, ch)
 
-    g_chips = global_chips_of(machine.chips)
-    dim = vgkr.gkr_beta_seed_dim(machine, g_chips, "global")
-    alpha_g = ch.sample_ext()
-    seed_g = ch.sample_ext_vec(dim)
-    betas_g = partial_lagrange(bk, seed_g)
+    # Septic digest values must cancel across shards (every global send
+    # matched by exactly one receive). Points are extracted to canonical
+    # integers; the in-circuit septic gadget arrives with the compose
+    # stage over multi-shard proofs.
+    from ..field import septic
 
-    for i, proof in enumerate(proofs):
-        fork = ch.clone()
-        fork.observe_const(i)
-        verify_shard(
-            bk, machine, config, vk, proof, fork, global_ctx=(alpha_g, betas_g)
+    total = septic.CompletePoint.infinity()
+    for proof in proofs:
+        pv = proof.public_values
+        count = bk.felt_value(pv[pv_layout.PV_GLOBAL_COUNT])
+        if count == 0:
+            continue
+        coords = [
+            bk.felt_value(pv[pv_layout.PV_GLOBAL_SUM + k]) for k in range(14)
+        ]
+        point = septic.SepticCurvePoint(
+            septic.Septic(coords[:7]), septic.Septic(coords[7:])
         )
-
-    # Global cumulative sums must cancel across shards.
-    total = bk.zero_ext()
-    for proof in proofs:
-        if proof.global_gkr_proof is None:
-            raise VerificationError("shard missing global gkr proof")
-        total = bk.eadd(total, proof.global_gkr_proof.cumulative_sum)
-    bk.assert_e_zero(total, "global cumulative sum must vanish")
+        if not point.check_on_curve():
+            raise VerificationError("global digest not on curve")
+        total = total + septic.digest_value(point)
+    if not (total == septic.CompletePoint.infinity()):
+        raise VerificationError("global septic digest must vanish")
 
     # Public-values chaining.
     for i, proof in enumerate(proofs):

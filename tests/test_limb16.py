@@ -16,7 +16,7 @@ from sp1_tpu.prover import machine as mm
 from sp1_tpu.prover.lookup_debug import check_balance
 from sp1_tpu.riscv import tracegen
 from sp1_tpu.riscv.machine import WordSpec, build_machine
-from sp1_tpu.air.builder import KIND_STATE
+from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
 WS = WordSpec(limb_bits=16)
 MLRC = 16
@@ -66,7 +66,7 @@ class TestLimb16Constraints:
         assert res.exit_code == expected(inputs[0])
         machine = machine16
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv = pv + [0] * (machine.max_num_pvs - len(pv))
         violations = mm.debug_constraints(
             machine,
@@ -83,5 +83,5 @@ class TestLimb16Constraints:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])

@@ -33,7 +33,7 @@ class TestRiscvTracegen:
     def test_traces_satisfy_constraints(self, fib_execution):
         prog, res = fib_execution
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         machine = build_machine(WS)
         violations = mm.debug_constraints(
             machine,
@@ -53,7 +53,7 @@ class TestRiscvProve:
         machine = build_machine(WS)
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         pch = DuplexChallenger()
         pk.vk.observe_into(pch)
         proof = prover.prove_shard(pk, traces, pv, pch)
@@ -65,7 +65,7 @@ class TestRiscvProve:
     def test_wrong_exit_code_rejected(self, fib_execution):
         prog, res = fib_execution
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         from sp1_tpu.riscv.machine import PV_EXIT_CODE
         pv[PV_EXIT_CODE] ^= 1  # claim fib(10) = 54
         machine = build_machine(WS)
@@ -89,7 +89,7 @@ class TestRiscvProve:
         fin[0, 3] ^= 1
         traces["MemoryFinal"] = (jnp.asarray(fin), traces["MemoryFinal"][1])
         machine = build_machine(WS)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
         pch = DuplexChallenger()
@@ -108,7 +108,7 @@ class TestExtendedIsa:
         res = native.execute(prog, inputs=[x])
         assert res.exit_code == asm.mixed_ops_expected(x)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         machine = build_machine(WS)
         # constraint + balance debuggers first
         violations = mm.debug_constraints(
@@ -136,7 +136,7 @@ class TestExtendedIsa:
         res = native.execute(prog, inputs=[x, y])
         assert res.exit_code == asm.cmp_ops_expected(x, y)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         machine = build_machine(WS)
         violations = mm.debug_constraints(
             machine,

@@ -34,7 +34,7 @@ class TestShiftConstraints:
         res = native.execute(prog, inputs=[5])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -52,9 +52,9 @@ class TestShiftConstraints:
         )
         # the state chain legitimately leaves the (pc_start, clk_start)
         # send and the final-state receive to the public-values digest
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
 
 
@@ -67,7 +67,7 @@ class TestShiftProve:
         prep = tracegen.make_preprocessed(prog, 0, WS, MLRC)
         pk = prover.setup(preprocessed_traces=prep)
         traces, _ = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv = pv + [0] * (machine.max_num_pvs - len(pv))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -99,7 +99,7 @@ class TestShiftProve:
 
         traces = dict(traces)
         traces["Cpu"] = (jnp.asarray(cpu_t), h)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv = pv + [0] * (machine.max_num_pvs - len(pv))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -125,7 +125,7 @@ class TestDivConstraints:
         res = native.execute(prog, inputs=[3])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -141,9 +141,9 @@ class TestDivConstraints:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
 
 
@@ -156,7 +156,7 @@ class TestDivProve:
         prep = tracegen.make_preprocessed(prog, 0, WS, MLRC)
         pk = prover.setup(preprocessed_traces=prep)
         traces, _ = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv = pv + [0] * (machine.max_num_pvs - len(pv))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -177,7 +177,7 @@ class TestCallOps:
         res = native.execute(prog, inputs=[7])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -189,7 +189,7 @@ class TestCallOps:
         assert violations == [], violations[:10]
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -210,7 +210,7 @@ class TestSubwordMemory:
         res = native.execute(prog, inputs=[0xABCD])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -226,13 +226,13 @@ class TestSubwordMemory:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -253,7 +253,7 @@ class TestWordArith:
         res = native.execute(prog, inputs=[0xFFFF])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -269,13 +269,13 @@ class TestWordArith:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -296,7 +296,7 @@ class TestWordShifts:
         res = native.execute(prog, inputs=[13])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -312,13 +312,13 @@ class TestWordShifts:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -339,7 +339,7 @@ class TestSignedDiv:
         res = native.execute(prog, inputs=[13])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -355,13 +355,13 @@ class TestSignedDiv:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -382,7 +382,7 @@ class TestWordDiv:
         res = native.execute(prog, inputs=[13])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -398,13 +398,13 @@ class TestWordDiv:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
         from sp1_tpu.iop.challenger import DuplexChallenger
 
@@ -425,7 +425,7 @@ class TestMulHigh:
         res = native.execute(prog, inputs=[13])
         machine = build_machine(WS)
         traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
-        pv = tracegen.make_public_values(res, 0, WS) + [0] * 171
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces) + [0] * 171
         violations = mm.debug_constraints(
             machine,
             machine.chips,
@@ -441,13 +441,13 @@ class TestMulHigh:
             {n: t for n, (t, _) in traces.items()},
             {n: h for n, (_, h) in traces.items()},
         )
-        from sp1_tpu.air.builder import KIND_STATE
+        from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
-        real = {k: v for k, v in imbal.items() if k[0] != KIND_STATE}
+        real = {k: v for k, v in imbal.items() if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real == {}, dict(list(real.items())[:5])
         prover = mm.ShardProver(machine, CONFIG)
         pk = prover.setup(preprocessed_traces=prep)
-        pv2 = tracegen.make_public_values(res, 0, WS)
+        pv2 = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv2 = pv2 + [0] * (machine.max_num_pvs - len(pv2))
         from sp1_tpu.iop.challenger import DuplexChallenger
 

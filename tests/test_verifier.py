@@ -42,7 +42,7 @@ def fib_proof():
     traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
     prover = mm.ShardProver(machine, CONFIG)
     pk = prover.setup(preprocessed_traces=prep)
-    pv = tracegen.make_public_values(res, 0, WS)
+    pv = tracegen.make_public_values(res, 0, WS, traces=traces)
     pv = pv + [0] * (machine.max_num_pvs - len(pv))
     pch = DuplexChallenger()
     pk.vk.observe_into(pch)
