@@ -48,6 +48,14 @@ struct MemCell {
     uint64_t ts = 0;
 };
 
+// Opcode classes for the execution report (reference role:
+// crates/core/executor/src/report.rs ExecutionReport opcode counts).
+enum OpClass : uint32_t {
+    OP_ALU = 0, OP_ALU_IMM, OP_ALU_W, OP_ALU_IMM_W, OP_MUL, OP_DIV,
+    OP_LOAD, OP_STORE, OP_BRANCH, OP_JAL, OP_JALR, OP_LUI, OP_AUIPC,
+    OP_ECALL, OP_CLASS_COUNT
+};
+
 struct VM {
     std::vector<uint32_t> program;
     uint64_t pc_base = 0;
@@ -62,6 +70,8 @@ struct VM {
     std::vector<uint8_t> output;       // bytes written via write syscall
     std::vector<uint64_t> input_queue; // words read via read syscall
     size_t input_pos = 0;
+    uint64_t op_counts[OP_CLASS_COUNT] = {0};
+    uint64_t syscall_counts[16] = {0};  // by syscall id (small ABI space)
 };
 
 inline int64_t sext(uint64_t v, int bits) {
@@ -139,6 +149,22 @@ bool step(VM& vm) {
     uint32_t rs1 = (instr >> 15) & 0x1f;
     uint32_t rs2 = (instr >> 20) & 0x1f;
     uint32_t funct7 = (instr >> 25) & 0x7f;
+
+    switch (opcode) {  // execution-report opcode histogram
+        case 0x33: vm.op_counts[funct7 == 0x01 ? (funct3 < 4 ? OP_MUL : OP_DIV) : OP_ALU]++; break;
+        case 0x3b: vm.op_counts[funct7 == 0x01 ? (funct3 == 0 ? OP_MUL : OP_DIV) : OP_ALU_W]++; break;
+        case 0x13: vm.op_counts[OP_ALU_IMM]++; break;
+        case 0x1b: vm.op_counts[OP_ALU_IMM_W]++; break;
+        case 0x03: vm.op_counts[OP_LOAD]++; break;
+        case 0x23: vm.op_counts[OP_STORE]++; break;
+        case 0x63: vm.op_counts[OP_BRANCH]++; break;
+        case 0x6f: vm.op_counts[OP_JAL]++; break;
+        case 0x67: vm.op_counts[OP_JALR]++; break;
+        case 0x37: vm.op_counts[OP_LUI]++; break;
+        case 0x17: vm.op_counts[OP_AUIPC]++; break;
+        case 0x73: vm.op_counts[OP_ECALL]++; break;
+        default: break;
+    }
 
     // Read operands with timestamp bookkeeping.
     auto read_reg = [&](uint32_t r, int slot) -> uint64_t {
@@ -318,6 +344,7 @@ bool step(VM& vm) {
             ev.rs1_prev_ts = vm.reg_ts[17]; b = read_reg(17, 1);
             ev.rs2_prev_ts = vm.reg_ts[10]; c = read_reg(10, 2);
             uint64_t id = b;
+            if (id < 16) vm.syscall_counts[id]++;
             if (id == 0) {
                 vm.halted = true;
                 vm.exit_code = c;
@@ -385,6 +412,33 @@ int64_t ex_run(void* h, uint64_t max_cycles) {
         if (!step(*vm)) return vm->halted ? 0 : -1;
     }
     return vm->halted ? 0 : 1;
+}
+
+// Chunked execution: run until `max_events` NEW events are buffered (or
+// halt/illegal). With ex_clear_events between calls this bounds resident
+// memory for multi-billion-cycle programs — each drained chunk is exactly
+// one shard's worth of events (reference role: the JIT's shm trace ring +
+// splicing, crates/core/jit/src/shm.rs, core/executor/src/splicing.rs).
+// Returns: 0 halted, 1 chunk full, -1 illegal instruction / oob pc.
+int64_t ex_run_chunk(void* h, uint64_t max_events) {
+    VM* vm = (VM*)h;
+    while (!vm->halted && vm->events.size() < max_events) {
+        if (!step(*vm)) return vm->halted ? 0 : -1;
+    }
+    return vm->halted ? 0 : 1;
+}
+
+void ex_clear_events(void* h) {
+    VM* vm = (VM*)h;
+    vm->events.clear();
+}
+
+// Execution report: opcode-class histogram + syscall counts.
+uint64_t ex_report_len() { return OP_CLASS_COUNT + 16; }
+void ex_report(void* h, uint64_t* out) {
+    VM* vm = (VM*)h;
+    memcpy(out, vm->op_counts, OP_CLASS_COUNT * sizeof(uint64_t));
+    memcpy(out + OP_CLASS_COUNT, vm->syscall_counts, 16 * sizeof(uint64_t));
 }
 
 uint64_t ex_num_events(void* h) { return ((VM*)h)->events.size(); }

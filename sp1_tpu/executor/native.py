@@ -107,18 +107,46 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint64),
         ]
         lib.ex_destroy.argtypes = [ctypes.c_void_p]
+        lib.ex_run_chunk.restype = ctypes.c_int64
+        lib.ex_run_chunk.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ex_clear_events.argtypes = [ctypes.c_void_p]
+        lib.ex_report_len.restype = ctypes.c_uint64
+        lib.ex_report_len.argtypes = []
+        lib.ex_report.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
         _lib = lib
     return _lib
 
 
+# Opcode-class names, index-matched to native/executor.cpp OpClass.
+OP_CLASSES = [
+    "alu", "alu_imm", "alu_w", "alu_imm_w", "mul", "div",
+    "load", "store", "branch", "jal", "jalr", "lui", "auipc", "ecall",
+]
+
+
+def _read_report(lib, vm) -> dict:
+    buf = np.zeros(lib.ex_report_len(), np.uint64)
+    lib.ex_report(vm, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    counts = {
+        name: int(buf[i]) for i, name in enumerate(OP_CLASSES) if buf[i]
+    }
+    syscalls = {
+        int(i): int(c)
+        for i, c in enumerate(buf[len(OP_CLASSES):])
+        if c
+    }
+    return {"opcode_counts": counts, "syscall_counts": syscalls}
+
+
 class ExecutionResult:
-    def __init__(self, events, exit_code, cycles, output, touched, regs):
+    def __init__(self, events, exit_code, cycles, output, touched, regs, report=None):
         self.events = events  # structured np array (EVENT_DTYPE)
         self.exit_code = exit_code
         self.cycles = cycles
         self.output = output
         self.touched_memory = touched  # (addrs, vals, tss)
         self.regs = regs
+        self.report = report or {}  # opcode_counts / syscall_counts
 
 
 def execute(
@@ -178,8 +206,98 @@ def execute(
             output=bytes(output.tobytes()),
             touched=(addrs, vals, tss),
             regs=regs,
+            report=_read_report(lib, vm),
         )
         res.reg_ts = reg_ts
         return res
     finally:
         lib.ex_destroy(vm)
+
+
+class StreamingVM:
+    """Bounded-memory chunked execution: events are drained in fixed-size
+    chunks instead of materializing the whole stream in RAM (reference
+    role: the JIT's shm trace ring + splicing engine,
+    crates/core/jit/src/shm.rs + crates/core/executor/src/splicing.rs).
+    Each drained chunk maps 1:1 to one proof shard's event segment.
+
+    Usage:
+        vm = StreamingVM(program, inputs=[...])
+        for chunk in vm.run_chunks(1 << mlrc):
+            ...  # chunk: structured EVENT_DTYPE array, len <= chunk size
+        vm.exit_code, vm.cycles, vm.touched_memory, vm.report
+    """
+
+    def __init__(self, program_words, pc_base: int = 0, inputs=None, memory=None):
+        self._lib = get_lib()
+        words = np.ascontiguousarray(program_words, np.uint32)
+        self._vm = self._lib.ex_create(
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(words),
+            pc_base,
+        )
+        if inputs:
+            arr = np.asarray(inputs, np.uint64)
+            self._lib.ex_set_input(
+                self._vm, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(arr)
+            )
+        if memory:
+            for addr, val in memory.items():
+                self._lib.ex_write_memory(self._vm, addr, val)
+        self.exit_code = None
+        self.cycles = None
+        self.output = b""
+        self.touched_memory = None
+        self.report = {}
+
+    def run_chunks(self, chunk_events: int, max_cycles: int = 1 << 40):
+        lib, vm = self._lib, self._vm
+        try:
+            while True:
+                rc = lib.ex_run_chunk(vm, chunk_events)
+                if rc == -1:
+                    raise RuntimeError("illegal instruction / out-of-bounds pc")
+                n = lib.ex_num_events(vm)
+                if n:
+                    events = np.zeros(n, EVENT_DTYPE)
+                    lib.ex_get_events(
+                        vm, events.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+                    )
+                    lib.ex_clear_events(vm)
+                    yield events
+                if rc == 0:
+                    break
+                if lib.ex_clk(vm) >= max_cycles:
+                    raise RuntimeError(f"exceeded max_cycles={max_cycles}")
+            self._finish()
+        finally:
+            self.close()
+
+    def _finish(self):
+        lib, vm = self._lib, self._vm
+        self.exit_code = lib.ex_exit_code(vm)
+        self.cycles = lib.ex_clk(vm)
+        out_len = lib.ex_output_len(vm)
+        output = np.zeros(out_len, np.uint8)
+        if out_len:
+            lib.ex_get_output(vm, output.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        self.output = bytes(output.tobytes())
+        ntouched = lib.ex_touched_memory(vm, None, None, None)
+        addrs = np.zeros(ntouched, np.uint64)
+        vals = np.zeros(ntouched, np.uint64)
+        tss = np.zeros(ntouched, np.uint64)
+        if ntouched:
+            lib.ex_touched_memory(
+                vm,
+                addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                tss.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            )
+        self.touched_memory = (addrs, vals, tss)
+        self.regs = np.array([lib.ex_reg(vm, r) for r in range(32)], np.uint64)
+        self.report = _read_report(lib, vm)
+
+    def close(self):
+        if self._vm is not None:
+            self._lib.ex_destroy(self._vm)
+            self._vm = None

@@ -30,9 +30,14 @@ from ..riscv.machine import WordSpec, build_machine
 
 @dataclass
 class ExecutionReport:
+    """Reference: crates/core/executor/src/report.rs ExecutionReport
+    (cycle count, per-opcode-class counts, syscall counts)."""
+
     exit_code: int
     cycles: int
     output: bytes
+    opcode_counts: dict = None
+    syscall_counts: dict = None
 
 
 @dataclass
@@ -88,7 +93,11 @@ class CpuProver:
     def execute(self, program: np.ndarray, stdin: list | None = None) -> ExecutionReport:
         res = native.execute(program, inputs=stdin or [])
         return ExecutionReport(
-            exit_code=int(res.exit_code), cycles=int(res.cycles), output=res.output
+            exit_code=int(res.exit_code),
+            cycles=int(res.cycles),
+            output=res.output,
+            opcode_counts=res.report.get("opcode_counts", {}),
+            syscall_counts=res.report.get("syscall_counts", {}),
         )
 
     def prove(self, pk, stdin: list | None = None) -> SP1ProofWithPublicValues:
