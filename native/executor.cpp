@@ -48,6 +48,25 @@ struct MemCell {
     uint64_t ts = 0;
 };
 
+// One precompile round's worth of memory traffic (reference role: the
+// deferred precompile event records of
+// crates/core/executor/src/events/precompiles/ — ours is a fixed-shape
+// record so Python can consume it as one structured numpy array).
+// Up to 4 reads + 1 read-modify-write per round.
+struct PxEvent {
+    uint64_t clk;           // per-round clk (parent ecall clk + 1 + step)
+    uint64_t kind;          // syscall id
+    uint64_t step;          // round index within the call
+    uint64_t ptr;           // base byte pointer (a0 at the ecall)
+    uint64_t r_addr[4];     // cell-aligned byte addrs of reads (unused = 0)
+    uint64_t r_prev_ts[4];
+    uint64_t r_val[4];
+    uint64_t w_addr;        // cell-aligned byte addr of the write (0 = none)
+    uint64_t w_prev_ts;
+    uint64_t w_prev_val;
+    uint64_t w_val;
+};
+
 // Opcode classes for the execution report (reference role:
 // crates/core/executor/src/report.rs ExecutionReport opcode counts).
 enum OpClass : uint32_t {
@@ -65,6 +84,7 @@ struct VM {
     uint64_t reg_ts[32] = {0};
     std::unordered_map<uint64_t, MemCell> memory;
     std::vector<Event> events;
+    std::vector<PxEvent> px_events;
     bool halted = false;
     uint64_t exit_code = 0;
     std::vector<uint8_t> output;       // bytes written via write syscall
@@ -78,6 +98,8 @@ inline int64_t sext(uint64_t v, int bits) {
     int shift = 64 - bits;
     return ((int64_t)(v << shift)) >> shift;
 }
+
+inline uint32_t rotr32(uint32_t x, int r) { return (x >> r) | (x << (32 - r)); }
 
 // Fetch a word-aligned 8-byte cell; addr is byte address.
 MemCell& cell(VM& vm, uint64_t byte_addr) { return vm.memory[byte_addr & ~7ULL]; }
@@ -356,6 +378,43 @@ bool step(VM& vm) {
                 rd = 10;
                 a = v;
                 wr = true;
+            } else if (id == 8) {
+                // SHA_EXTEND precompile (reference role:
+                // crates/core/executor/src/syscalls/precompiles/sha256/extend.rs).
+                // ABI: a0 = cell-aligned pointer to w[0..64], one u32 per
+                // 8-byte cell. Rounds j=0..47 compute w[16+j]; each round
+                // runs at clk+1+j (the AIR's state chain skips the window).
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + 64 * 8 > (1ULL << 32)) return false;
+                for (int j = 0; j < 48; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = 8; px.step = (uint64_t)j; px.ptr = ptr;
+                    int i = j + 16;
+                    int offs[4] = {i - 15, i - 2, i - 16, i - 7};
+                    uint32_t vals[4];
+                    for (int k = 0; k < 4; k++) {
+                        MemCell& mc = cell(vm, ptr + 8 * (uint64_t)offs[k]);
+                        px.r_addr[k] = ptr + 8 * (uint64_t)offs[k];
+                        px.r_prev_ts[k] = mc.ts;
+                        px.r_val[k] = mc.value;
+                        mc.ts = rclk * 8 + (uint64_t)k;  // read slots 0..3
+                        vals[k] = (uint32_t)mc.value;
+                    }
+                    uint32_t w15 = vals[0], w2 = vals[1], w16 = vals[2], w7 = vals[3];
+                    uint32_t s0 = rotr32(w15, 7) ^ rotr32(w15, 18) ^ (w15 >> 3);
+                    uint32_t s1 = rotr32(w2, 17) ^ rotr32(w2, 19) ^ (w2 >> 10);
+                    uint32_t wn = w16 + s0 + w7 + s1;
+                    MemCell& wc = cell(vm, ptr + 8 * (uint64_t)i);
+                    px.w_addr = ptr + 8 * (uint64_t)i;
+                    px.w_prev_ts = wc.ts;
+                    px.w_prev_val = wc.value;
+                    wc.value = wn;
+                    wc.ts = rclk * 8 + 4;  // write slot 4
+                    px.w_val = wn;
+                    vm.px_events.push_back(px);
+                }
+                vm.clk += 48;  // next instruction runs after the window
             }
             break;
         }
@@ -431,6 +490,7 @@ int64_t ex_run_chunk(void* h, uint64_t max_events) {
 void ex_clear_events(void* h) {
     VM* vm = (VM*)h;
     vm->events.clear();
+    vm->px_events.clear();
 }
 
 // Execution report: opcode-class histogram + syscall counts.
@@ -447,6 +507,14 @@ void ex_get_events(void* h, uint64_t* out) {
     VM* vm = (VM*)h;
     static_assert(sizeof(Event) == 16 * 8, "event layout");
     memcpy(out, vm->events.data(), vm->events.size() * sizeof(Event));
+}
+
+uint64_t ex_num_px_events(void* h) { return ((VM*)h)->px_events.size(); }
+
+void ex_get_px_events(void* h, uint64_t* out) {
+    VM* vm = (VM*)h;
+    static_assert(sizeof(PxEvent) == 20 * 8, "px event layout");
+    memcpy(out, vm->px_events.data(), vm->px_events.size() * sizeof(PxEvent));
 }
 
 uint64_t ex_exit_code(void* h) { return ((VM*)h)->exit_code; }

@@ -50,6 +50,27 @@ FLAG_MEM = 1
 FLAG_STORE = 2
 FLAG_HALT = 4
 
+# Precompile round events (native PxEvent; reference role:
+# crates/core/executor/src/events/precompiles/). One record per round:
+# up to 4 reads + 1 read-modify-write of 8-byte cells.
+PX_EVENT_DTYPE = np.dtype(
+    [
+        ("clk", np.uint64),       # per-round clk = parent ecall clk + 1 + step
+        ("kind", np.uint64),      # syscall id
+        ("step", np.uint64),
+        ("ptr", np.uint64),
+        ("r_addr", np.uint64, (4,)),
+        ("r_prev_ts", np.uint64, (4,)),
+        ("r_val", np.uint64, (4,)),
+        ("w_addr", np.uint64),
+        ("w_prev_ts", np.uint64),
+        ("w_prev_val", np.uint64),
+        ("w_val", np.uint64),
+    ]
+)
+
+SYSCALL_SHA_EXTEND = 8
+
 _lib = None
 
 
@@ -109,6 +130,9 @@ def get_lib():
         lib.ex_destroy.argtypes = [ctypes.c_void_p]
         lib.ex_run_chunk.restype = ctypes.c_int64
         lib.ex_run_chunk.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ex_num_px_events.restype = ctypes.c_uint64
+        lib.ex_num_px_events.argtypes = [ctypes.c_void_p]
+        lib.ex_get_px_events.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
         lib.ex_clear_events.argtypes = [ctypes.c_void_p]
         lib.ex_report_len.restype = ctypes.c_uint64
         lib.ex_report_len.argtypes = []
@@ -139,7 +163,9 @@ def _read_report(lib, vm) -> dict:
 
 
 class ExecutionResult:
-    def __init__(self, events, exit_code, cycles, output, touched, regs, report=None):
+    def __init__(
+        self, events, exit_code, cycles, output, touched, regs, report=None, px_events=None
+    ):
         self.events = events  # structured np array (EVENT_DTYPE)
         self.exit_code = exit_code
         self.cycles = cycles
@@ -147,6 +173,18 @@ class ExecutionResult:
         self.touched_memory = touched  # (addrs, vals, tss)
         self.regs = regs
         self.report = report or {}  # opcode_counts / syscall_counts
+        # precompile round events (PX_EVENT_DTYPE), clk-ordered
+        self.px_events = (
+            px_events if px_events is not None else np.zeros(0, PX_EVENT_DTYPE)
+        )
+
+
+def _fetch_px_events(lib, vm) -> np.ndarray:
+    n = lib.ex_num_px_events(vm)
+    px = np.zeros(n, PX_EVENT_DTYPE)
+    if n:
+        lib.ex_get_px_events(vm, px.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return px
 
 
 def execute(
@@ -207,6 +245,7 @@ def execute(
             touched=(addrs, vals, tss),
             regs=regs,
             report=_read_report(lib, vm),
+            px_events=_fetch_px_events(lib, vm),
         )
         res.reg_ts = reg_ts
         return res
@@ -250,7 +289,10 @@ class StreamingVM:
         self.touched_memory = None
         self.report = {}
 
-    def run_chunks(self, chunk_events: int, max_cycles: int = 1 << 40):
+    def run_chunks(self, chunk_events: int, max_cycles: int = 1 << 40, with_px=False):
+        """Yields EVENT_DTYPE chunks; with_px=True yields (events, px_events)
+        pairs where px_events are the precompile rounds spawned by ecalls
+        inside the chunk (they always travel with their parent chunk)."""
         lib, vm = self._lib, self._vm
         try:
             while True:
@@ -263,8 +305,9 @@ class StreamingVM:
                     lib.ex_get_events(
                         vm, events.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
                     )
+                    px = _fetch_px_events(lib, vm)
                     lib.ex_clear_events(vm)
-                    yield events
+                    yield (events, px) if with_px else events
                 if rc == 0:
                     break
                 if lib.ex_clk(vm) >= max_cycles:

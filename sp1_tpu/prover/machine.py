@@ -644,6 +644,8 @@ def debug_constraints(machine, chips, preprocessed, traces, heights, public_valu
     violations = []
     alpha = NpOps.one()
     for chip in chips:
+        if chip.name not in traces:
+            continue  # optional chip (e.g. precompile with no calls)
         mt = np.asarray(
             kb.from_monty(jnp.asarray(traces[chip.name]).reshape(-1)), np.uint32
         ).reshape(traces[chip.name].shape)

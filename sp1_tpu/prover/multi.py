@@ -41,7 +41,7 @@ def make_segment_pv(events, ws, is_last: bool, exit_code: int, traces=None) -> l
     pv[PV_PC_START] = int(events["pc"][0])
     pv[PV_NEXT_PC] = int(events["next_pc"][-1])
     pv[PV_CLK_START] = int(events["clk"][0])
-    pv[PV_CLK_END] = int(events["clk"][-1]) + 1
+    pv[PV_CLK_END] = tracegen.segment_clk_end(events)
     if is_last:
         for i in range(ws.num_limbs):
             pv[PV_EXIT_CODE + i] = (exit_code >> (ws.limb_bits * i)) & (
@@ -60,14 +60,17 @@ def shard_inputs_of(
     max_rows = max_rows or (1 << mlrc)
     segments = split_events(result.events, max_rows)
     rom = tracegen.decode_program(program_words, pc_base, ws)
+    px = getattr(result, "px_events", None)
     _, full_final = tracegen.compute_segment_states(
-        result.events, rom, pc_base, ws
+        result.events, rom, pc_base, ws, px_events=px
     )
     genesis_addrs = sorted(full_final.keys())
 
     shard_inputs = []
     for i, seg in enumerate(segments):
-        init_s, final_s = tracegen.compute_segment_states(seg, rom, pc_base, ws)
+        init_s, final_s = tracegen.compute_segment_states(
+            seg, rom, pc_base, ws, px_events=px
+        )
         traces, _prep = tracegen.generate_traces(
             result,
             program_words,

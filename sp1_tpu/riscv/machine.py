@@ -35,6 +35,7 @@ from ..air.builder import (
     KIND_PROGRAM,
     KIND_RANGE,
     KIND_STATE,
+    KIND_SYSCALL,
     main_col,
     prep_col,
 )
@@ -276,6 +277,7 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.col("hbm")
     c.col("is_halt")
     c.col("is_read")
+    c.col("is_sha_extend")
     c.col("rd_nonzero")
     c.col("rd_inv")
     c.col("rd_write_mult")
@@ -454,15 +456,23 @@ class CpuChip(Chip):
         # READ (a7==3); exactly one must be set on ecall rows, which makes
         # any other syscall id unprovable.
         is_halt, is_read = g("is_halt"), g("is_read")
+        is_sha_extend = g("is_sha_extend")
         f.assert_bool(is_halt)
         f.assert_bool(is_read)
-        f.assert_eq(ops.add(is_halt, is_read), sels["ecall"])
+        f.assert_bool(is_sha_extend)
+        f.assert_eq(
+            ops.add(ops.add(is_halt, is_read), is_sha_extend), sels["ecall"]
+        )
         for i in range(nl):
             f.assert_zero(ops.mul(is_halt, b[i]))
             if i == 0:
                 f.assert_zero(ops.mul(is_read, ops.sub(b[0], ops.const(3))))
+                f.assert_zero(
+                    ops.mul(is_sha_extend, ops.sub(b[0], ops.const(8)))
+                )
             else:
                 f.assert_zero(ops.mul(is_read, b[i]))
+                f.assert_zero(ops.mul(is_sha_extend, b[i]))
         # ecall register indices fixed by ROM decode (rs1=17, rs2=10, rd=10)
         # halt: the exit code (a0 = c) must match the public values, and the
         # public halted flag must be set on a halt row.
@@ -1487,12 +1497,34 @@ class CpuChip(Chip):
         out.append(
             Interaction(tuple(values), _aff(L["is_real"]), KIND_PROGRAM)
         )
-        # state chain: each row produces (next_pc, clk + 1)
+        # state chain: each row produces (next_pc, clk + 1). A precompile
+        # ecall's rounds occupy the next N cycles, so its send skips the
+        # window (sha extend: +48).
         out.append(
             Interaction(
-                (_aff(L["next_pc"]), Affine(1, ((main_col(L["clk"]), 1),))),
+                (
+                    _aff(L["next_pc"]),
+                    Affine(
+                        1,
+                        (
+                            (main_col(L["clk"]), 1),
+                            (main_col(L["is_sha_extend"]), 48),
+                        ),
+                    ),
+                ),
                 _aff(L["is_real"]),
                 KIND_STATE,
+            )
+        )
+        # precompile dispatch: (syscall id, clk, raw pointer limbs in a0)
+        out.append(
+            Interaction(
+                tuple(
+                    [Affine.const(8), _aff(L["clk"])]
+                    + [_aff(L["c"].start + i) for i in range(nl)]
+                ),
+                _aff(L["is_sha_extend"]),
+                KIND_SYSCALL,
             )
         )
         # register writes (memory sends of the new state)
@@ -2203,6 +2235,7 @@ def build_machine(ws: WordSpec = WordSpec()) -> Machine:
 
 def _build_machine_uncached(ws: WordSpec) -> Machine:
     from .global_chip import GlobalChip
+    from .sha import ShaExtendChip
 
     return RiscvMachine(
         [
@@ -2210,6 +2243,7 @@ def _build_machine_uncached(ws: WordSpec) -> Machine:
             ProgramChip(ws),
             RangeChip(ws),
             ByteChip(ws),
+            ShaExtendChip(ws),
             MemoryInitChip(ws),
             MemoryFinalChip(ws),
             MemoryGenesisChip(ws),

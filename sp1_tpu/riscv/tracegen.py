@@ -113,6 +113,17 @@ def set_global_pv(pv: list, traces: dict, ws: WordSpec) -> list:
     return pv
 
 
+def segment_clk_end(events) -> int:
+    """clk of the instruction after the segment's last event. Precompile
+    ecalls own the following round window, so they advance clk by 1+rounds
+    (sha extend: 49) instead of 1."""
+    last = events[-1]
+    bump = 1
+    if int(last["instr"]) & 0x7F == 0x73 and int(last["b"]) == 8:
+        bump = 49
+    return int(last["clk"]) + bump
+
+
 def make_public_values(result, pc_base: int, ws: WordSpec, traces: dict | None = None) -> list:
     """Build the shard's public values from an execution result."""
     from .machine import NUM_PV_ELTS
@@ -122,7 +133,7 @@ def make_public_values(result, pc_base: int, ws: WordSpec, traces: dict | None =
     pv[PV_PC_START] = int(ev["pc"][0]) if len(ev) else pc_base
     pv[PV_NEXT_PC] = int(ev["next_pc"][-1]) if len(ev) else pc_base
     pv[PV_CLK_START] = int(ev["clk"][0]) if len(ev) else 1
-    pv[PV_CLK_END] = int(ev["clk"][-1]) + 1 if len(ev) else 1
+    pv[PV_CLK_END] = segment_clk_end(ev) if len(ev) else 1
     code = int(result.exit_code)
     for i in range(ws.num_limbs):
         pv[PV_EXIT_CODE + i] = (code >> (ws.limb_bits * i)) & ((1 << ws.limb_bits) - 1)
@@ -377,7 +388,21 @@ def make_preprocessed(program_words, pc_base: int, ws: WordSpec, mlrc: int) -> d
     }
 
 
-def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
+# reads per round, by precompile syscall id (sha extend: w[i-15], w[i-2],
+# w[i-16], w[i-7])
+PX_NUM_READS = {8: 4}
+
+
+def px_events_of_segment(px_events, events):
+    """Precompile rounds whose parent ecall lies inside the event slice."""
+    if px_events is None or len(px_events) == 0 or len(events) == 0:
+        return None
+    parent = px_events["clk"] - 1 - px_events["step"]
+    lo, hi = int(events["clk"][0]), int(events["clk"][-1])
+    return px_events[(parent >= lo) & (parent <= hi)]
+
+
+def compute_segment_states(events, rom, pc_base: int, ws: WordSpec, px_events=None):
     """(init_states, final_states): cell -> (ts, value) at segment bounds.
 
     Cells: registers at addresses 0..31, RAM words at 32 + byte_addr/8.
@@ -385,8 +410,16 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
     access in the segment; the final state is the post-state of its last
     access. This is what makes event-stream splicing possible without
     re-execution (reference role: crates/core/executor/src/splicing.rs).
+    Precompile rounds (px_events) touch cells between their parent ecall
+    and the next instruction.
     """
     init_states, final_states = {}, {}
+    px = px_events_of_segment(px_events, events)
+    px_by_parent = {}
+    if px is not None:
+        parents = px["clk"] - 1 - px["step"]
+        for j in range(len(px)):
+            px_by_parent.setdefault(int(parents[j]), []).append(j)
 
     def touch(cell, prev_ts, prev_val, new_ts, new_val):
         if cell not in init_states:
@@ -444,6 +477,21 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec):
         if wrote:
             r = int(rds[j])
             touch(r, ev["rd_prev_ts"], ev["rd_prev_val"], clk * 8 + 4, ev["a"])
+        # precompile rounds owned by this ecall (they run at clk+1..)
+        for pj in px_by_parent.get(clk, ()) if op == OP_ECALL else ():
+            row = px[pj]
+            rclk = int(row["clk"])
+            for k in range(PX_NUM_READS[int(row["kind"])]):
+                c_ = 32 + int(row["r_addr"][k]) // 8
+                touch(
+                    c_,
+                    row["r_prev_ts"][k],
+                    row["r_val"][k],
+                    rclk * 8 + k,
+                    row["r_val"][k],
+                )
+            c_ = 32 + int(row["w_addr"]) // 8
+            touch(c_, row["w_prev_ts"], row["w_prev_val"], rclk * 8 + 4, row["w_val"])
     return init_states, final_states
 
 
@@ -464,6 +512,7 @@ def generate_traces(
     genesis_addrs=None,
     final_global_states=None,
     include_bookends=True,
+    px_events=None,
 ):
     """Build all chip traces from an ExecutionResult (or an event slice).
 
@@ -474,6 +523,8 @@ def generate_traces(
     """
     ev = result.events if events is None else events
     n = len(ev)
+    if px_events is None:
+        px_events = px_events_of_segment(getattr(result, "px_events", None), ev)
     rom = decode_program(program_words, pc_base, ws)
     L = cpu_layout(ws)
     nl = ws.num_limbs
@@ -992,6 +1043,7 @@ def generate_traces(
     is_ecall = op == OP_ECALL
     cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
     cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
+    cpu[:n, L["is_sha_extend"]] = (is_ecall & (ev["b"] == 8)).astype(np.uint32)
 
     rd_arr = rom["rd"][pc_idx]
     rd_nonzero = (rd_arr != 0).astype(np.uint32)
@@ -1088,6 +1140,25 @@ def generate_traces(
     counts = np.bincount(pc_idx, minlength=np_rows)
     prog_mult[:np_rows, 0] = counts[:np_rows]
 
+    # --- Precompile chips ---------------------------------------------------
+    from .sha import generate_sha_extend_trace
+
+    sha_px = (
+        px_events[px_events["kind"] == 8]
+        if px_events is not None and len(px_events)
+        else None
+    )
+    sha_trace, sha_rows, sha_range_lookups = None, 0, []
+    if sha_px is not None and len(sha_px):
+        if len(sha_px) > (1 << mlrc):
+            raise ValueError(
+                f"ShaExtend rows {len(sha_px)} exceed shard height 2^{mlrc}; "
+                "lower the event split threshold"
+            )
+        sha_trace, sha_rows, sha_range_lookups = generate_sha_extend_trace(
+            sha_px, ws, _pad_pow2(len(sha_px), mlrc)
+        )
+
     # --- Range table (preprocessed) + multiplicity ------------------------
     rng_h = _pad_pow2(1 << ws.limb_bits, mlrc)
     prep_rng = np.zeros((rng_h, 1), np.uint32)
@@ -1169,7 +1240,7 @@ def generate_traces(
         sl = L[nm]
         for i in range(ws.ts_limbs):
             lookups.append((cpu[:n, sl.start + i], uses))
-    for vals, mult in lookups:
+    for vals, mult in lookups + sha_range_lookups:
         rng_mult[:, 0] += np.bincount(
             vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
         )[:rng_h].astype(np.uint32)
@@ -1222,7 +1293,9 @@ def generate_traces(
 
     # --- Memory init/final (segment boundary states) ----------------------
     if init_states is None or final_states is None:
-        seg_init, seg_final = compute_segment_states(ev, rom, pc_base, ws)
+        seg_init, seg_final = compute_segment_states(
+            ev, rom, pc_base, ws, px_events=px_events
+        )
         init_states = seg_init if init_states is None else init_states
         final_states = seg_final if final_states is None else final_states
     cells_sorted = sorted(final_states.keys())
@@ -1307,6 +1380,11 @@ def generate_traces(
     traces = {
         "Cpu": (jnp.asarray(to_monty(cpu)), n),
         "Program": (jnp.asarray(to_monty(prog_mult)), np_rows),
+        **(
+            {"ShaExtend": (jnp.asarray(to_monty(sha_trace)), sha_rows)}
+            if sha_rows
+            else {}
+        ),
         "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
         "Byte": (jnp.asarray(to_monty(byte_mult)), 1 << ws.limb_bits),
         "MemoryInit": (jnp.asarray(to_monty(init)), m),
