@@ -415,6 +415,76 @@ bool step(VM& vm) {
                     vm.px_events.push_back(px);
                 }
                 vm.clk += 48;  // next instruction runs after the window
+            } else if (id == 9) {
+                // SHA_COMPRESS precompile (reference role:
+                // crates/core/executor/src/syscalls/precompiles/sha256/compress.rs).
+                // ABI: a0 = cell-aligned pointer to a single buffer of
+                // [w[0..64], h[0..8]], one u32 per 8-byte cell (h lives at
+                // cells 64..72). 80 rounds at clk+1+step: steps 0..7 read
+                // h[step], steps 8..71 read w[step-8] and run one
+                // compression round, steps 72..79 write h[step-72] += var.
+                static const uint32_t K[64] = {
+                    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b,
+                    0x59f111f1, 0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01,
+                    0x243185be, 0x550c7dc3, 0x72be5d74, 0x80deb1fe, 0x9bdc06a7,
+                    0xc19bf174, 0xe49b69c1, 0xefbe4786, 0x0fc19dc6, 0x240ca1cc,
+                    0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da, 0x983e5152,
+                    0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+                    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc,
+                    0x53380d13, 0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85,
+                    0xa2bfe8a1, 0xa81a664b, 0xc24b8b70, 0xc76c51a3, 0xd192e819,
+                    0xd6990624, 0xf40e3585, 0x106aa070, 0x19a4c116, 0x1e376c08,
+                    0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a, 0x5b9cca4f,
+                    0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+                    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + 72 * 8 > (1ULL << 32)) return false;
+                uint32_t st[8];  // working variables a..h
+                for (int j = 0; j < 80; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = 9; px.step = (uint64_t)j; px.ptr = ptr;
+                    if (j < 8) {  // init: read h[j]
+                        MemCell& mc = cell(vm, ptr + 8 * (uint64_t)(64 + j));
+                        px.r_addr[0] = ptr + 8 * (uint64_t)(64 + j);
+                        px.r_prev_ts[0] = mc.ts;
+                        px.r_val[0] = mc.value;
+                        mc.ts = rclk * 8;  // read slot 0
+                        st[j] = (uint32_t)mc.value;
+                    } else if (j < 72) {  // compression round
+                        int i = j - 8;
+                        MemCell& mc = cell(vm, ptr + 8 * (uint64_t)i);
+                        px.r_addr[0] = ptr + 8 * (uint64_t)i;
+                        px.r_prev_ts[0] = mc.ts;
+                        px.r_val[0] = mc.value;
+                        mc.ts = rclk * 8;
+                        uint32_t w = (uint32_t)mc.value;
+                        uint32_t e = st[4];
+                        uint32_t S1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+                        uint32_t ch = (e & st[5]) ^ (~e & st[6]);
+                        uint32_t t1 = st[7] + S1 + ch + K[i] + w;
+                        uint32_t a0v = st[0];
+                        uint32_t S0 = rotr32(a0v, 2) ^ rotr32(a0v, 13) ^ rotr32(a0v, 22);
+                        uint32_t maj = (a0v & st[1]) ^ (a0v & st[2]) ^ (st[1] & st[2]);
+                        uint32_t t2 = S0 + maj;
+                        st[7] = st[6]; st[6] = st[5]; st[5] = st[4];
+                        st[4] = st[3] + t1;
+                        st[3] = st[2]; st[2] = st[1]; st[1] = st[0];
+                        st[0] = t1 + t2;
+                    } else {  // finalize: h[j-72] += var (RMW)
+                        int i = j - 72;
+                        MemCell& wc = cell(vm, ptr + 8 * (uint64_t)(64 + i));
+                        px.w_addr = ptr + 8 * (uint64_t)(64 + i);
+                        px.w_prev_ts = wc.ts;
+                        px.w_prev_val = wc.value;
+                        uint32_t hn = (uint32_t)wc.value + st[i];
+                        wc.value = hn;
+                        wc.ts = rclk * 8 + 4;  // write slot 4
+                        px.w_val = hn;
+                    }
+                    vm.px_events.push_back(px);
+                }
+                vm.clk += 80;
             }
             break;
         }

@@ -43,6 +43,7 @@ KIND_GLOBAL = 9
 KIND_GLOBAL_ACC = 10  # septic-digest accumulation chain (Global chip rows)
 KIND_RANGE = 22  # framework-specific kinds may extend past the reference's
 KIND_PX_CHAIN = 23  # precompile round-chain messages (per-call shift register)
+KIND_SHA_K = 24  # SHA-256 round-constant table lookups
 KIND_GLOBAL_MEMORY = 30  # cross-shard memory-state interactions (global scope)
 
 

@@ -70,6 +70,7 @@ PX_EVENT_DTYPE = np.dtype(
 )
 
 SYSCALL_SHA_EXTEND = 8
+SYSCALL_SHA_COMPRESS = 9
 
 _lib = None
 

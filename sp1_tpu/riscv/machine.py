@@ -278,6 +278,7 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.col("is_halt")
     c.col("is_read")
     c.col("is_sha_extend")
+    c.col("is_sha_compress")
     c.col("rd_nonzero")
     c.col("rd_inv")
     c.col("rd_write_mult")
@@ -456,23 +457,20 @@ class CpuChip(Chip):
         # READ (a7==3); exactly one must be set on ecall rows, which makes
         # any other syscall id unprovable.
         is_halt, is_read = g("is_halt"), g("is_read")
-        is_sha_extend = g("is_sha_extend")
-        f.assert_bool(is_halt)
-        f.assert_bool(is_read)
-        f.assert_bool(is_sha_extend)
-        f.assert_eq(
-            ops.add(ops.add(is_halt, is_read), is_sha_extend), sels["ecall"]
-        )
-        for i in range(nl):
-            f.assert_zero(ops.mul(is_halt, b[i]))
-            if i == 0:
-                f.assert_zero(ops.mul(is_read, ops.sub(b[0], ops.const(3))))
-                f.assert_zero(
-                    ops.mul(is_sha_extend, ops.sub(b[0], ops.const(8)))
-                )
-            else:
-                f.assert_zero(ops.mul(is_read, b[i]))
-                f.assert_zero(ops.mul(is_sha_extend, b[i]))
+        ecall_flags = [
+            (is_halt, 0),
+            (is_read, 3),
+            (g("is_sha_extend"), 8),
+            (g("is_sha_compress"), 9),
+        ]
+        flag_sum = ops.zero()
+        for flag, sid in ecall_flags:
+            f.assert_bool(flag)
+            flag_sum = ops.add(flag_sum, flag)
+            for i in range(nl):
+                tgt = b[i] if (i > 0 or sid == 0) else ops.sub(b[0], ops.const(sid))
+                f.assert_zero(ops.mul(flag, tgt))
+        f.assert_eq(flag_sum, sels["ecall"])
         # ecall register indices fixed by ROM decode (rs1=17, rs2=10, rd=10)
         # halt: the exit code (a0 = c) must match the public values, and the
         # public halted flag must be set on a halt row.
@@ -1499,7 +1497,7 @@ class CpuChip(Chip):
         )
         # state chain: each row produces (next_pc, clk + 1). A precompile
         # ecall's rounds occupy the next N cycles, so its send skips the
-        # window (sha extend: +48).
+        # window (sha extend: +48, sha compress: +80).
         out.append(
             Interaction(
                 (
@@ -1509,6 +1507,7 @@ class CpuChip(Chip):
                         (
                             (main_col(L["clk"]), 1),
                             (main_col(L["is_sha_extend"]), 48),
+                            (main_col(L["is_sha_compress"]), 80),
                         ),
                     ),
                 ),
@@ -1517,16 +1516,17 @@ class CpuChip(Chip):
             )
         )
         # precompile dispatch: (syscall id, clk, raw pointer limbs in a0)
-        out.append(
-            Interaction(
-                tuple(
-                    [Affine.const(8), _aff(L["clk"])]
-                    + [_aff(L["c"].start + i) for i in range(nl)]
-                ),
-                _aff(L["is_sha_extend"]),
-                KIND_SYSCALL,
+        for sid, flag in ((8, "is_sha_extend"), (9, "is_sha_compress")):
+            out.append(
+                Interaction(
+                    tuple(
+                        [Affine.const(sid), _aff(L["clk"])]
+                        + [_aff(L["c"].start + i) for i in range(nl)]
+                    ),
+                    _aff(L[flag]),
+                    KIND_SYSCALL,
+                )
             )
-        )
         # register writes (memory sends of the new state)
         clk8_1 = Affine(1, ((main_col(L["clk"]), 8),))
         clk8_2 = Affine(2, ((main_col(L["clk"]), 8),))
@@ -2235,7 +2235,7 @@ def build_machine(ws: WordSpec = WordSpec()) -> Machine:
 
 def _build_machine_uncached(ws: WordSpec) -> Machine:
     from .global_chip import GlobalChip
-    from .sha import ShaExtendChip
+    from .sha import ShaCompressChip, ShaExtendChip, ShaKChip
 
     return RiscvMachine(
         [
@@ -2243,7 +2243,9 @@ def _build_machine_uncached(ws: WordSpec) -> Machine:
             ProgramChip(ws),
             RangeChip(ws),
             ByteChip(ws),
+            ShaKChip(ws),
             ShaExtendChip(ws),
+            ShaCompressChip(ws),
             MemoryInitChip(ws),
             MemoryFinalChip(ws),
             MemoryGenesisChip(ws),

@@ -113,14 +113,18 @@ def set_global_pv(pv: list, traces: dict, ws: WordSpec) -> list:
     return pv
 
 
+# clk window owned by each precompile ecall (rounds run at clk+1..clk+N)
+PX_WINDOW = {8: 48, 9: 80}
+
+
 def segment_clk_end(events) -> int:
     """clk of the instruction after the segment's last event. Precompile
-    ecalls own the following round window, so they advance clk by 1+rounds
-    (sha extend: 49) instead of 1."""
+    ecalls own the following round window, so they advance clk by
+    1 + window instead of 1."""
     last = events[-1]
     bump = 1
-    if int(last["instr"]) & 0x7F == 0x73 and int(last["b"]) == 8:
-        bump = 49
+    if int(last["instr"]) & 0x7F == 0x73:
+        bump += PX_WINDOW.get(int(last["b"]), 0)
     return int(last["clk"]) + bump
 
 
@@ -381,16 +385,29 @@ def make_preprocessed(program_words, pc_base: int, ws: WordSpec, mlrc: int) -> d
     prep_byte[: 1 << ws.limb_bits, 2] = bx & by
     prep_byte[: 1 << ws.limb_bits, 3] = bx | by
     prep_byte[: 1 << ws.limb_bits, 4] = bx ^ by
+    from .sha import make_sha_k_preprocessed
+
+    prep_shak, _ = make_sha_k_preprocessed(ws, _pad_pow2(64, mlrc))
     return {
         "Program": (jnp.asarray(to_monty(prep_prog)), npr),
         "Range": (jnp.asarray(to_monty(prep_rng)), 1 << ws.limb_bits),
         "Byte": (jnp.asarray(to_monty(prep_byte)), 1 << ws.limb_bits),
+        "ShaK": (jnp.asarray(to_monty(prep_shak)), 64),
     }
 
 
 # reads per round, by precompile syscall id (sha extend: w[i-15], w[i-2],
 # w[i-16], w[i-7])
 PX_NUM_READS = {8: 4}
+
+
+def px_row_ops(kind: int, step: int) -> tuple:
+    """(n_reads, has_write) for one precompile round row."""
+    if kind == 8:  # sha extend: 4 reads + 1 write every round
+        return 4, True
+    if kind == 9:  # sha compress: init/compress read, finalize writes
+        return (1, False) if step < 72 else (0, True)
+    raise ValueError(f"unknown precompile kind {kind}")
 
 
 def px_events_of_segment(px_events, events):
@@ -481,7 +498,8 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec, px_events=No
         for pj in px_by_parent.get(clk, ()) if op == OP_ECALL else ():
             row = px[pj]
             rclk = int(row["clk"])
-            for k in range(PX_NUM_READS[int(row["kind"])]):
+            n_reads, has_write = px_row_ops(int(row["kind"]), int(row["step"]))
+            for k in range(n_reads):
                 c_ = 32 + int(row["r_addr"][k]) // 8
                 touch(
                     c_,
@@ -490,8 +508,11 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec, px_events=No
                     rclk * 8 + k,
                     row["r_val"][k],
                 )
-            c_ = 32 + int(row["w_addr"]) // 8
-            touch(c_, row["w_prev_ts"], row["w_prev_val"], rclk * 8 + 4, row["w_val"])
+            if has_write:
+                c_ = 32 + int(row["w_addr"]) // 8
+                touch(
+                    c_, row["w_prev_ts"], row["w_prev_val"], rclk * 8 + 4, row["w_val"]
+                )
     return init_states, final_states
 
 
@@ -1044,6 +1065,7 @@ def generate_traces(
     cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
     cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
     cpu[:n, L["is_sha_extend"]] = (is_ecall & (ev["b"] == 8)).astype(np.uint32)
+    cpu[:n, L["is_sha_compress"]] = (is_ecall & (ev["b"] == 9)).astype(np.uint32)
 
     rd_arr = rom["rd"][pc_idx]
     rd_nonzero = (rd_arr != 0).astype(np.uint32)
@@ -1141,15 +1163,17 @@ def generate_traces(
     prog_mult[:np_rows, 0] = counts[:np_rows]
 
     # --- Precompile chips ---------------------------------------------------
-    from .sha import generate_sha_extend_trace
+    from .sha import generate_sha_compress_trace, generate_sha_extend_trace
 
-    sha_px = (
-        px_events[px_events["kind"] == 8]
-        if px_events is not None and len(px_events)
-        else None
-    )
+    def _kind_px(kind):
+        if px_events is None or len(px_events) == 0:
+            return None
+        sel = px_events[px_events["kind"] == kind]
+        return sel if len(sel) else None
+
+    sha_px = _kind_px(8)
     sha_trace, sha_rows, sha_range_lookups = None, 0, []
-    if sha_px is not None and len(sha_px):
+    if sha_px is not None:
         if len(sha_px) > (1 << mlrc):
             raise ValueError(
                 f"ShaExtend rows {len(sha_px)} exceed shard height 2^{mlrc}; "
@@ -1157,6 +1181,18 @@ def generate_traces(
             )
         sha_trace, sha_rows, sha_range_lookups = generate_sha_extend_trace(
             sha_px, ws, _pad_pow2(len(sha_px), mlrc)
+        )
+    shac_px = _kind_px(9)
+    shac_trace, shac_rows, shac_range_lookups = None, 0, []
+    sha_k_mult = np.zeros(64, np.uint32)
+    if shac_px is not None:
+        if len(shac_px) > (1 << mlrc):
+            raise ValueError(
+                f"ShaCompress rows {len(shac_px)} exceed shard height "
+                f"2^{mlrc}; lower the event split threshold"
+            )
+        shac_trace, shac_rows, shac_range_lookups, sha_k_mult = (
+            generate_sha_compress_trace(shac_px, ws, _pad_pow2(len(shac_px), mlrc))
         )
 
     # --- Range table (preprocessed) + multiplicity ------------------------
@@ -1240,7 +1276,7 @@ def generate_traces(
         sl = L[nm]
         for i in range(ws.ts_limbs):
             lookups.append((cpu[:n, sl.start + i], uses))
-    for vals, mult in lookups + sha_range_lookups:
+    for vals, mult in lookups + sha_range_lookups + shac_range_lookups:
         rng_mult[:, 0] += np.bincount(
             vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
         )[:rng_h].astype(np.uint32)
@@ -1256,6 +1292,13 @@ def generate_traces(
     prep_byte[: 1 << ws.limb_bits, 2] = bx & by
     prep_byte[: 1 << ws.limb_bits, 3] = bx | by
     prep_byte[: 1 << ws.limb_bits, 4] = bx ^ by
+    from .sha import make_sha_k_preprocessed
+
+    shak_h = _pad_pow2(64, mlrc)
+    prep_shak, _ = make_sha_k_preprocessed(ws, shak_h)
+    shak_main = np.zeros((shak_h, 1), np.uint32)
+    shak_main[:64, 0] = sha_k_mult
+
     byte_mult = np.zeros((byte_h, 3), np.uint32)
     op_col = {0: [OP_AND, OP_ANDI], 1: [OP_OR, OP_ORI], 2: [OP_XOR, OP_XORI]}
     for col, opset in op_col.items():
@@ -1385,8 +1428,14 @@ def generate_traces(
             if sha_rows
             else {}
         ),
+        **(
+            {"ShaCompress": (jnp.asarray(to_monty(shac_trace)), shac_rows)}
+            if shac_rows
+            else {}
+        ),
         "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
         "Byte": (jnp.asarray(to_monty(byte_mult)), 1 << ws.limb_bits),
+        "ShaK": (jnp.asarray(to_monty(shak_main)), 64),
         "MemoryInit": (jnp.asarray(to_monty(init)), m),
         "MemoryFinal": (jnp.asarray(to_monty(fin)), m),
         "Global": (jnp.asarray(to_monty(gtrace)), gcount),
@@ -1402,5 +1451,6 @@ def generate_traces(
         "Program": (jnp.asarray(to_monty(prep_prog)), np_rows),
         "Range": (jnp.asarray(to_monty(prep_rng)), 1 << ws.limb_bits),
         "Byte": (jnp.asarray(to_monty(prep_byte)), 1 << ws.limb_bits),
+        "ShaK": (jnp.asarray(to_monty(prep_shak)), 64),
     }
     return traces, preprocessed
