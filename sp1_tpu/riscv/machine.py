@@ -171,13 +171,64 @@ class Cols:
         return self.names[name]
 
 
-def cpu_layout(ws: WordSpec) -> Cols:
+# Column families of the instruction-class chips. The single wide Cpu
+# chip of round 1 is split per instruction class (reference role:
+# crates/core/machine/src/riscv/mod.rs per-class chip set +
+# crates/hypercube/src/machine.rs MachineShape): each class chip carries
+# the shared "adapter" (pc/clk chain, ROM lookup, register file ops) plus
+# only its own constraint columns, so trace area scales with what the
+# shard actually executed.
+CPU_CLASSES = {
+    "CpuAlu": (
+        ("add", "addi", "sub", "jal", "jalr", "lui", "auipc", "ecall",
+         "addw", "addiw", "subw"),
+        ("carry", "maddr", "hbm", "ecall"),
+    ),
+    "CpuBranch": (
+        ("beq", "bne", "blt", "bge", "bltu", "bgeu",
+         "slt", "sltu", "slti", "sltiu"),
+        ("eq", "cmp"),
+    ),
+    "CpuMem": (
+        ("ld", "sd", "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw"),
+        ("carry", "maddr", "mem", "hbm"),
+    ),
+    "CpuBitwise": (
+        ("and", "or", "xor", "andi", "ori", "xori"),
+        ("bitwise",),
+    ),
+    "CpuMul": (
+        ("mul", "muli", "mulw", "mulh", "mulhu", "mulhsu"),
+        ("mulcols", "mulh", "hbm"),
+    ),
+    "CpuShift": (
+        ("sll", "srl", "sra", "srli", "srai",
+         "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw"),
+        ("shift", "hbm"),
+    ),
+    "CpuDiv": (
+        ("divu", "remu", "div", "rem", "divw", "divuw", "remw", "remuw"),
+        ("carry", "div", "hbm"),
+    ),
+}
+
+
+def cpu_layout(ws: WordSpec, sel_names=None, fams=None) -> Cols:
+    sel_names = SEL_NAMES if sel_names is None else sel_names
+    fams = (
+        frozenset(
+            {"carry", "maddr", "hbm", "ecall", "eq", "cmp", "mem", "bitwise",
+             "mulcols", "mulh", "shift", "div"}
+        )
+        if fams is None
+        else frozenset(fams)
+    )
     c = Cols()
     c.col("is_real")
     c.col("clk")
     c.col("pc")
     c.col("next_pc")
-    for s in SEL_NAMES:
+    for s in sel_names:
         c.col(f"sel_{s}")
     c.col("rd")
     c.col("rs1")
@@ -195,72 +246,86 @@ def cpu_layout(ws: WordSpec) -> Cols:
     c.cols("tsd_rs1", ws.ts_limbs)
     c.cols("tsd_rs2", ws.ts_limbs)
     c.cols("tsd_rd", ws.ts_limbs)
-    c.cols("carry", nl)
-    c.cols("eqf", nl)  # per-limb equality flags
-    c.cols("eqi", nl)  # inverse witnesses
-    if nl > 2:
-        c.cols("eqchain", nl - 2)
-    c.col("taken")
-    # memory-op columns
-    c.cols("maddr", nl)
-    c.col("maddr0_div")
-    c.col("mem_prev_ts")
-    c.cols("mem_prev_val", nl)
-    c.cols("tsd_mem", ws.ts_limbs)
+    if "carry" in fams:
+        c.cols("carry", nl)
+    if "eq" in fams:
+        c.cols("eqf", nl)  # per-limb equality flags
+        c.cols("eqi", nl)  # inverse witnesses
+        if nl > 2:
+            c.cols("eqchain", nl - 2)
+        c.col("taken")
+    # memory-op columns (maddr also serves the jalr target adder)
+    if "maddr" in fams:
+        c.cols("maddr", nl)
+    if "mem" in fams:
+        c.col("maddr0_div")
+        c.col("mem_prev_ts")
+        c.cols("mem_prev_val", nl)
+        c.cols("tsd_mem", ws.ts_limbs)
     # bitwise half-limb decompositions (L/2-bit halves)
-    c.cols("bh", 2 * nl)
-    c.cols("ch", 2 * nl)
-    c.cols("ah", 2 * nl)
+    if "bitwise" in fams:
+        c.cols("bh", 2 * nl)
+        c.cols("ch", 2 * nl)
+        c.cols("ah", 2 * nl)
     # mul carry decompositions
-    c.cols("mc_lo", nl)
-    c.cols("mc_hi", nl)
+    if "mulcols" in fams:
+        c.cols("mc_lo", nl)
+        c.cols("mc_hi", nl)
     # comparison machinery: difference limbs, borrow chain, sign bits
-    c.cols("dcmp", nl)
-    c.cols("cborrow", nl)
-    c.col("hb_b")
-    c.col("hb_c")
-    c.col("ltres")
+    if "cmp" in fams:
+        c.cols("dcmp", nl)
+        c.cols("cborrow", nl)
+        c.col("ltres")
+    if fams & {"cmp", "shift", "div", "mulh"}:
+        c.col("hb_b")
+    if fams & {"cmp", "div", "mulh"}:
+        c.col("hb_c")
     # shift machinery: byte/bit one-hots of the shift amount s = L*q + r,
     # high bits of the amount operand, per-limb 2^r / 2^(L-r) product
     # decompositions, and the arithmetic-shift sign-fill partial
-    c.cols("shq", nl)
-    c.cols("shr", ws.limb_bits)
-    c.col("shb0")
-    c.col("shb1")
-    c.cols("sll_lo", nl)
-    c.cols("sll_hi", nl)
-    c.cols("srw_lo", nl)
-    c.cols("srw_hi", nl)
-    c.col("sgp")
-    # W-shift extras: third amount high bit, 32-bit operand sign, its fill
-    c.col("shb2")
-    c.col("whb")
-    c.col("sgpw")
+    if "shift" in fams:
+        c.cols("shq", nl)
+        c.cols("shr", ws.limb_bits)
+        c.col("shb0")
+        c.col("shb1")
+        c.cols("sll_lo", nl)
+        c.cols("sll_hi", nl)
+        c.cols("srw_lo", nl)
+        c.cols("srw_hi", nl)
+        c.col("sgp")
+        # W-shift extras: third amount high bit, 32-bit sign, its fill
+        c.col("shb2")
+        c.col("sgpw")
+    if fams & {"shift", "div"}:
+        c.col("whb")  # 32-bit operand sign (W-sra / W signed division)
     # unsigned division: quotient/remainder limbs, 2nl-limb convolution
-    # carries for q*c + r = b, the (c-1-r) borrow chain, div-by-zero flag
-    c.cols("dq", nl)
-    c.cols("dr", nl)
-    c.cols("dvc_lo", 2 * nl)
-    c.cols("dvc_hi", 2 * nl)
-    c.cols("ddr", nl)
-    c.cols("dbor", nl)
-    c.col("is_div0")
-    c.col("dz_inv")
-    # signed division: operand magnitudes with their negate-chain carries,
-    # the quotient sign, and div0*op product gates
-    c.cols("mb", nl)
-    c.cols("mc2", nl)
-    c.cols("ncb", nl)
-    c.cols("ncc", nl)
-    c.col("qs")
-    c.col("d0_div")
-    c.col("d0_rem")
-    c.col("d0u")
-    # W division: 32-bit divisor sign witness + div0*class product gates
-    c.col("whc")
-    c.col("d0_wu")
-    c.col("d0_ws")
-    c.col("d0_remw")
+    # carries for q*c + r = b, the (c-1-r) borrow chain, div-by-zero flag.
+    # dq/mb/dvc double as the full-product halves for mulh.
+    if fams & {"div", "mulh"}:
+        c.cols("dq", nl)
+        c.cols("dvc_lo", 2 * nl)
+        c.cols("dvc_hi", 2 * nl)
+        c.cols("mb", nl)
+    if "div" in fams:
+        c.cols("dr", nl)
+        c.cols("ddr", nl)
+        c.cols("dbor", nl)
+        c.col("is_div0")
+        c.col("dz_inv")
+        # signed division: operand magnitudes with their negate-chain
+        # carries, the quotient sign, and div0*op product gates
+        c.cols("mc2", nl)
+        c.cols("ncb", nl)
+        c.cols("ncc", nl)
+        c.col("qs")
+        c.col("d0_div")
+        c.col("d0_rem")
+        c.col("d0u")
+        # W division: 32-bit divisor sign witness + div0*class gates
+        c.col("whc")
+        c.col("d0_wu")
+        c.col("d0_ws")
+        c.col("d0_remw")
     # sub-word memory: byte-offset one-hot (always 8 byte offsets of the
     # 8-byte cell), the stored cell's new word, and the load
     # sign-extension bit. With 16-bit limbs (bpl=2) the byte-granular
@@ -268,17 +333,20 @@ def cpu_layout(ws: WordSpec) -> Cols:
     # word (mpb) and of the stored register's low limb (cb0/cb1), all
     # byte-checked through the byte table (whose half-limbs are 8-bit
     # exactly when limb_bits=16).
-    c.cols("moff", 8)
-    c.cols("nw", nl)
-    if ws.limb_bits == 16:
-        c.cols("mpb", 8)
-        c.col("cb0")
-        c.col("cb1")
-    c.col("hbm")
-    c.col("is_halt")
-    c.col("is_read")
-    c.col("is_sha_extend")
-    c.col("is_sha_compress")
+    if "mem" in fams:
+        c.cols("moff", 8)
+        c.cols("nw", nl)
+        if ws.limb_bits == 16:
+            c.cols("mpb", 8)
+            c.col("cb0")
+            c.col("cb1")
+    if "hbm" in fams:
+        c.col("hbm")
+    if "ecall" in fams:
+        c.col("is_halt")
+        c.col("is_read")
+        c.col("is_sha_extend")
+        c.col("is_sha_compress")
     c.col("rd_nonzero")
     c.col("rd_inv")
     c.col("rd_write_mult")
@@ -295,12 +363,26 @@ def _aff_sum(idxs, consts=0):
 
 
 class CpuChip(Chip):
-    def __init__(self, ws: WordSpec):
+    """One instruction-class chip (see CPU_CLASSES). Every chip carries
+    the shared adapter (state chain, ROM fetch, register file traffic);
+    constraint blocks whose columns are absent from this class's layout
+    are skipped, and absent selectors read as structural zero."""
+
+    def __init__(self, ws: WordSpec, name: str = "Cpu", sel_names=None, fams=None):
         self.ws = ws
-        self.layout = cpu_layout(ws)
-        self.name = "Cpu"
+        self.sel_names = tuple(SEL_NAMES if sel_names is None else sel_names)
+        self.layout = cpu_layout(ws, sel_names, fams)
+        self.name = name
         self.width = self.layout.n
         self.preprocessed_width = 0
+
+    def _has(self, *names) -> bool:
+        return all(nm in self.layout.names for nm in names)
+
+    def _present(self, names) -> list:
+        """The subset of op names this chip carries."""
+        mine = set(self.sel_names)
+        return [s for s in names if s in mine]
 
     # -- constraints --------------------------------------------------------
     def eval(self, f):
@@ -308,6 +390,8 @@ class CpuChip(Chip):
         nl = ws.num_limbs
         ops = f.ops
         m = f.main
+        has = self._has
+        present = set(self.sel_names)
 
         def g(name):
             v = L[name]
@@ -317,12 +401,18 @@ class CpuChip(Chip):
 
         one = ops.one()
         base = ops.const(1 << ws.limb_bits)
+        lb = ws.limb_bits
 
         is_real = g("is_real")
-        sels = {s: g(f"sel_{s}") for s in SEL_NAMES}
+        # absent selectors are structural zeros so every selector-sum
+        # below stays correct without per-block surgery
+        zero = ops.zero()
+        sels = {
+            s: (g(f"sel_{s}") if s in present else zero) for s in SEL_NAMES
+        }
         # selectors boolean; sum == is_real
         total = ops.zero()
-        for s in SEL_NAMES:
+        for s in self.sel_names:
             f.assert_bool(sels[s])
             total = ops.add(total, sels[s])
         f.assert_eq(total, is_real)
@@ -332,159 +422,189 @@ class CpuChip(Chip):
         b, c, a = g("b"), g("c"), g("a")
         imm = g("imm")
         imm_f = g("imm_f")
-        carry = g("carry")
+        carry = g("carry") if has("carry") else None
+        rd_nonzero_c = g("rd_nonzero")
+        hbm = g("hbm") if has("hbm") else None
+        if hbm is not None:
+            f.assert_bool(hbm)
+        hb_b = g("hb_b") if has("hb_b") else None
+        hb_c = g("hb_c") if has("hb_c") else None
+        whb = g("whb") if has("whb") else None
+        for x in (hb_b, hb_c, whb):
+            if x is not None:
+                f.assert_bool(x)
 
+        def sel_sum(names):
+            acc = ops.zero()
+            for s in names:
+                acc = ops.add(acc, sels[s])
+            return acc
+
+        # cross-block selector sums (absent selectors are zeros)
         sel_alu_add = ops.add(sels["add"], sels["addi"])
+        sel_bw = sel_sum(BITWISE_SELS)
+        sel_mul = ops.add(sels["mul"], sels["muli"])
+        sel_slt = sel_sum(SLT_SELS)
+        sel_shift = sel_sum(SHIFT_SELS)
+        sel_wshift = sel_sum(WSHIFT_SELS)
+        sel_anyshift = ops.add(sel_shift, sel_wshift)
+        sel_div = ops.add(sels["divu"], sels["remu"])
+        sel_sdiv = ops.add(sels["div"], sels["rem"])
+        sel_divany = ops.add(sel_div, sel_sdiv)
+        sel_wudiv = ops.add(sels["divuw"], sels["remuw"])
+        sel_wsdiv = ops.add(sels["divw"], sels["remw"])
+        sel_wdiv = ops.add(sel_wudiv, sel_wsdiv)
+        sel_mulh_any = sel_sum(MULH_SELS)
+        sel_warith = sel_sum(W_ARITH_SELS)
 
-        # addi uses c = imm
-        for i in range(nl):
-            f.assert_zero(ops.mul(sels["addi"], ops.sub(c[i], imm[i])))
-
-        # add/addi: b + c = a with carries
-        for i in range(nl):
-            cin = carry[i - 1] if i > 0 else ops.zero()
-            expr = ops.sub(
-                ops.add(ops.add(b[i], c[i]), cin),
-                ops.add(a[i], ops.mul(carry[i], base)),
-            )
-            f.assert_zero(ops.mul(sel_alu_add, expr))
-            f.assert_bool(carry[i])
-        # sub: b - c = a with borrows (reuse carry columns)
-        for i in range(nl):
-            bin_ = carry[i - 1] if i > 0 else ops.zero()
-            expr = ops.sub(
-                ops.sub(ops.sub(b[i], c[i]), bin_),
-                ops.sub(a[i], ops.mul(carry[i], base)),
-            )
-            f.assert_zero(ops.mul(sels["sub"], expr))
+        if self._present(("add", "addi", "sub")):
+            # addi uses c = imm
+            for i in range(nl):
+                f.assert_zero(ops.mul(sels["addi"], ops.sub(c[i], imm[i])))
+            # add/addi: b + c = a with carries
+            for i in range(nl):
+                cin = carry[i - 1] if i > 0 else ops.zero()
+                expr = ops.sub(
+                    ops.add(ops.add(b[i], c[i]), cin),
+                    ops.add(a[i], ops.mul(carry[i], base)),
+                )
+                f.assert_zero(ops.mul(sel_alu_add, expr))
+            # sub: b - c = a with borrows (reuse carry columns)
+            for i in range(nl):
+                bin_ = carry[i - 1] if i > 0 else ops.zero()
+                expr = ops.sub(
+                    ops.sub(ops.sub(b[i], c[i]), bin_),
+                    ops.sub(a[i], ops.mul(carry[i], base)),
+                )
+                f.assert_zero(ops.mul(sels["sub"], expr))
+        if carry is not None:
+            for i in range(nl):
+                f.assert_bool(carry[i])
 
         # equality flags for branches
-        eqf, eqi = g("eqf"), g("eqi")
         sel_br = ops.add(sels["beq"], sels["bne"])
         for s in CMP_BRANCH_SELS:
             sel_br = ops.add(sel_br, sels[s])
-        for i in range(nl):
-            d = ops.sub(b[i], c[i])
-            f.assert_bool(eqf[i])
-            f.assert_zero(ops.mul(eqf[i], d))
-            # (1-eqf)*(d*eqi - 1) = 0, gated by branch selector would be
-            # degree 4; instead require globally (padded rows have all-zero
-            # aux so (1-0)*(0-1) = -1 ... must gate). Use is_real gate at
-            # degree 3: is_real*(1-eqf) * (d*eqi - 1) is degree 4 — too
-            # high. Re-arrange: tracegen sets eqf=1, d=0 on non-branch
-            # rows is wrong. Instead: constrain d*eqi == 1 - eqf (degree
-            # 2, ungated): on padded rows d=0, eqi=0, eqf... need eqf=1.
-            # Tracegen sets eqf=1 everywhere except differing limbs on
-            # branch rows; eqi = inverse(d) there.
-            f.assert_eq(ops.mul(d, eqi[i]), ops.sub(one, eqf[i]))
-        # all_eq chain
-        if nl > 2:
-            chain = g("eqchain")
-            f.assert_eq(chain[0], ops.mul(eqf[0], eqf[1]))
-            for k in range(1, nl - 2):
-                f.assert_eq(chain[k], ops.mul(chain[k - 1], eqf[k + 1]))
-            all_eq = ops.mul(chain[nl - 3], eqf[nl - 1])
-        else:
-            all_eq = ops.mul(eqf[0], eqf[1]) if nl == 2 else eqf[0]
-        taken = g("taken")
-        f.assert_bool(taken)
-        f.assert_zero(ops.mul(sels["beq"], ops.sub(taken, all_eq)))
-        f.assert_zero(ops.mul(sels["bne"], ops.sub(taken, ops.sub(one, all_eq))))
+        if has("eqf"):
+            eqf, eqi = g("eqf"), g("eqi")
+            for i in range(nl):
+                d = ops.sub(b[i], c[i])
+                f.assert_bool(eqf[i])
+                f.assert_zero(ops.mul(eqf[i], d))
+                # d*eqi == 1 - eqf (degree 2, ungated): tracegen sets
+                # eqf=1 everywhere except differing limbs on branch rows;
+                # eqi = inverse(d) there.
+                f.assert_eq(ops.mul(d, eqi[i]), ops.sub(one, eqf[i]))
+            # all_eq chain
+            if nl > 2:
+                chain = g("eqchain")
+                f.assert_eq(chain[0], ops.mul(eqf[0], eqf[1]))
+                for k in range(1, nl - 2):
+                    f.assert_eq(chain[k], ops.mul(chain[k - 1], eqf[k + 1]))
+                all_eq = ops.mul(chain[nl - 3], eqf[nl - 1])
+            else:
+                all_eq = ops.mul(eqf[0], eqf[1]) if nl == 2 else eqf[0]
+            taken = g("taken")
+            f.assert_bool(taken)
+            f.assert_zero(ops.mul(sels["beq"], ops.sub(taken, all_eq)))
+            f.assert_zero(
+                ops.mul(sels["bne"], ops.sub(taken, ops.sub(one, all_eq)))
+            )
 
         # next_pc
         four = ops.const(4)
-        seq_sels = ops.add(
-            ops.add(sel_alu_add, sels["sub"]), sels["ecall"]
-        )
-        for s in ("ld", "sd", "and", "or", "xor", "andi", "ori", "xori", "mul", "muli",
-                  "slt", "sltu", "slti", "sltiu",
-                  "sll", "srl", "sra", "srli", "srai", "divu", "remu",
-                  "lui", "auipc",
-                  "lb", "lbu", "lh", "lhu", "lw", "lwu", "sb", "sh", "sw",
-                  "addw", "addiw", "subw", "mulw",
-                  "sllw", "srlw", "sraw", "slliw", "srliw", "sraiw",
-                  "div", "rem", "divw", "divuw", "remw", "remuw",
-                  "mulh", "mulhu", "mulhsu"):
-            seq_sels = ops.add(seq_sels, sels[s])
+        seq_sels = ops.zero()
+        for s in self.sel_names:
+            if s not in ("jal", "jalr", "beq", "bne", "blt", "bge", "bltu", "bgeu"):
+                seq_sels = ops.add(seq_sels, sels[s])
         f.assert_zero(
             ops.mul(seq_sels, ops.sub(next_pc, ops.add(pc, four)))
         )
-        f.assert_zero(
-            ops.mul(sels["jal"], ops.sub(next_pc, ops.add(pc, imm_f)))
-        )
-        br_target = ops.add(pc, imm_f)
-        br_next = ops.add(
-            ops.mul(taken, br_target),
-            ops.mul(ops.sub(one, taken), ops.add(pc, four)),
-        )
-        f.assert_zero(ops.mul(sel_br, ops.sub(next_pc, br_next)))
-
-        # jal: a = pc + 4 decomposed into the low pc_limbs (only when the
-        # link register is actually written, i.e. rd != 0)
-        rd_nonzero_c = g("rd_nonzero")
-        pcl = ws.pc_limbs
-        acc = ops.zero()
-        for i in range(pcl):
-            acc = ops.add(acc, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
-        sel_link = ops.add(sels["jal"], sels["jalr"])
-        f.assert_zero(
-            ops.mul(
-                ops.mul(sel_link, rd_nonzero_c), ops.sub(acc, ops.add(pc, four))
-            )
-        )
-        for i in range(pcl, nl):
-            f.assert_zero(ops.mul(sel_link, a[i]))
-        # lui: a = imm (full 64-bit sign-extended constant)
-        for i in range(nl):
+        if "jal" in present:
             f.assert_zero(
-                ops.mul(ops.mul(sels["lui"], rd_nonzero_c), ops.sub(a[i], imm[i]))
+                ops.mul(sels["jal"], ops.sub(next_pc, ops.add(pc, imm_f)))
             )
-            f.assert_zero(ops.mul(ops.sub(one, rd_nonzero_c), ops.mul(sels["lui"], a[i])))
-        # auipc: low pc_limbs of a reconstruct pc + imm_f; upper limbs zero
-        acc_au = ops.zero()
-        for i in range(pcl):
-            acc_au = ops.add(acc_au, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
-        f.assert_zero(
-            ops.mul(
-                ops.mul(sels["auipc"], rd_nonzero_c),
-                ops.sub(acc_au, ops.add(pc, imm_f)),
+        if has("taken"):
+            br_target = ops.add(pc, imm_f)
+            br_next = ops.add(
+                ops.mul(taken, br_target),
+                ops.mul(ops.sub(one, taken), ops.add(pc, four)),
             )
-        )
-        for i in range(pcl, nl):
-            f.assert_zero(ops.mul(sels["auipc"], a[i]))
+            f.assert_zero(ops.mul(sel_br, ops.sub(next_pc, br_next)))
 
-        # ecall routing: runtime witness bits select HALT (a7==0) or
-        # READ (a7==3); exactly one must be set on ecall rows, which makes
-        # any other syscall id unprovable.
-        is_halt, is_read = g("is_halt"), g("is_read")
-        ecall_flags = [
-            (is_halt, 0),
-            (is_read, 3),
-            (g("is_sha_extend"), 8),
-            (g("is_sha_compress"), 9),
-        ]
-        flag_sum = ops.zero()
-        for flag, sid in ecall_flags:
-            f.assert_bool(flag)
-            flag_sum = ops.add(flag_sum, flag)
+        if self._present(("jal", "jalr")):
+            # jal: a = pc + 4 decomposed into the low pc_limbs (only when
+            # the link register is actually written, i.e. rd != 0)
+            pcl = ws.pc_limbs
+            acc = ops.zero()
+            for i in range(pcl):
+                acc = ops.add(acc, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
+            sel_link = ops.add(sels["jal"], sels["jalr"])
+            f.assert_zero(
+                ops.mul(
+                    ops.mul(sel_link, rd_nonzero_c), ops.sub(acc, ops.add(pc, four))
+                )
+            )
+            for i in range(pcl, nl):
+                f.assert_zero(ops.mul(sel_link, a[i]))
+        if "lui" in present:
+            # lui: a = imm (full 64-bit sign-extended constant)
             for i in range(nl):
-                tgt = b[i] if (i > 0 or sid == 0) else ops.sub(b[0], ops.const(sid))
-                f.assert_zero(ops.mul(flag, tgt))
-        f.assert_eq(flag_sum, sels["ecall"])
-        # ecall register indices fixed by ROM decode (rs1=17, rs2=10, rd=10)
-        # halt: the exit code (a0 = c) must match the public values, and the
-        # public halted flag must be set on a halt row.
-        pv = f.public_values
-        for i in range(nl):
-            f.assert_zero(ops.mul(is_halt, ops.sub(c[i], pv[PV_EXIT_CODE + i])))
-        f.assert_zero(ops.mul(is_halt, ops.sub(pv[PV_IS_HALTED], one)))
+                f.assert_zero(
+                    ops.mul(ops.mul(sels["lui"], rd_nonzero_c), ops.sub(a[i], imm[i]))
+                )
+                f.assert_zero(
+                    ops.mul(ops.sub(one, rd_nonzero_c), ops.mul(sels["lui"], a[i]))
+                )
+        if "auipc" in present:
+            # auipc: low pc_limbs of a reconstruct pc + imm_f; rest zero
+            pcl = ws.pc_limbs
+            acc_au = ops.zero()
+            for i in range(pcl):
+                acc_au = ops.add(acc_au, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
+            f.assert_zero(
+                ops.mul(
+                    ops.mul(sels["auipc"], rd_nonzero_c),
+                    ops.sub(acc_au, ops.add(pc, imm_f)),
+                )
+            )
+            for i in range(pcl, nl):
+                f.assert_zero(ops.mul(sels["auipc"], a[i]))
+
+        if has("is_halt"):
+            # ecall routing: runtime witness bits select HALT (a7==0) or
+            # READ (a7==3); exactly one must be set on ecall rows, which
+            # makes any other syscall id unprovable.
+            is_halt, is_read = g("is_halt"), g("is_read")
+            ecall_flags = [
+                (is_halt, 0),
+                (is_read, 3),
+                (g("is_sha_extend"), 8),
+                (g("is_sha_compress"), 9),
+            ]
+            flag_sum = ops.zero()
+            for flag, sid in ecall_flags:
+                f.assert_bool(flag)
+                flag_sum = ops.add(flag_sum, flag)
+                for i in range(nl):
+                    tgt = b[i] if (i > 0 or sid == 0) else ops.sub(b[0], ops.const(sid))
+                    f.assert_zero(ops.mul(flag, tgt))
+            f.assert_eq(flag_sum, sels["ecall"])
+            # ecall register indices fixed by ROM decode (rs1=17, rs2=10,
+            # rd=10); halt: the exit code (a0 = c) must match the public
+            # values, and the public halted flag must be set on halt rows.
+            pv = f.public_values
+            for i in range(nl):
+                f.assert_zero(ops.mul(is_halt, ops.sub(c[i], pv[PV_EXIT_CODE + i])))
+            f.assert_zero(ops.mul(is_halt, ops.sub(pv[PV_IS_HALTED], one)))
 
         # c = imm for immediate-operand ops
-        sel_cimm = ops.zero()
-        for s in CIMM_SELS:
-            sel_cimm = ops.add(sel_cimm, sels[s])
-        for i in range(nl):
-            f.assert_zero(ops.mul(sel_cimm, ops.sub(c[i], imm[i])))
+        if self._present(CIMM_SELS):
+            sel_cimm = ops.zero()
+            for s in CIMM_SELS:
+                sel_cimm = ops.add(sel_cimm, sels[s])
+            for i in range(nl):
+                f.assert_zero(ops.mul(sel_cimm, ops.sub(c[i], imm[i])))
 
         # ---- loads/stores (8-byte aligned) + jalr target ------------------
         sel_mem = ops.add(sels["ld"], sels["sd"])
@@ -493,864 +613,881 @@ class CpuChip(Chip):
             sel_subw = ops.add(sel_subw, sels[sname])
         sel_anymem = ops.add(sel_mem, sel_subw)
         sel_addr = ops.add(ops.add(sel_mem, sels["jalr"]), sel_subw)
-        maddr = g("maddr")
-        maddr0_div = g("maddr0_div")
-        mem_prev_val = g("mem_prev_val")
-        # addr = b + imm with the shared carry chain (memory target, or the
-        # jalr jump target)
-        for i in range(nl):
-            cin = carry[i - 1] if i > 0 else ops.zero()
-            expr = ops.sub(
-                ops.add(ops.add(b[i], imm[i]), cin),
-                ops.add(maddr[i], ops.mul(carry[i], base)),
-            )
-            f.assert_zero(ops.mul(sel_addr, expr))
-        # address space bound: limbs covering >= 24 bits must be zero
-        for i in range(nl):
-            if ws.limb_bits * i >= 24:
-                f.assert_zero(ops.mul(sel_addr, maddr[i]))
-        # jalr: next_pc = target (reconstructed from the address limbs; the
-        # ROM lookup of next_pc enforces 4-alignment and code range)
-        acc_j = ops.zero()
-        for i in range(nl):
-            if ws.limb_bits * i < 24:
-                acc_j = ops.add(acc_j, ops.scale_base(maddr[i], 1 << (ws.limb_bits * i)))
-        f.assert_zero(ops.mul(sels["jalr"], ops.sub(next_pc, acc_j)))
-        # 8-byte alignment: maddr_0 = 8 * maddr0_div (both range-checked)
-        f.assert_zero(
-            ops.mul(sel_mem, ops.sub(maddr[0], ops.scale_base(maddr0_div, 8)))
-        )
-        # ld result: a = loaded value
-        for i in range(nl):
-            f.assert_zero(ops.mul(sels["ld"], ops.sub(a[i], mem_prev_val[i])))
-
-        # ---- sub-word memory (lb/lh/lw families, sb/sh/sw) ----------------
-        # moff is a one-hot over the 8 *byte* offsets of the 8-byte cell.
-        # bpl = bytes per limb: 1 (limb_bits=8, limbs are bytes — the byte
-        # loops below degenerate to the limb loops) or 2 (limb_bits=16,
-        # where byte-granular lb/lbu/sb operate through the mpb/cb byte
-        # split witnesses). Reference handles the same split with
-        # per-width memory chips (crates/core/machine/src/memory/).
-        assert ws.limb_bits in (8, 16), "sub-word memory supports 8/16-bit limbs"
-        bpl = ws.limb_bits // 8
-        NB = 8
-        moff = g("moff")
-        nw = g("nw")
-        hbm = g("hbm")
-        f.assert_bool(hbm)
-        sum_off = ops.zero()
-        off_val = ops.zero()
-        for k in range(NB):
-            f.assert_bool(moff[k])
-            sum_off = ops.add(sum_off, moff[k])
-            off_val = ops.add(off_val, ops.scale_base(moff[k], k))
-        f.assert_eq(sum_off, sel_subw)
-        # maddr_0 = 8*div + offset  (offset one-hot in [0, 8))
-        f.assert_zero(
-            ops.mul(
-                sel_subw,
-                ops.sub(maddr[0], ops.add(ops.scale_base(maddr0_div, 8), off_val)),
-            )
-        )
-        # natural alignment per access width
-        sel_half = ops.add(ops.add(sels["lh"], sels["lhu"]), sels["sh"])
-        sel_word = ops.add(ops.add(sels["lw"], sels["lwu"]), sels["sw"])
-        odd = ops.zero()
-        for k in (1, 3, 5, 7):
-            odd = ops.add(odd, moff[k])
-        f.assert_zero(ops.mul(sel_half, odd))
-        nonw = ops.zero()
-        for k in range(NB):
-            if k % 4:
-                nonw = ops.add(nonw, moff[k])
-        f.assert_zero(ops.mul(sel_word, nonw))
-        # byte split of the previous word / stored low limb (bpl == 2):
-        # mpv_i = mpb_{2i} + 256*mpb_{2i+1} on lb/lbu/sb rows,
-        # c_0 = cb0 + 256*cb1 on sb rows; all bytes checked < 256 through
-        # the byte table (see sends()).
-        if bpl == 2:
-            mpb = g("mpb")
-            cb0, cb1 = g("cb0"), g("cb1")
-            sel_bytemem = ops.add(
-                ops.add(sels["lb"], sels["lbu"]), sels["sb"]
-            )
+        if has("maddr"):
+            maddr = g("maddr")
+            # addr = b + imm with the shared carry chain (memory target, or
+            # the jalr jump target)
             for i in range(nl):
-                f.assert_zero(
-                    ops.mul(
-                        sel_bytemem,
-                        ops.sub(
-                            mem_prev_val[i],
-                            ops.add(mpb[2 * i], ops.scale_base(mpb[2 * i + 1], 256)),
-                        ),
-                    )
+                cin = carry[i - 1] if i > 0 else ops.zero()
+                expr = ops.sub(
+                    ops.add(ops.add(b[i], imm[i]), cin),
+                    ops.add(maddr[i], ops.mul(carry[i], base)),
                 )
+                f.assert_zero(ops.mul(sel_addr, expr))
+            # address space bound: limbs covering >= 24 bits must be zero
+            for i in range(nl):
+                if ws.limb_bits * i >= 24:
+                    f.assert_zero(ops.mul(sel_addr, maddr[i]))
+        if "jalr" in present:
+            # jalr: next_pc = target (reconstructed from the address limbs;
+            # the ROM lookup of next_pc enforces 4-alignment and code range)
+            acc_j = ops.zero()
+            for i in range(nl):
+                if ws.limb_bits * i < 24:
+                    acc_j = ops.add(
+                        acc_j, ops.scale_base(maddr[i], 1 << (ws.limb_bits * i))
+                    )
+            f.assert_zero(ops.mul(sels["jalr"], ops.sub(next_pc, acc_j)))
+        if has("mem_prev_val"):
+            maddr0_div = g("maddr0_div")
+            mem_prev_val = g("mem_prev_val")
+            # 8-byte alignment: maddr_0 = 8 * maddr0_div (range-checked)
+            f.assert_zero(
+                ops.mul(sel_mem, ops.sub(maddr[0], ops.scale_base(maddr0_div, 8)))
+            )
+            # ld result: a = loaded value
+            for i in range(nl):
+                f.assert_zero(ops.mul(sels["ld"], ops.sub(a[i], mem_prev_val[i])))
+
+        if has("moff"):
+            # ---- sub-word memory (lb/lh/lw families, sb/sh/sw) ----------------
+            # moff is a one-hot over the 8 *byte* offsets of the 8-byte cell.
+            # bpl = bytes per limb: 1 (limb_bits=8, limbs are bytes — the byte
+            # loops below degenerate to the limb loops) or 2 (limb_bits=16,
+            # where byte-granular lb/lbu/sb operate through the mpb/cb byte
+            # split witnesses). Reference handles the same split with
+            # per-width memory chips (crates/core/machine/src/memory/).
+            assert ws.limb_bits in (8, 16), "sub-word memory supports 8/16-bit limbs"
+            bpl = ws.limb_bits // 8
+            NB = 8
+            moff = g("moff")
+            nw = g("nw")
+            hbm = g("hbm")
+            f.assert_bool(hbm)
+            sum_off = ops.zero()
+            off_val = ops.zero()
+            for k in range(NB):
+                f.assert_bool(moff[k])
+                sum_off = ops.add(sum_off, moff[k])
+                off_val = ops.add(off_val, ops.scale_base(moff[k], k))
+            f.assert_eq(sum_off, sel_subw)
+            # maddr_0 = 8*div + offset  (offset one-hot in [0, 8))
             f.assert_zero(
                 ops.mul(
-                    sels["sb"],
-                    ops.sub(c[0], ops.add(cb0, ops.scale_base(cb1, 256))),
+                    sel_subw,
+                    ops.sub(maddr[0], ops.add(ops.scale_base(maddr0_div, 8), off_val)),
                 )
             )
-        # loads: a = selected byte(s) of the (unchanged) word + extension
-        full_limb = (1 << ws.limb_bits) - 1
-        for sname in SUBW_LOAD_SELS:
-            size = SUBW_SIZE[sname]  # bytes
-            signed = sname in SUBW_SIGNED_LOADS
-            if size >= bpl:
-                sl = size // bpl  # limbs occupied by the loaded value
-                for i in range(sl):
-                    val = ops.zero()
-                    for k in range(0, NB - size + 1, size):
-                        val = ops.add(
-                            val, ops.mul(moff[k], mem_prev_val[k // bpl + i])
-                        )
-                    f.assert_zero(ops.mul(sels[sname], ops.sub(a[i], val)))
-                ext_start = sl
-            else:
-                # lb/lbu with 16-bit limbs: select a byte; the low limb is
-                # that byte plus an in-limb sign fill of 0xFF00 * hbm.
-                eb0 = ops.zero()
-                for k in range(NB):
-                    eb0 = ops.add(eb0, ops.mul(moff[k], mpb[k]))
-                fill = (
-                    ops.scale_base(hbm, full_limb - 0xFF) if signed else ops.zero()
+            # natural alignment per access width
+            sel_half = ops.add(ops.add(sels["lh"], sels["lhu"]), sels["sh"])
+            sel_word = ops.add(ops.add(sels["lw"], sels["lwu"]), sels["sw"])
+            odd = ops.zero()
+            for k in (1, 3, 5, 7):
+                odd = ops.add(odd, moff[k])
+            f.assert_zero(ops.mul(sel_half, odd))
+            nonw = ops.zero()
+            for k in range(NB):
+                if k % 4:
+                    nonw = ops.add(nonw, moff[k])
+            f.assert_zero(ops.mul(sel_word, nonw))
+            # byte split of the previous word / stored low limb (bpl == 2):
+            # mpv_i = mpb_{2i} + 256*mpb_{2i+1} on lb/lbu/sb rows,
+            # c_0 = cb0 + 256*cb1 on sb rows; all bytes checked < 256 through
+            # the byte table (see sends()).
+            if bpl == 2:
+                mpb = g("mpb")
+                cb0, cb1 = g("cb0"), g("cb1")
+                sel_bytemem = ops.add(
+                    ops.add(sels["lb"], sels["lbu"]), sels["sb"]
                 )
-                f.assert_zero(
-                    ops.mul(sels[sname], ops.sub(a[0], ops.add(eb0, fill)))
-                )
-                ext_start = 1
-            for i in range(ext_start, nl):
-                if signed:
+                for i in range(nl):
                     f.assert_zero(
                         ops.mul(
-                            sels[sname],
-                            ops.sub(a[i], ops.scale_base(hbm, full_limb)),
+                            sel_bytemem,
+                            ops.sub(
+                                mem_prev_val[i],
+                                ops.add(mpb[2 * i], ops.scale_base(mpb[2 * i + 1], 256)),
+                            ),
                         )
                     )
-                else:
-                    f.assert_zero(ops.mul(sels[sname], a[i]))
-        # stores: nw = prev with the addressed bytes replaced by c
-        for sname in SUBW_STORE_SELS:
-            size = SUBW_SIZE[sname]
-            if size >= bpl:
-                sl = size // bpl
-                for i in range(nl):
-                    delta = ops.zero()
-                    for k in range(0, NB - size + 1, size):
-                        li = k // bpl
-                        if li <= i < li + sl:
-                            delta = ops.add(
-                                delta,
-                                ops.mul(
-                                    moff[k], ops.sub(c[i - li], mem_prev_val[i])
-                                ),
+                f.assert_zero(
+                    ops.mul(
+                        sels["sb"],
+                        ops.sub(c[0], ops.add(cb0, ops.scale_base(cb1, 256))),
+                    )
+                )
+            # loads: a = selected byte(s) of the (unchanged) word + extension
+            full_limb = (1 << ws.limb_bits) - 1
+            for sname in SUBW_LOAD_SELS:
+                size = SUBW_SIZE[sname]  # bytes
+                signed = sname in SUBW_SIGNED_LOADS
+                if size >= bpl:
+                    sl = size // bpl  # limbs occupied by the loaded value
+                    for i in range(sl):
+                        val = ops.zero()
+                        for k in range(0, NB - size + 1, size):
+                            val = ops.add(
+                                val, ops.mul(moff[k], mem_prev_val[k // bpl + i])
                             )
-                    f.assert_zero(
-                        ops.mul(
-                            sels[sname],
-                            ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
-                        )
-                    )
-            else:
-                # sb with 16-bit limbs: replace one byte of one limb.
-                for i in range(nl):
-                    delta = ops.add(
-                        ops.mul(moff[2 * i], ops.sub(cb0, mpb[2 * i])),
-                        ops.scale_base(
-                            ops.mul(moff[2 * i + 1], ops.sub(cb0, mpb[2 * i + 1])),
-                            256,
-                        ),
+                        f.assert_zero(ops.mul(sels[sname], ops.sub(a[i], val)))
+                    ext_start = sl
+                else:
+                    # lb/lbu with 16-bit limbs: select a byte; the low limb is
+                    # that byte plus an in-limb sign fill of 0xFF00 * hbm.
+                    eb0 = ops.zero()
+                    for k in range(NB):
+                        eb0 = ops.add(eb0, ops.mul(moff[k], mpb[k]))
+                    fill = (
+                        ops.scale_base(hbm, full_limb - 0xFF) if signed else ops.zero()
                     )
                     f.assert_zero(
-                        ops.mul(
-                            sels[sname],
-                            ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
-                        )
+                        ops.mul(sels[sname], ops.sub(a[0], ops.add(eb0, fill)))
                     )
+                    ext_start = 1
+                for i in range(ext_start, nl):
+                    if signed:
+                        f.assert_zero(
+                            ops.mul(
+                                sels[sname],
+                                ops.sub(a[i], ops.scale_base(hbm, full_limb)),
+                            )
+                        )
+                    else:
+                        f.assert_zero(ops.mul(sels[sname], a[i]))
+            # stores: nw = prev with the addressed bytes replaced by c
+            for sname in SUBW_STORE_SELS:
+                size = SUBW_SIZE[sname]
+                if size >= bpl:
+                    sl = size // bpl
+                    for i in range(nl):
+                        delta = ops.zero()
+                        for k in range(0, NB - size + 1, size):
+                            li = k // bpl
+                            if li <= i < li + sl:
+                                delta = ops.add(
+                                    delta,
+                                    ops.mul(
+                                        moff[k], ops.sub(c[i - li], mem_prev_val[i])
+                                    ),
+                                )
+                        f.assert_zero(
+                            ops.mul(
+                                sels[sname],
+                                ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
+                            )
+                        )
+                else:
+                    # sb with 16-bit limbs: replace one byte of one limb.
+                    for i in range(nl):
+                        delta = ops.add(
+                            ops.mul(moff[2 * i], ops.sub(cb0, mpb[2 * i])),
+                            ops.scale_base(
+                                ops.mul(moff[2 * i + 1], ops.sub(cb0, mpb[2 * i + 1])),
+                                256,
+                            ),
+                        )
+                        f.assert_zero(
+                            ops.mul(
+                                sels[sname],
+                                ops.sub(nw[i], ops.add(mem_prev_val[i], delta)),
+                            )
+                        )
 
-        # ---- bitwise (half-limb decomposition; results via byte table) ----
-        sel_bw = ops.zero()
-        for s in BITWISE_SELS:
-            sel_bw = ops.add(sel_bw, sels[s])
-        bh, ch_, ah = g("bh"), g("ch"), g("ah")
-        half = ops.const(1 << (ws.limb_bits // 2))
-        for i in range(nl):
-            f.assert_zero(
-                ops.mul(sel_bw, ops.sub(b[i], ops.add(bh[2 * i], ops.mul(bh[2 * i + 1], half))))
-            )
-            f.assert_zero(
-                ops.mul(sel_bw, ops.sub(c[i], ops.add(ch_[2 * i], ops.mul(ch_[2 * i + 1], half))))
-            )
-            f.assert_zero(
-                ops.mul(sel_bw, ops.sub(a[i], ops.add(ah[2 * i], ops.mul(ah[2 * i + 1], half))))
-            )
-
-        # ---- mul (mod 2^64) ----------------------------------------------
-        sel_mul = ops.add(sels["mul"], sels["muli"])
-        mc_lo, mc_hi = g("mc_lo"), g("mc_hi")
-        for k in range(nl):
-            conv = ops.zero()
-            for i in range(k + 1):
-                j = k - i
-                conv = ops.add(conv, ops.mul(b[i], c[j]))
-            cin = (
-                ops.add(mc_lo[k - 1], ops.mul(mc_hi[k - 1], base))
-                if k > 0
-                else ops.zero()
-            )
-            cout = ops.add(mc_lo[k], ops.mul(mc_hi[k], base))
-            f.assert_zero(
-                ops.mul(
-                    sel_mul,
-                    ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
-                )
-            )
-
-        # ---- comparisons (slt family + signed/unsigned branches) ----------
-        sel_cmp = ops.zero()
-        for s in CMP_SELS:
-            sel_cmp = ops.add(sel_cmp, sels[s])
-        sel_signed = ops.zero()
-        for s in SIGNED_CMP_SELS:
-            sel_signed = ops.add(sel_signed, sels[s])
-        dcmp, cborrow = g("dcmp"), g("cborrow")
-        hb_b, hb_c, ltres = g("hb_b"), g("hb_c"), g("ltres")
-        f.assert_bool(hb_b)
-        f.assert_bool(hb_c)
-        f.assert_bool(ltres)
-        half_top = 1 << (ws.limb_bits - 1)
-        # effective top limbs: signed ops flip the sign bit
-        top = nl - 1
-        eb_top = ops.add(
-            b[top],
-            ops.mul(
-                sel_signed,
-                ops.sub(
-                    ops.const(half_top), ops.scale_base(hb_b, 2 * half_top)
-                ),
-            ),
-        )
-        ec_top = ops.add(
-            c[top],
-            ops.mul(
-                sel_signed,
-                ops.sub(
-                    ops.const(half_top), ops.scale_base(hb_c, 2 * half_top)
-                ),
-            ),
-        )
-        for i in range(nl):
-            ebi = b[i] if i < top else eb_top
-            eci = c[i] if i < top else ec_top
-            bin_ = cborrow[i - 1] if i > 0 else ops.zero()
-            f.assert_bool(cborrow[i])
-            expr = ops.sub(
-                ops.sub(ops.sub(ebi, eci), bin_),
-                ops.sub(dcmp[i], ops.mul(cborrow[i], base)),
-            )
-            f.assert_zero(ops.mul(sel_cmp, expr))
-        f.assert_zero(ops.mul(sel_cmp, ops.sub(ltres, cborrow[top])))
-        # slt-family result: a = ltres
-        sel_slt = ops.zero()
-        for s in SLT_SELS:
-            sel_slt = ops.add(sel_slt, sels[s])
-        f.assert_zero(ops.mul(sel_slt, ops.sub(a[0], ltres)))
-        for i in range(1, nl):
-            f.assert_zero(ops.mul(sel_slt, a[i]))
-        # comparison branches
-        f.assert_zero(ops.mul(ops.add(sels["blt"], sels["bltu"]), ops.sub(taken, ltres)))
-        f.assert_zero(
-            ops.mul(
-                ops.add(sels["bge"], sels["bgeu"]),
-                ops.sub(taken, ops.sub(one, ltres)),
-            )
-        )
-
-        # ---- shifts (sll/srl/sra/srli/srai) -------------------------------
-        # s = L*q + r with q, r one-hot; decompose per-limb products by 2^r
-        # (left) / 2^(L-r) (right); byte-level shift is a one-hot select.
-        lb = ws.limb_bits
-        sel_shift = ops.zero()
-        for sname in SHIFT_SELS:
-            sel_shift = ops.add(sel_shift, sels[sname])
-        sel_wshift = ops.zero()
-        for sname in WSHIFT_SELS:
-            sel_wshift = ops.add(sel_wshift, sels[sname])
-        sel_anyshift = ops.add(sel_shift, sel_wshift)
-        sel_right = ops.zero()
-        for sname in SHIFT_RIGHT_SELS:
-            sel_right = ops.add(sel_right, sels[sname])
-        sel_srl_cls = ops.add(sels["srl"], sels["srli"])
-        sel_sra_cls = ops.add(sels["sra"], sels["srai"])
-        shq, shr = g("shq"), g("shr")
-        shb0, shb1 = g("shb0"), g("shb1")
-        sll_lo, sll_hi = g("sll_lo"), g("sll_hi")
-        srw_lo, srw_hi = g("srw_lo"), g("srw_hi")
-        sgp = g("sgp")
-        for x in shq + shr + [shb0, shb1]:
-            f.assert_bool(x)
-        sum_q = ops.zero()
-        for k in range(nl):
-            sum_q = ops.add(sum_q, shq[k])
-        f.assert_eq(sum_q, sel_anyshift)
-        sum_r = ops.zero()
-        for j in range(lb):
-            sum_r = ops.add(sum_r, shr[j])
-        f.assert_eq(sum_r, sel_anyshift)
-        # amount binding: c_0 = s + 64*(2*shb1 + shb0)  (RV64 takes c & 63)
-        s_val = ops.zero()
-        for k in range(nl):
-            s_val = ops.add(s_val, ops.scale_base(shq[k], lb * k))
-        for j in range(lb):
-            s_val = ops.add(s_val, ops.scale_base(shr[j], j))
-        s_val = ops.add(s_val, ops.scale_base(shb0, 64))
-        s_val = ops.add(s_val, ops.scale_base(shb1, 128))
-        f.assert_zero(ops.mul(sel_shift, ops.sub(c[0], s_val)))
-        # p2r = 2^r, p2rc = 2^(L-r)  (affine in the r one-hot)
-        p2r = ops.zero()
-        p2rc = ops.zero()
-        for j in range(lb):
-            p2r = ops.add(p2r, ops.scale_base(shr[j], 1 << j))
-            p2rc = ops.add(p2rc, ops.scale_base(shr[j], 1 << (lb - j)))
-        # left: b_i * 2^r = 256*hi + lo (lo/hi range-checked 8-bit)
-        for i in range(nl):
-            f.assert_zero(
-                ops.mul(
-                    sels["sll"],
-                    ops.sub(
-                        ops.mul(b[i], p2r),
-                        ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
-                    ),
-                )
-            )
-        # right: b_i * 2^(L-r) = 256*hi + lo
-        for i in range(nl):
-            f.assert_zero(
-                ops.mul(
-                    sel_right,
-                    ops.sub(
-                        ops.mul(b[i], p2rc),
-                        ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
-                    ),
-                )
-            )
-        # sgp = hb_b * (2^L - 2^(L-r)): the partial sign-fill byte (ungated;
-        # tracegen maintains it on every row, incl. cmp rows that set hb_b)
-        f.assert_eq(
-            ops.mul(hb_b, ops.sub(ops.const(1 << lb), p2rc)), sgp
-        )
-        # sll result: a_i = select_q( (b*2^r) limbs with carry chaining )
-        def c16(m):
-            if m < 0 or m > nl:
-                return ops.zero()
-            t = sll_lo[m] if m < nl else ops.zero()
-            if m > 0:
-                t = ops.add(t, sll_hi[m - 1])
-            return t
-        for i in range(nl):
-            sel_v = ops.zero()
-            for k in range(nl):
-                if i - k >= 0:
-                    sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
-            f.assert_zero(ops.mul(sels["sll"], ops.sub(a[i], sel_v)))
-        # right-shift-by-r limbs: d_j = hi_j + lo_{j+1}
-        def dlimb(j):
-            if j < 0 or j >= nl:
-                return ops.zero()
-            t = srw_hi[j]
-            if j + 1 < nl:
-                t = ops.add(t, srw_lo[j + 1])
-            return t
-        for i in range(nl):
-            sel_v = ops.zero()
-            for k in range(nl):
-                sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb(i + k)))
-            f.assert_zero(ops.mul(sel_srl_cls, ops.sub(a[i], sel_v)))
-            # sra: add the sign fill: full limbs above the boundary + the
-            # partial boundary byte shq_{nl-1-i} * sgp
-            filled = ops.zero()
-            for k in range(nl - i, nl):
-                filled = ops.add(filled, shq[k])
-            fill = ops.add(
-                ops.scale_base(ops.mul(hb_b, filled), (1 << lb) - 1),
-                ops.mul(shq[nl - 1 - i], sgp),
-            )
-            f.assert_zero(
-                ops.mul(sel_sra_cls, ops.sub(a[i], ops.add(sel_v, fill)))
-            )
-
-        # ---- W-form shifts (sllw/srlw/sraw + immediate forms) -------------
-        # Same q/r machinery restricted to the low 4 limbs; result is
-        # sign-extended from bit 31 via the shared hbm witness.
-        shb2 = g("shb2")
-        whb = g("whb")
-        sgpw = g("sgpw")
-        f.assert_bool(shb2)
-        f.assert_bool(whb)
-        half32s = nl // 2
-        sel_wl = ops.add(sels["sllw"], sels["slliw"])
-        sel_wr = ops.zero()
-        for sname in WSHIFT_RIGHT_SELS:
-            sel_wr = ops.add(sel_wr, sels[sname])
-        sel_wsrl = ops.add(sels["srlw"], sels["srliw"])
-        sel_wsra = ops.add(sels["sraw"], sels["sraiw"])
-        # byte shift < 4 on W rows
-        hi_q = ops.zero()
-        for k in range(half32s, nl):
-            hi_q = ops.add(hi_q, shq[k])
-        f.assert_zero(ops.mul(sel_wshift, hi_q))
-        # amount binding: c_0 = s + 32*(4*shb2 + 2*shb1 + shb0)
-        s_val_w = ops.zero()
-        for k in range(half32s):
-            s_val_w = ops.add(s_val_w, ops.scale_base(shq[k], lb * k))
-        for j in range(lb):
-            s_val_w = ops.add(s_val_w, ops.scale_base(shr[j], j))
-        s_val_w = ops.add(s_val_w, ops.scale_base(shb0, 32))
-        s_val_w = ops.add(s_val_w, ops.scale_base(shb1, 64))
-        s_val_w = ops.add(s_val_w, ops.scale_base(shb2, 128))
-        f.assert_zero(ops.mul(sel_wshift, ops.sub(c[0], s_val_w)))
-        # left: decompose low limbs by 2^r
-        for i in range(half32s):
-            f.assert_zero(
-                ops.mul(
-                    sel_wl,
-                    ops.sub(
-                        ops.mul(b[i], p2r),
-                        ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
-                    ),
-                )
-            )
-            sel_v = ops.zero()
-            for k in range(half32s):
-                if i - k >= 0:
-                    sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
-            f.assert_zero(ops.mul(sel_wl, ops.sub(a[i], sel_v)))
-        # right: decompose low limbs by 2^(L-r)
-        for i in range(half32s):
-            f.assert_zero(
-                ops.mul(
-                    sel_wr,
-                    ops.sub(
-                        ops.mul(b[i], p2rc),
-                        ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
-                    ),
-                )
-            )
-
-        def dlimb_w(j):
-            if j < 0 or j >= half32s:
-                return ops.zero()
-            t = srw_hi[j]
-            if j + 1 < half32s:
-                t = ops.add(t, srw_lo[j + 1])
-            return t
-
-        # sgpw = whb * (2^L - 2^(L-r)) (ungated; whb is zero off W-sra rows)
-        f.assert_eq(ops.mul(whb, ops.sub(ops.const(1 << lb), p2rc)), sgpw)
-        for i in range(half32s):
-            sel_v = ops.zero()
-            for k in range(half32s):
-                sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb_w(i + k)))
-            f.assert_zero(ops.mul(sel_wsrl, ops.sub(a[i], sel_v)))
-            filled = ops.zero()
-            for k in range(half32s - i, half32s):
-                filled = ops.add(filled, shq[k])
-            fill = ops.add(
-                ops.scale_base(ops.mul(whb, filled), (1 << lb) - 1),
-                ops.mul(shq[half32s - 1 - i], sgpw),
-            )
-            f.assert_zero(
-                ops.mul(sel_wsra, ops.sub(a[i], ops.add(sel_v, fill)))
-            )
-        # sign extension of the 32-bit result into limbs 4..7
-        for i in range(half32s, nl):
-            f.assert_zero(
-                ops.mul(
-                    sel_wshift,
-                    ops.sub(a[i], ops.scale_base(hbm, (1 << lb) - 1)),
-                )
-            )
-
-        # ---- unsigned division (divu/remu) --------------------------------
-        # Witness q, r with q*c + r = b proven by a 2nl-limb convolution
-        # carry chain (exact over the integers: all sums < 2^24 << p), plus
-        # r < c via a (c - 1 - r) borrow chain; c == 0 takes the RV64
-        # special case q = 2^64-1, r = b through the is_div0 flag.
-        sel_div = ops.add(sels["divu"], sels["remu"])
-        sel_sdiv = ops.add(sels["div"], sels["rem"])
-        sel_divany = ops.add(sel_div, sel_sdiv)
-        sel_wudiv = ops.add(sels["divuw"], sels["remuw"])
-        sel_wsdiv = ops.add(sels["divw"], sels["remw"])
-        sel_wdiv = ops.add(sel_wudiv, sel_wsdiv)
-        dq, dr = g("dq"), g("dr")
-        dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
-        ddr, dbor = g("ddr"), g("dbor")
-        is_div0, dz_inv = g("is_div0"), g("dz_inv")
-        f.assert_bool(is_div0)
-        f.assert_zero(
-            ops.mul(is_div0, ops.sub(ops.add(sel_divany, sel_wdiv), one))
-        )
-        s_c = ops.zero()
-        for i in range(nl):
-            s_c = ops.add(s_c, c[i])
-        f.assert_zero(
-            ops.mul(sel_divany, ops.sub(ops.add(ops.mul(s_c, dz_inv), is_div0), one))
-        )
-        d0_wu, d0_ws = g("d0_wu"), g("d0_ws")
-        d0_remw = g("d0_remw")
-        whc = g("whc")
-        f.assert_bool(whc)
-        f.assert_eq(ops.mul(is_div0, sel_wudiv), d0_wu)
-        f.assert_eq(ops.mul(is_div0, sel_wsdiv), d0_ws)
-        f.assert_eq(ops.mul(is_div0, sels["remw"]), d0_remw)
-        # div0 detection: full-width sum off W rows, low-half sum on W rows
-        f.assert_zero(
-            ops.mul(ops.sub(is_div0, ops.add(d0_wu, d0_ws)), s_c)
-        )
-        s_c4 = ops.zero()
-        for i in range(nl // 2):
-            s_c4 = ops.add(s_c4, c[i])
-        f.assert_zero(ops.mul(ops.add(d0_wu, d0_ws), s_c4))
-        f.assert_zero(
-            ops.mul(sel_wdiv, ops.sub(ops.add(ops.mul(s_c4, dz_inv), is_div0), one))
-        )
-        for k in range(2 * nl):
-            conv = ops.zero()
-            for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-                conv = ops.add(conv, ops.mul(dq[i], c[k - i]))
-            if k < nl:
-                conv = ops.add(conv, dr[k])
-            if k > 0:
-                conv = ops.add(
-                    conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
-                )
-            out_k = b[k] if k < nl else ops.zero()
-            cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
-            f.assert_zero(
-                ops.mul(
-                    sel_div,
-                    ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
-                )
-            )
-        f.assert_zero(ops.mul(sel_div, dvc_lo[2 * nl - 1]))
-        f.assert_zero(ops.mul(sel_div, dvc_hi[2 * nl - 1]))
-        # div-by-zero forcing
-        for i in range(nl):
-            f.assert_zero(ops.mul(is_div0, ops.sub(dq[i], ops.const((1 << lb) - 1))))
-            f.assert_zero(ops.mul(is_div0, ops.sub(dr[i], b[i])))
-        # r < c when c != 0:  c - 1 - r has no final borrow.
-        # Gate by sel_div minus (is_div0 AND unsigned): is_div0 alone would
-        # drive this gate to -1 on SIGNED divide-by-zero rows.
-        d0u = g("d0u")
-        f.assert_eq(ops.mul(is_div0, sel_div), d0u)
-        sel_nz = ops.sub(sel_div, d0u)
-        for i in range(nl):
-            f.assert_bool(dbor[i])
-            bin_ = dbor[i - 1] if i > 0 else one
-            f.assert_zero(
-                ops.mul(
-                    sel_nz,
-                    ops.sub(
-                        ops.sub(ops.sub(c[i], dr[i]), bin_),
-                        ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
-                    ),
-                )
-            )
-        f.assert_zero(ops.mul(sel_nz, dbor[nl - 1]))
-        # results
-        for i in range(nl):
-            f.assert_zero(ops.mul(sels["divu"], ops.sub(a[i], dq[i])))
-            f.assert_zero(ops.mul(sels["remu"], ops.sub(a[i], dr[i])))
-
-        # ---- signed division (div/rem) ------------------------------------
-        # Magnitudes via sign-conditional negate chains (x = b xor sign,
-        # +sign with carries), the UNSIGNED identity on magnitudes reusing
-        # the dq/dr/dvc/ddr columns, then a sign-conditional negate of the
-        # result: quotient sign = sb xor sc, remainder sign = sb. The RV64
-        # overflow case (INT64_MIN / -1) needs no special path: magnitudes
-        # give mq = 2^63 whose two's complement bits already equal the
-        # mandated result.
-        mb, mc2 = g("mb"), g("mc2")
-        ncb, ncc = g("ncb"), g("ncc")
-        qs = g("qs")
-        d0_div, d0_rem = g("d0_div"), g("d0_rem")
-        f.assert_bool(qs)
-        f.assert_eq(ops.mul(is_div0, sels["div"]), d0_div)
-        f.assert_eq(ops.mul(is_div0, sels["rem"]), d0_rem)
-        sel_sdiv_live = ops.sub(ops.sub(sel_sdiv, d0_div), d0_rem)
-        # qs = sb + sc - 2 sb sc away from div0
-        f.assert_zero(
-            ops.mul(
-                sel_sdiv_live,
-                ops.sub(
-                    qs,
-                    ops.sub(
-                        ops.add(hb_b, hb_c),
-                        ops.scale_base(ops.mul(hb_b, hb_c), 2),
-                    ),
-                ),
-            )
-        )
-        two55 = (1 << ws.limb_bits) - 1
-
-        def neg_chain(src, dst, carr, sign, gate, extra0):
+        if has("bh"):
+            # ---- bitwise (half-limb decomposition; results via byte table) ----
+            sel_bw = ops.zero()
+            for s in BITWISE_SELS:
+                sel_bw = ops.add(sel_bw, sels[s])
+            bh, ch_, ah = g("bh"), g("ch"), g("ah")
+            half = ops.const(1 << (ws.limb_bits // 2))
             for i in range(nl):
-                x = ops.add(src[i], ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))))
-                cin = extra0 if i == 0 else carr[i - 1]
-                f.assert_bool(carr[i])
+                f.assert_zero(
+                    ops.mul(sel_bw, ops.sub(b[i], ops.add(bh[2 * i], ops.mul(bh[2 * i + 1], half))))
+                )
+                f.assert_zero(
+                    ops.mul(sel_bw, ops.sub(c[i], ops.add(ch_[2 * i], ops.mul(ch_[2 * i + 1], half))))
+                )
+                f.assert_zero(
+                    ops.mul(sel_bw, ops.sub(a[i], ops.add(ah[2 * i], ops.mul(ah[2 * i + 1], half))))
+                )
+
+        if self._present(MUL_SELS):
+            # ---- mul (mod 2^64) ----------------------------------------------
+            sel_mul = ops.add(sels["mul"], sels["muli"])
+            mc_lo, mc_hi = g("mc_lo"), g("mc_hi")
+            for k in range(nl):
+                conv = ops.zero()
+                for i in range(k + 1):
+                    j = k - i
+                    conv = ops.add(conv, ops.mul(b[i], c[j]))
+                cin = (
+                    ops.add(mc_lo[k - 1], ops.mul(mc_hi[k - 1], base))
+                    if k > 0
+                    else ops.zero()
+                )
+                cout = ops.add(mc_lo[k], ops.mul(mc_hi[k], base))
                 f.assert_zero(
                     ops.mul(
-                        gate,
+                        sel_mul,
+                        ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
+                    )
+                )
+
+        if has("dcmp"):
+            # ---- comparisons (slt family + signed/unsigned branches) ----------
+            sel_cmp = ops.zero()
+            for s in CMP_SELS:
+                sel_cmp = ops.add(sel_cmp, sels[s])
+            sel_signed = ops.zero()
+            for s in SIGNED_CMP_SELS:
+                sel_signed = ops.add(sel_signed, sels[s])
+            dcmp, cborrow = g("dcmp"), g("cborrow")
+            ltres = g("ltres")
+            f.assert_bool(ltres)
+            half_top = 1 << (ws.limb_bits - 1)
+            # effective top limbs: signed ops flip the sign bit
+            top = nl - 1
+            eb_top = ops.add(
+                b[top],
+                ops.mul(
+                    sel_signed,
+                    ops.sub(
+                        ops.const(half_top), ops.scale_base(hb_b, 2 * half_top)
+                    ),
+                ),
+            )
+            ec_top = ops.add(
+                c[top],
+                ops.mul(
+                    sel_signed,
+                    ops.sub(
+                        ops.const(half_top), ops.scale_base(hb_c, 2 * half_top)
+                    ),
+                ),
+            )
+            for i in range(nl):
+                ebi = b[i] if i < top else eb_top
+                eci = c[i] if i < top else ec_top
+                bin_ = cborrow[i - 1] if i > 0 else ops.zero()
+                f.assert_bool(cborrow[i])
+                expr = ops.sub(
+                    ops.sub(ops.sub(ebi, eci), bin_),
+                    ops.sub(dcmp[i], ops.mul(cborrow[i], base)),
+                )
+                f.assert_zero(ops.mul(sel_cmp, expr))
+            f.assert_zero(ops.mul(sel_cmp, ops.sub(ltres, cborrow[top])))
+            # slt-family result: a = ltres
+            sel_slt = ops.zero()
+            for s in SLT_SELS:
+                sel_slt = ops.add(sel_slt, sels[s])
+            f.assert_zero(ops.mul(sel_slt, ops.sub(a[0], ltres)))
+            for i in range(1, nl):
+                f.assert_zero(ops.mul(sel_slt, a[i]))
+            # comparison branches
+            f.assert_zero(ops.mul(ops.add(sels["blt"], sels["bltu"]), ops.sub(taken, ltres)))
+            f.assert_zero(
+                ops.mul(
+                    ops.add(sels["bge"], sels["bgeu"]),
+                    ops.sub(taken, ops.sub(one, ltres)),
+                )
+            )
+
+        if has("shq"):
+            # ---- shifts (sll/srl/sra/srli/srai) -------------------------------
+            # s = L*q + r with q, r one-hot; decompose per-limb products by 2^r
+            # (left) / 2^(L-r) (right); byte-level shift is a one-hot select.
+            lb = ws.limb_bits
+            sel_shift = ops.zero()
+            for sname in SHIFT_SELS:
+                sel_shift = ops.add(sel_shift, sels[sname])
+            sel_wshift = ops.zero()
+            for sname in WSHIFT_SELS:
+                sel_wshift = ops.add(sel_wshift, sels[sname])
+            sel_anyshift = ops.add(sel_shift, sel_wshift)
+            sel_right = ops.zero()
+            for sname in SHIFT_RIGHT_SELS:
+                sel_right = ops.add(sel_right, sels[sname])
+            sel_srl_cls = ops.add(sels["srl"], sels["srli"])
+            sel_sra_cls = ops.add(sels["sra"], sels["srai"])
+            shq, shr = g("shq"), g("shr")
+            shb0, shb1 = g("shb0"), g("shb1")
+            sll_lo, sll_hi = g("sll_lo"), g("sll_hi")
+            srw_lo, srw_hi = g("srw_lo"), g("srw_hi")
+            sgp = g("sgp")
+            for x in shq + shr + [shb0, shb1]:
+                f.assert_bool(x)
+            sum_q = ops.zero()
+            for k in range(nl):
+                sum_q = ops.add(sum_q, shq[k])
+            f.assert_eq(sum_q, sel_anyshift)
+            sum_r = ops.zero()
+            for j in range(lb):
+                sum_r = ops.add(sum_r, shr[j])
+            f.assert_eq(sum_r, sel_anyshift)
+            # amount binding: c_0 = s + 64*(2*shb1 + shb0)  (RV64 takes c & 63)
+            s_val = ops.zero()
+            for k in range(nl):
+                s_val = ops.add(s_val, ops.scale_base(shq[k], lb * k))
+            for j in range(lb):
+                s_val = ops.add(s_val, ops.scale_base(shr[j], j))
+            s_val = ops.add(s_val, ops.scale_base(shb0, 64))
+            s_val = ops.add(s_val, ops.scale_base(shb1, 128))
+            f.assert_zero(ops.mul(sel_shift, ops.sub(c[0], s_val)))
+            # p2r = 2^r, p2rc = 2^(L-r)  (affine in the r one-hot)
+            p2r = ops.zero()
+            p2rc = ops.zero()
+            for j in range(lb):
+                p2r = ops.add(p2r, ops.scale_base(shr[j], 1 << j))
+                p2rc = ops.add(p2rc, ops.scale_base(shr[j], 1 << (lb - j)))
+            # left: b_i * 2^r = 256*hi + lo (lo/hi range-checked 8-bit)
+            for i in range(nl):
+                f.assert_zero(
+                    ops.mul(
+                        sels["sll"],
                         ops.sub(
-                            ops.add(x, cin),
-                            ops.add(dst[i], ops.mul(carr[i], base)),
+                            ops.mul(b[i], p2r),
+                            ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
+                        ),
+                    )
+                )
+            # right: b_i * 2^(L-r) = 256*hi + lo
+            for i in range(nl):
+                f.assert_zero(
+                    ops.mul(
+                        sel_right,
+                        ops.sub(
+                            ops.mul(b[i], p2rc),
+                            ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
+                        ),
+                    )
+                )
+            # sgp = hb_b * (2^L - 2^(L-r)): the partial sign-fill byte (ungated;
+            # tracegen maintains it on every row, incl. cmp rows that set hb_b)
+            f.assert_eq(
+                ops.mul(hb_b, ops.sub(ops.const(1 << lb), p2rc)), sgp
+            )
+            # sll result: a_i = select_q( (b*2^r) limbs with carry chaining )
+            def c16(m):
+                if m < 0 or m > nl:
+                    return ops.zero()
+                t = sll_lo[m] if m < nl else ops.zero()
+                if m > 0:
+                    t = ops.add(t, sll_hi[m - 1])
+                return t
+            for i in range(nl):
+                sel_v = ops.zero()
+                for k in range(nl):
+                    if i - k >= 0:
+                        sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
+                f.assert_zero(ops.mul(sels["sll"], ops.sub(a[i], sel_v)))
+            # right-shift-by-r limbs: d_j = hi_j + lo_{j+1}
+            def dlimb(j):
+                if j < 0 or j >= nl:
+                    return ops.zero()
+                t = srw_hi[j]
+                if j + 1 < nl:
+                    t = ops.add(t, srw_lo[j + 1])
+                return t
+            for i in range(nl):
+                sel_v = ops.zero()
+                for k in range(nl):
+                    sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb(i + k)))
+                f.assert_zero(ops.mul(sel_srl_cls, ops.sub(a[i], sel_v)))
+                # sra: add the sign fill: full limbs above the boundary + the
+                # partial boundary byte shq_{nl-1-i} * sgp
+                filled = ops.zero()
+                for k in range(nl - i, nl):
+                    filled = ops.add(filled, shq[k])
+                fill = ops.add(
+                    ops.scale_base(ops.mul(hb_b, filled), (1 << lb) - 1),
+                    ops.mul(shq[nl - 1 - i], sgp),
+                )
+                f.assert_zero(
+                    ops.mul(sel_sra_cls, ops.sub(a[i], ops.add(sel_v, fill)))
+                )
+
+        if has("shq"):
+            # ---- W-form shifts (sllw/srlw/sraw + immediate forms) -------------
+            # Same q/r machinery restricted to the low 4 limbs; result is
+            # sign-extended from bit 31 via the shared hbm witness.
+            shb2 = g("shb2")
+            sgpw = g("sgpw")
+            f.assert_bool(shb2)
+            half32s = nl // 2
+            sel_wl = ops.add(sels["sllw"], sels["slliw"])
+            sel_wr = ops.zero()
+            for sname in WSHIFT_RIGHT_SELS:
+                sel_wr = ops.add(sel_wr, sels[sname])
+            sel_wsrl = ops.add(sels["srlw"], sels["srliw"])
+            sel_wsra = ops.add(sels["sraw"], sels["sraiw"])
+            # byte shift < 4 on W rows
+            hi_q = ops.zero()
+            for k in range(half32s, nl):
+                hi_q = ops.add(hi_q, shq[k])
+            f.assert_zero(ops.mul(sel_wshift, hi_q))
+            # amount binding: c_0 = s + 32*(4*shb2 + 2*shb1 + shb0)
+            s_val_w = ops.zero()
+            for k in range(half32s):
+                s_val_w = ops.add(s_val_w, ops.scale_base(shq[k], lb * k))
+            for j in range(lb):
+                s_val_w = ops.add(s_val_w, ops.scale_base(shr[j], j))
+            s_val_w = ops.add(s_val_w, ops.scale_base(shb0, 32))
+            s_val_w = ops.add(s_val_w, ops.scale_base(shb1, 64))
+            s_val_w = ops.add(s_val_w, ops.scale_base(shb2, 128))
+            f.assert_zero(ops.mul(sel_wshift, ops.sub(c[0], s_val_w)))
+            # left: decompose low limbs by 2^r
+            for i in range(half32s):
+                f.assert_zero(
+                    ops.mul(
+                        sel_wl,
+                        ops.sub(
+                            ops.mul(b[i], p2r),
+                            ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
+                        ),
+                    )
+                )
+                sel_v = ops.zero()
+                for k in range(half32s):
+                    if i - k >= 0:
+                        sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
+                f.assert_zero(ops.mul(sel_wl, ops.sub(a[i], sel_v)))
+            # right: decompose low limbs by 2^(L-r)
+            for i in range(half32s):
+                f.assert_zero(
+                    ops.mul(
+                        sel_wr,
+                        ops.sub(
+                            ops.mul(b[i], p2rc),
+                            ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
                         ),
                     )
                 )
 
-        # mb = |b|, mc2 = |c|
-        neg_chain(b, mb, ncb, hb_b, sel_sdiv, hb_b)
-        neg_chain(c, mc2, ncc, hb_c, sel_sdiv, hb_c)
-        # magnitude identity: dq*mc2 + dr = mb  (off div0)
-        for k in range(2 * nl):
-            conv = ops.zero()
-            for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-                conv = ops.add(conv, ops.mul(dq[i], mc2[k - i]))
-            if k < nl:
-                conv = ops.add(conv, dr[k])
-            if k > 0:
-                conv = ops.add(
-                    conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
+            def dlimb_w(j):
+                if j < 0 or j >= half32s:
+                    return ops.zero()
+                t = srw_hi[j]
+                if j + 1 < half32s:
+                    t = ops.add(t, srw_lo[j + 1])
+                return t
+
+            # sgpw = whb * (2^L - 2^(L-r)) (ungated; whb is zero off W-sra rows)
+            f.assert_eq(ops.mul(whb, ops.sub(ops.const(1 << lb), p2rc)), sgpw)
+            for i in range(half32s):
+                sel_v = ops.zero()
+                for k in range(half32s):
+                    sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb_w(i + k)))
+                f.assert_zero(ops.mul(sel_wsrl, ops.sub(a[i], sel_v)))
+                filled = ops.zero()
+                for k in range(half32s - i, half32s):
+                    filled = ops.add(filled, shq[k])
+                fill = ops.add(
+                    ops.scale_base(ops.mul(whb, filled), (1 << lb) - 1),
+                    ops.mul(shq[half32s - 1 - i], sgpw),
                 )
-            out_k = mb[k] if k < nl else ops.zero()
-            cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                f.assert_zero(
+                    ops.mul(sel_wsra, ops.sub(a[i], ops.add(sel_v, fill)))
+                )
+            # sign extension of the 32-bit result into limbs 4..7
+            for i in range(half32s, nl):
+                f.assert_zero(
+                    ops.mul(
+                        sel_wshift,
+                        ops.sub(a[i], ops.scale_base(hbm, (1 << lb) - 1)),
+                    )
+                )
+
+        if has("dr"):
+            # ---- unsigned division (divu/remu) --------------------------------
+            # Witness q, r with q*c + r = b proven by a 2nl-limb convolution
+            # carry chain (exact over the integers: all sums < 2^24 << p), plus
+            # r < c via a (c - 1 - r) borrow chain; c == 0 takes the RV64
+            # special case q = 2^64-1, r = b through the is_div0 flag.
+            sel_div = ops.add(sels["divu"], sels["remu"])
+            sel_sdiv = ops.add(sels["div"], sels["rem"])
+            sel_divany = ops.add(sel_div, sel_sdiv)
+            sel_wudiv = ops.add(sels["divuw"], sels["remuw"])
+            sel_wsdiv = ops.add(sels["divw"], sels["remw"])
+            sel_wdiv = ops.add(sel_wudiv, sel_wsdiv)
+            dq, dr = g("dq"), g("dr")
+            dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
+            ddr, dbor = g("ddr"), g("dbor")
+            is_div0, dz_inv = g("is_div0"), g("dz_inv")
+            f.assert_bool(is_div0)
             f.assert_zero(
-                ops.mul(
-                    sel_sdiv_live,
-                    ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
-                )
+                ops.mul(is_div0, ops.sub(ops.add(sel_divany, sel_wdiv), one))
             )
-        f.assert_zero(ops.mul(sel_sdiv_live, dvc_lo[2 * nl - 1]))
-        f.assert_zero(ops.mul(sel_sdiv_live, dvc_hi[2 * nl - 1]))
-        # dr < mc2 off div0
-        for i in range(nl):
-            bin_ = dbor[i - 1] if i > 0 else one
+            s_c = ops.zero()
+            for i in range(nl):
+                s_c = ops.add(s_c, c[i])
+            f.assert_zero(
+                ops.mul(sel_divany, ops.sub(ops.add(ops.mul(s_c, dz_inv), is_div0), one))
+            )
+            d0_wu, d0_ws = g("d0_wu"), g("d0_ws")
+            d0_remw = g("d0_remw")
+            whc = g("whc")
+            f.assert_bool(whc)
+            f.assert_eq(ops.mul(is_div0, sel_wudiv), d0_wu)
+            f.assert_eq(ops.mul(is_div0, sel_wsdiv), d0_ws)
+            f.assert_eq(ops.mul(is_div0, sels["remw"]), d0_remw)
+            # div0 detection: full-width sum off W rows, low-half sum on W rows
+            f.assert_zero(
+                ops.mul(ops.sub(is_div0, ops.add(d0_wu, d0_ws)), s_c)
+            )
+            s_c4 = ops.zero()
+            for i in range(nl // 2):
+                s_c4 = ops.add(s_c4, c[i])
+            f.assert_zero(ops.mul(ops.add(d0_wu, d0_ws), s_c4))
+            f.assert_zero(
+                ops.mul(sel_wdiv, ops.sub(ops.add(ops.mul(s_c4, dz_inv), is_div0), one))
+            )
+            for k in range(2 * nl):
+                conv = ops.zero()
+                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                    conv = ops.add(conv, ops.mul(dq[i], c[k - i]))
+                if k < nl:
+                    conv = ops.add(conv, dr[k])
+                if k > 0:
+                    conv = ops.add(
+                        conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
+                    )
+                out_k = b[k] if k < nl else ops.zero()
+                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                f.assert_zero(
+                    ops.mul(
+                        sel_div,
+                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                    )
+                )
+            f.assert_zero(ops.mul(sel_div, dvc_lo[2 * nl - 1]))
+            f.assert_zero(ops.mul(sel_div, dvc_hi[2 * nl - 1]))
+            # div-by-zero forcing
+            for i in range(nl):
+                f.assert_zero(ops.mul(is_div0, ops.sub(dq[i], ops.const((1 << lb) - 1))))
+                f.assert_zero(ops.mul(is_div0, ops.sub(dr[i], b[i])))
+            # r < c when c != 0:  c - 1 - r has no final borrow.
+            # Gate by sel_div minus (is_div0 AND unsigned): is_div0 alone would
+            # drive this gate to -1 on SIGNED divide-by-zero rows.
+            d0u = g("d0u")
+            f.assert_eq(ops.mul(is_div0, sel_div), d0u)
+            sel_nz = ops.sub(sel_div, d0u)
+            for i in range(nl):
+                f.assert_bool(dbor[i])
+                bin_ = dbor[i - 1] if i > 0 else one
+                f.assert_zero(
+                    ops.mul(
+                        sel_nz,
+                        ops.sub(
+                            ops.sub(ops.sub(c[i], dr[i]), bin_),
+                            ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
+                        ),
+                    )
+                )
+            f.assert_zero(ops.mul(sel_nz, dbor[nl - 1]))
+            # results
+            for i in range(nl):
+                f.assert_zero(ops.mul(sels["divu"], ops.sub(a[i], dq[i])))
+                f.assert_zero(ops.mul(sels["remu"], ops.sub(a[i], dr[i])))
+
+        if has("dr"):
+            # ---- signed division (div/rem) ------------------------------------
+            # Magnitudes via sign-conditional negate chains (x = b xor sign,
+            # +sign with carries), the UNSIGNED identity on magnitudes reusing
+            # the dq/dr/dvc/ddr columns, then a sign-conditional negate of the
+            # result: quotient sign = sb xor sc, remainder sign = sb. The RV64
+            # overflow case (INT64_MIN / -1) needs no special path: magnitudes
+            # give mq = 2^63 whose two's complement bits already equal the
+            # mandated result.
+            mb, mc2 = g("mb"), g("mc2")
+            ncb, ncc = g("ncb"), g("ncc")
+            qs = g("qs")
+            d0_div, d0_rem = g("d0_div"), g("d0_rem")
+            f.assert_bool(qs)
+            f.assert_eq(ops.mul(is_div0, sels["div"]), d0_div)
+            f.assert_eq(ops.mul(is_div0, sels["rem"]), d0_rem)
+            sel_sdiv_live = ops.sub(ops.sub(sel_sdiv, d0_div), d0_rem)
+            # qs = sb + sc - 2 sb sc away from div0
             f.assert_zero(
                 ops.mul(
                     sel_sdiv_live,
                     ops.sub(
-                        ops.sub(ops.sub(mc2[i], dr[i]), bin_),
-                        ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
+                        qs,
+                        ops.sub(
+                            ops.add(hb_b, hb_c),
+                            ops.scale_base(ops.mul(hb_b, hb_c), 2),
+                        ),
                     ),
                 )
             )
-        f.assert_zero(ops.mul(sel_sdiv_live, dbor[nl - 1]))
-        # result negate chains (reuse the add/sub carry columns)
-        neg_chain(dq, a, carry, qs, ops.sub(sels["div"], d0_div), qs)
-        neg_chain(dr, a, carry, hb_b, ops.sub(sels["rem"], d0_rem), hb_b)
-        # div0: q = -1, r = b (dq/dr forcing is shared with divu; bind a)
-        for i in range(nl):
-            f.assert_zero(ops.mul(d0_div, ops.sub(a[i], ops.const(two55))))
-            f.assert_zero(ops.mul(d0_rem, ops.sub(a[i], b[i])))
+            two55 = (1 << ws.limb_bits) - 1
+
+            def neg_chain(src, dst, carr, sign, gate, extra0):
+                for i in range(nl):
+                    x = ops.add(src[i], ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))))
+                    cin = extra0 if i == 0 else carr[i - 1]
+                    f.assert_bool(carr[i])
+                    f.assert_zero(
+                        ops.mul(
+                            gate,
+                            ops.sub(
+                                ops.add(x, cin),
+                                ops.add(dst[i], ops.mul(carr[i], base)),
+                            ),
+                        )
+                    )
+
+            # mb = |b|, mc2 = |c|
+            neg_chain(b, mb, ncb, hb_b, sel_sdiv, hb_b)
+            neg_chain(c, mc2, ncc, hb_c, sel_sdiv, hb_c)
+            # magnitude identity: dq*mc2 + dr = mb  (off div0)
+            for k in range(2 * nl):
+                conv = ops.zero()
+                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                    conv = ops.add(conv, ops.mul(dq[i], mc2[k - i]))
+                if k < nl:
+                    conv = ops.add(conv, dr[k])
+                if k > 0:
+                    conv = ops.add(
+                        conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
+                    )
+                out_k = mb[k] if k < nl else ops.zero()
+                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                f.assert_zero(
+                    ops.mul(
+                        sel_sdiv_live,
+                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                    )
+                )
+            f.assert_zero(ops.mul(sel_sdiv_live, dvc_lo[2 * nl - 1]))
+            f.assert_zero(ops.mul(sel_sdiv_live, dvc_hi[2 * nl - 1]))
+            # dr < mc2 off div0
+            for i in range(nl):
+                bin_ = dbor[i - 1] if i > 0 else one
+                f.assert_zero(
+                    ops.mul(
+                        sel_sdiv_live,
+                        ops.sub(
+                            ops.sub(ops.sub(mc2[i], dr[i]), bin_),
+                            ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
+                        ),
+                    )
+                )
+            f.assert_zero(ops.mul(sel_sdiv_live, dbor[nl - 1]))
+            # result negate chains (reuse the add/sub carry columns)
+            neg_chain(dq, a, carry, qs, ops.sub(sels["div"], d0_div), qs)
+            neg_chain(dr, a, carry, hb_b, ops.sub(sels["rem"], d0_rem), hb_b)
+            # div0: q = -1, r = b (dq/dr forcing is shared with divu; bind a)
+            for i in range(nl):
+                f.assert_zero(ops.mul(d0_div, ops.sub(a[i], ops.const(two55))))
+                f.assert_zero(ops.mul(d0_rem, ops.sub(a[i], b[i])))
 
         # ---- W-form arithmetic (addw/addiw/subw/mulw) ---------------------
         # 32-bit result in the low 4 limbs (carry out of limb 3 discarded),
         # then limbs 4..7 replicate the hbm sign witness.
         half32 = nl // 2
-        sel_waddsub = ops.add(ops.add(sels["addw"], sels["addiw"]), sels["subw"])
-        sel_wadd = ops.add(sels["addw"], sels["addiw"])
-        for i in range(half32):
-            cin = carry[i - 1] if i > 0 else ops.zero()
-            expr = ops.sub(
-                ops.add(ops.add(b[i], c[i]), cin),
-                ops.add(a[i], ops.mul(carry[i], base)),
-            )
-            f.assert_zero(ops.mul(sel_wadd, expr))
-            bin_ = carry[i - 1] if i > 0 else ops.zero()
-            expr_s = ops.sub(
-                ops.sub(ops.sub(b[i], c[i]), bin_),
-                ops.sub(a[i], ops.mul(carry[i], base)),
-            )
-            f.assert_zero(ops.mul(sels["subw"], expr_s))
-        for k in range(half32):
-            conv = ops.zero()
-            for i in range(k + 1):
-                conv = ops.add(conv, ops.mul(b[i], c[k - i]))
-            cin = (
-                ops.add(mc_lo[k - 1], ops.mul(mc_hi[k - 1], base))
-                if k > 0
-                else ops.zero()
-            )
-            cout = ops.add(mc_lo[k], ops.mul(mc_hi[k], base))
-            f.assert_zero(
-                ops.mul(
-                    sels["mulw"],
-                    ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
+        if self._present(("addw", "addiw", "subw")):
+            sel_wadd = ops.add(sels["addw"], sels["addiw"])
+            for i in range(half32):
+                cin = carry[i - 1] if i > 0 else ops.zero()
+                expr = ops.sub(
+                    ops.add(ops.add(b[i], c[i]), cin),
+                    ops.add(a[i], ops.mul(carry[i], base)),
                 )
-            )
-        sel_warith = ops.add(sel_waddsub, sels["mulw"])
-        for i in range(half32, nl):
-            f.assert_zero(
-                ops.mul(
-                    sel_warith,
-                    ops.sub(a[i], ops.scale_base(hbm, (1 << ws.limb_bits) - 1)),
+                f.assert_zero(ops.mul(sel_wadd, expr))
+                bin_ = carry[i - 1] if i > 0 else ops.zero()
+                expr_s = ops.sub(
+                    ops.sub(ops.sub(b[i], c[i]), bin_),
+                    ops.sub(a[i], ops.mul(carry[i], base)),
                 )
-            )
-
-        # ---- W-form division (divw/divuw/remw/remuw) ----------------------
-        # The 64-bit division machinery at width 4: unsigned identity on
-        # (b32, c32) or on witnessed magnitudes, then sext32 through hbm.
-        # div0 falls out of the shared dq=all-ones / dr=b forcing.
-        h4 = nl // 2
-        sel_wu_live = ops.sub(sel_wudiv, d0_wu)
-        sel_ws_live = ops.sub(sel_wsdiv, d0_ws)
-        # signed sign witness binding handled by the whb/whc range sends;
-        # qs = whb xor whc away from div0
-        f.assert_zero(
-            ops.mul(
-                sel_ws_live,
-                ops.sub(
-                    qs,
-                    ops.sub(
-                        ops.add(whb, whc),
-                        ops.scale_base(ops.mul(whb, whc), 2),
-                    ),
-                ),
-            )
-        )
-        # 4-limb magnitude negate chains for the signed path
-        for src, dst, carr, sign in ((b, mb, ncb, whb), (c, mc2, ncc, whc)):
-            for i in range(h4):
-                x = ops.add(
-                    src[i],
-                    ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))),
+                f.assert_zero(ops.mul(sels["subw"], expr_s))
+        if "mulw" in present:
+            mc_lo_, mc_hi_ = g("mc_lo"), g("mc_hi")
+            for k in range(half32):
+                conv = ops.zero()
+                for i in range(k + 1):
+                    conv = ops.add(conv, ops.mul(b[i], c[k - i]))
+                cin = (
+                    ops.add(mc_lo_[k - 1], ops.mul(mc_hi_[k - 1], base))
+                    if k > 0
+                    else ops.zero()
                 )
-                cin = sign if i == 0 else carr[i - 1]
+                cout = ops.add(mc_lo_[k], ops.mul(mc_hi_[k], base))
                 f.assert_zero(
                     ops.mul(
-                        sel_wsdiv,
-                        ops.sub(
-                            ops.add(x, cin),
-                            ops.add(dst[i], ops.mul(carr[i], base)),
-                        ),
+                        sels["mulw"],
+                        ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
                     )
                 )
-        # convolution identities over 8 limbs (q, divisor, r, dividend all
-        # 4-limb): unsigned on (c, b), signed on (mc2, mb)
-        for gate, dv, dd in ((sel_wu_live, c, b), (sel_ws_live, mc2, mb)):
-            for k in range(nl):
+        if self._present(W_ARITH_SELS):
+            for i in range(half32, nl):
+                f.assert_zero(
+                    ops.mul(
+                        sel_warith,
+                        ops.sub(a[i], ops.scale_base(hbm, (1 << ws.limb_bits) - 1)),
+                    )
+                )
+
+        if has("dr"):
+            # ---- W-form division (divw/divuw/remw/remuw) ----------------------
+            # The 64-bit division machinery at width 4: unsigned identity on
+            # (b32, c32) or on witnessed magnitudes, then sext32 through hbm.
+            # div0 falls out of the shared dq=all-ones / dr=b forcing.
+            h4 = nl // 2
+            sel_wu_live = ops.sub(sel_wudiv, d0_wu)
+            sel_ws_live = ops.sub(sel_wsdiv, d0_ws)
+            # signed sign witness binding handled by the whb/whc range sends;
+            # qs = whb xor whc away from div0
+            f.assert_zero(
+                ops.mul(
+                    sel_ws_live,
+                    ops.sub(
+                        qs,
+                        ops.sub(
+                            ops.add(whb, whc),
+                            ops.scale_base(ops.mul(whb, whc), 2),
+                        ),
+                    ),
+                )
+            )
+            # 4-limb magnitude negate chains for the signed path
+            for src, dst, carr, sign in ((b, mb, ncb, whb), (c, mc2, ncc, whc)):
+                for i in range(h4):
+                    x = ops.add(
+                        src[i],
+                        ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))),
+                    )
+                    cin = sign if i == 0 else carr[i - 1]
+                    f.assert_zero(
+                        ops.mul(
+                            sel_wsdiv,
+                            ops.sub(
+                                ops.add(x, cin),
+                                ops.add(dst[i], ops.mul(carr[i], base)),
+                            ),
+                        )
+                    )
+            # convolution identities over 8 limbs (q, divisor, r, dividend all
+            # 4-limb): unsigned on (c, b), signed on (mc2, mb)
+            for gate, dv, dd in ((sel_wu_live, c, b), (sel_ws_live, mc2, mb)):
+                for k in range(nl):
+                    conv = ops.zero()
+                    for i in range(max(0, k - h4 + 1), min(h4, k + 1)):
+                        conv = ops.add(conv, ops.mul(dq[i], dv[k - i]))
+                    if k < h4:
+                        conv = ops.add(conv, dr[k])
+                    if k > 0:
+                        conv = ops.add(
+                            conv,
+                            ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb)),
+                        )
+                    out_k = dd[k] if k < h4 else ops.zero()
+                    cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                    f.assert_zero(
+                        ops.mul(
+                            gate,
+                            ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                        )
+                    )
+                f.assert_zero(ops.mul(gate, dvc_lo[nl - 1]))
+                f.assert_zero(ops.mul(gate, dvc_hi[nl - 1]))
+                # r < divisor via (divisor - 1 - r), 4 limbs
+                for i in range(h4):
+                    bin_ = dbor[i - 1] if i > 0 else one
+                    f.assert_zero(
+                        ops.mul(
+                            gate,
+                            ops.sub(
+                                ops.sub(ops.sub(dv[i], dr[i]), bin_),
+                                ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
+                            ),
+                        )
+                    )
+                f.assert_zero(ops.mul(gate, dbor[h4 - 1]))
+            # results (low half); div0 rows satisfy these via the dq/dr forcing
+            for i in range(h4):
+                f.assert_zero(ops.mul(sels["divuw"], ops.sub(a[i], dq[i])))
+                f.assert_zero(ops.mul(sels["remuw"], ops.sub(a[i], dr[i])))
+            # signed results: 4-limb negate chains (reuse the carry columns)
+            for gate, src, sign in (
+                (sels["divw"], dq, qs),
+                (ops.sub(sels["remw"], d0_remw), dr, whb),
+            ):
+                for i in range(h4):
+                    x = ops.add(
+                        src[i],
+                        ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))),
+                    )
+                    cin = sign if i == 0 else carry[i - 1]
+                    f.assert_zero(
+                        ops.mul(
+                            gate,
+                            ops.sub(
+                                ops.add(x, cin),
+                                ops.add(a[i], ops.mul(carry[i], base)),
+                            ),
+                        )
+                    )
+            for i in range(h4):
+                f.assert_zero(ops.mul(d0_remw, ops.sub(a[i], b[i])))
+            # sext32 into the high limbs through hbm (holds on div0 rows too)
+            for i in range(h4, nl):
+                f.assert_zero(
+                    ops.mul(
+                        sel_wdiv,
+                        ops.sub(a[i], ops.scale_base(hbm, (1 << ws.limb_bits) - 1)),
+                    )
+                )
+
+        if self._present(MULH_SELS):
+            # ---- high multiplication (mulh/mulhu/mulhsu) ----------------------
+            # Full 128-bit product via the division convolution columns:
+            # b*c = dq (low 64) + 2^64 * mb (high 64). Signed variants correct
+            # the unsigned high half: mulh = uh - sb*c - sc*b, mulhsu = uh - sb*c
+            # (mod 2^64), proven limb-wise with small witnessed carries in mc_lo.
+            # self-fetch: in the Mul class chip the division blocks that
+            # bound these names are skipped
+            dq, mb = g("dq"), g("mb")
+            dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
+            mc_lo = g("mc_lo")
+            for k in range(2 * nl):
                 conv = ops.zero()
-                for i in range(max(0, k - h4 + 1), min(h4, k + 1)):
-                    conv = ops.add(conv, ops.mul(dq[i], dv[k - i]))
-                if k < h4:
-                    conv = ops.add(conv, dr[k])
+                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                    conv = ops.add(conv, ops.mul(b[i], c[k - i]))
                 if k > 0:
                     conv = ops.add(
                         conv,
                         ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb)),
                     )
-                out_k = dd[k] if k < h4 else ops.zero()
+                out_k = dq[k] if k < nl else mb[k - nl]
                 cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
                 f.assert_zero(
                     ops.mul(
-                        gate,
+                        sel_mulh_any,
                         ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
                     )
                 )
-            f.assert_zero(ops.mul(gate, dvc_lo[nl - 1]))
-            f.assert_zero(ops.mul(gate, dvc_hi[nl - 1]))
-            # r < divisor via (divisor - 1 - r), 4 limbs
-            for i in range(h4):
-                bin_ = dbor[i - 1] if i > 0 else one
-                f.assert_zero(
-                    ops.mul(
-                        gate,
-                        ops.sub(
-                            ops.sub(ops.sub(dv[i], dr[i]), bin_),
-                            ops.sub(ddr[i], ops.scale_base(dbor[i], 1 << lb)),
-                        ),
-                    )
-                )
-            f.assert_zero(ops.mul(gate, dbor[h4 - 1]))
-        # results (low half); div0 rows satisfy these via the dq/dr forcing
-        for i in range(h4):
-            f.assert_zero(ops.mul(sels["divuw"], ops.sub(a[i], dq[i])))
-            f.assert_zero(ops.mul(sels["remuw"], ops.sub(a[i], dr[i])))
-        # signed results: 4-limb negate chains (reuse the carry columns)
-        for gate, src, sign in (
-            (sels["divw"], dq, qs),
-            (ops.sub(sels["remw"], d0_remw), dr, whb),
-        ):
-            for i in range(h4):
-                x = ops.add(
-                    src[i],
-                    ops.mul(sign, ops.sub(ops.const(two55), ops.scale_base(src[i], 2))),
-                )
-                cin = sign if i == 0 else carry[i - 1]
-                f.assert_zero(
-                    ops.mul(
-                        gate,
-                        ops.sub(
-                            ops.add(x, cin),
-                            ops.add(a[i], ops.mul(carry[i], base)),
-                        ),
-                    )
-                )
-        for i in range(h4):
-            f.assert_zero(ops.mul(d0_remw, ops.sub(a[i], b[i])))
-        # sext32 into the high limbs through hbm (holds on div0 rows too)
-        for i in range(h4, nl):
-            f.assert_zero(
-                ops.mul(
-                    sel_wdiv,
-                    ops.sub(a[i], ops.scale_base(hbm, (1 << ws.limb_bits) - 1)),
-                )
-            )
-
-        # ---- high multiplication (mulh/mulhu/mulhsu) ----------------------
-        # Full 128-bit product via the division convolution columns:
-        # b*c = dq (low 64) + 2^64 * mb (high 64). Signed variants correct
-        # the unsigned high half: mulh = uh - sb*c - sc*b, mulhsu = uh - sb*c
-        # (mod 2^64), proven limb-wise with small witnessed carries in mc_lo.
-        sel_mulh_any = ops.add(ops.add(sels["mulh"], sels["mulhu"]), sels["mulhsu"])
-        for k in range(2 * nl):
-            conv = ops.zero()
-            for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-                conv = ops.add(conv, ops.mul(b[i], c[k - i]))
-            if k > 0:
-                conv = ops.add(
-                    conv,
-                    ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb)),
-                )
-            out_k = dq[k] if k < nl else mb[k - nl]
-            cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
-            f.assert_zero(
-                ops.mul(
-                    sel_mulh_any,
-                    ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
-                )
-            )
-        f.assert_zero(ops.mul(sel_mulh_any, dvc_lo[2 * nl - 1]))
-        f.assert_zero(ops.mul(sel_mulh_any, dvc_hi[2 * nl - 1]))
-        # mulhu: the high half is the result
-        for i in range(nl):
-            f.assert_zero(ops.mul(sels["mulhu"], ops.sub(a[i], mb[i])))
-        # signed corrections: a + sb*c (+ sc*b) = mb + carries*2^L chain
-        for gate, use_sc in ((sels["mulh"], True), (sels["mulhsu"], False)):
+            f.assert_zero(ops.mul(sel_mulh_any, dvc_lo[2 * nl - 1]))
+            f.assert_zero(ops.mul(sel_mulh_any, dvc_hi[2 * nl - 1]))
+            # mulhu: the high half is the result
             for i in range(nl):
-                lhs = ops.add(a[i], ops.mul(hb_b, c[i]))
-                if use_sc:
-                    lhs = ops.add(lhs, ops.mul(hb_c, b[i]))
-                if i > 0:
-                    lhs = ops.add(lhs, mc_lo[i - 1])
-                f.assert_zero(
-                    ops.mul(
-                        gate,
-                        ops.sub(
-                            lhs,
-                            ops.add(mb[i], ops.scale_base(mc_lo[i], 1 << lb)),
-                        ),
+                f.assert_zero(ops.mul(sels["mulhu"], ops.sub(a[i], mb[i])))
+            # signed corrections: a + sb*c (+ sc*b) = mb + carries*2^L chain
+            for gate, use_sc in ((sels["mulh"], True), (sels["mulhsu"], False)):
+                for i in range(nl):
+                    lhs = ops.add(a[i], ops.mul(hb_b, c[i]))
+                    if use_sc:
+                        lhs = ops.add(lhs, ops.mul(hb_c, b[i]))
+                    if i > 0:
+                        lhs = ops.add(lhs, mc_lo[i - 1])
+                    f.assert_zero(
+                        ops.mul(
+                            gate,
+                            ops.sub(
+                                lhs,
+                                ops.add(mb[i], ops.scale_base(mc_lo[i], 1 << lb)),
+                            ),
+                        )
                     )
-                )
 
         # ts difference decompositions: new_ts - prev_ts - 1 = sum(tsd)
         uses_rs1 = self._uses_rs1(sels, ops)
@@ -1360,12 +1497,14 @@ class CpuChip(Chip):
         ts2 = ops.add(ops.mul(clk, eight), ops.const(2))
         ts4 = ops.add(ops.mul(clk, eight), four)
         ts3 = ops.add(ops.mul(clk, eight), ops.const(3))
-        for nm, uses, newts, prevts in (
+        ts_rows = [
             ("tsd_rs1", uses_rs1, ts1, g("rs1_prev_ts")),
             ("tsd_rs2", uses_rs2, ts2, g("rs2_prev_ts")),
             ("tsd_rd", g("rd_write_mult"), ts4, g("rd_prev_ts")),
-            ("tsd_mem", sel_anymem, ts3, g("mem_prev_ts")),
-        ):
+        ]
+        if has("tsd_mem"):
+            ts_rows.append(("tsd_mem", sel_anymem, ts3, g("mem_prev_ts")))
+        for nm, uses, newts, prevts in ts_rows:
             tsd = g(nm)
             acc = ops.zero()
             for i in range(ws.ts_limbs):
@@ -1380,9 +1519,9 @@ class CpuChip(Chip):
         f.assert_bool(rd_nonzero)
         f.assert_eq(ops.mul(rd, rd_inv), rd_nonzero)
         f.assert_zero(ops.mul(ops.sub(one, rd_nonzero), rd))
-        writes = ops.add(
-            ops.add(ops.add(sel_alu_add, sels["sub"]), sels["jal"]), is_read
-        )
+        writes = ops.add(ops.add(sel_alu_add, sels["sub"]), sels["jal"])
+        if has("is_halt"):
+            writes = ops.add(writes, g("is_read"))
         writes = ops.add(writes, sels["ld"])
         writes = ops.add(writes, sel_bw)
         writes = ops.add(writes, sel_mul)
@@ -1434,13 +1573,19 @@ class CpuChip(Chip):
         return acc
 
     # -- interactions -------------------------------------------------------
+    def _sel_aff(self, names):
+        """Affine sum over the present subset of selector names, or None
+        when this class carries none of them."""
+        mine = self._present(names)
+        if not mine:
+            return None
+        return _aff_sum([self.layout[f"sel_{s}"] for s in mine])
+
     def _uses_rs1_aff(self):
-        L = self.layout
-        return _aff_sum([L[f"sel_{s}"] for s in self.USES_RS1])
+        return self._sel_aff(self.USES_RS1)
 
     def _uses_rs2_aff(self):
-        L = self.layout
-        return _aff_sum([L[f"sel_{s}"] for s in self.USES_RS2])
+        return self._sel_aff(self.USES_RS2)
 
     def _word_addr_aff(self):
         """32 + word index of the memory access, affine in address columns."""
@@ -1452,36 +1597,31 @@ class CpuChip(Chip):
         return Affine(32, tuple(terms))
 
     def _sel_mem_aff(self):
-        L = self.layout
-        return _aff_sum([L["sel_ld"], L["sel_sd"]])
+        return self._sel_aff(("ld", "sd"))
 
     def _sel_anymem_aff(self):
-        L = self.layout
-        return _aff_sum(
-            [L["sel_ld"], L["sel_sd"]] + [L[f"sel_{s}"] for s in SUBW_SELS]
-        )
+        return self._sel_aff(("ld", "sd") + SUBW_SELS)
 
     def _sel_bw_aff(self):
-        L = self.layout
-        return _aff_sum([L[f"sel_{s}"] for s in BITWISE_SELS])
+        return self._sel_aff(BITWISE_SELS)
 
     def _sel_mul_aff(self):
-        L = self.layout
-        return _aff_sum(
-            [L[f"sel_{s}"] for s in MUL_SELS]
-            + [L["sel_mulw"]]
-            + [L[f"sel_{s}"] for s in MULH_SELS]
-        )
+        return self._sel_aff(MUL_SELS + ("mulw",) + MULH_SELS)
 
     def sends(self) -> list:
         ws, L = self.ws, self.layout
         nl = ws.num_limbs
         out = []
-        # program lookup
+        present = set(self.sel_names)
+        has = self._has
+        # program lookup (op_id over this class's selectors, with the
+        # global SEL_NAMES numbering)
         op_id = Affine(
             0,
             tuple(
-                (main_col(L[f"sel_{s}"]), k) for k, s in enumerate(SEL_NAMES) if k > 0
+                (main_col(L[f"sel_{s}"]), k)
+                for k, s in enumerate(SEL_NAMES)
+                if k > 0 and s in present
             ),
         )
         values = [
@@ -1498,35 +1638,33 @@ class CpuChip(Chip):
         # state chain: each row produces (next_pc, clk + 1). A precompile
         # ecall's rounds occupy the next N cycles, so its send skips the
         # window (sha extend: +48, sha compress: +80).
+        clk_next_terms = [(main_col(L["clk"]), 1)]
+        if has("is_sha_extend"):
+            clk_next_terms.append((main_col(L["is_sha_extend"]), 48))
+            clk_next_terms.append((main_col(L["is_sha_compress"]), 80))
         out.append(
             Interaction(
                 (
                     _aff(L["next_pc"]),
-                    Affine(
-                        1,
-                        (
-                            (main_col(L["clk"]), 1),
-                            (main_col(L["is_sha_extend"]), 48),
-                            (main_col(L["is_sha_compress"]), 80),
-                        ),
-                    ),
+                    Affine(1, tuple(clk_next_terms)),
                 ),
                 _aff(L["is_real"]),
                 KIND_STATE,
             )
         )
         # precompile dispatch: (syscall id, clk, raw pointer limbs in a0)
-        for sid, flag in ((8, "is_sha_extend"), (9, "is_sha_compress")):
-            out.append(
-                Interaction(
-                    tuple(
-                        [Affine.const(sid), _aff(L["clk"])]
-                        + [_aff(L["c"].start + i) for i in range(nl)]
-                    ),
-                    _aff(L[flag]),
-                    KIND_SYSCALL,
+        if has("is_sha_extend"):
+            for sid, flag in ((8, "is_sha_extend"), (9, "is_sha_compress")):
+                out.append(
+                    Interaction(
+                        tuple(
+                            [Affine.const(sid), _aff(L["clk"])]
+                            + [_aff(L["c"].start + i) for i in range(nl)]
+                        ),
+                        _aff(L[flag]),
+                        KIND_SYSCALL,
+                    )
                 )
-            )
         # register writes (memory sends of the new state)
         clk8_1 = Affine(1, ((main_col(L["clk"]), 8),))
         clk8_2 = Affine(2, ((main_col(L["clk"]), 8),))
@@ -1534,20 +1672,22 @@ class CpuChip(Chip):
         bvals = [_aff(L["b"].start + i) for i in range(nl)]
         cvals = [_aff(L["c"].start + i) for i in range(nl)]
         avals = [_aff(L["a"].start + i) for i in range(nl)]
-        out.append(
-            Interaction(
-                tuple([_aff(L["rs1"]), clk8_1] + bvals),
-                self._uses_rs1_aff(),
-                KIND_MEMORY,
+        if self._uses_rs1_aff() is not None:
+            out.append(
+                Interaction(
+                    tuple([_aff(L["rs1"]), clk8_1] + bvals),
+                    self._uses_rs1_aff(),
+                    KIND_MEMORY,
+                )
             )
-        )
-        out.append(
-            Interaction(
-                tuple([_aff(L["rs2"]), clk8_2] + cvals),
-                self._uses_rs2_aff(),
-                KIND_MEMORY,
+        if self._uses_rs2_aff() is not None:
+            out.append(
+                Interaction(
+                    tuple([_aff(L["rs2"]), clk8_2] + cvals),
+                    self._uses_rs2_aff(),
+                    KIND_MEMORY,
+                )
             )
-        )
         out.append(
             Interaction(
                 tuple([_aff(L["rd"]), clk8_4] + avals),
@@ -1556,239 +1696,219 @@ class CpuChip(Chip):
             )
         )
         # memory-op state updates
-        clk8_3 = Affine(3, ((main_col(L["clk"]), 8),))
-        waddr = self._word_addr_aff()
-        mpv = [_aff(L["mem_prev_val"].start + i) for i in range(nl)]
-        loads_aff = _aff_sum(
-            [L["sel_ld"]] + [L[f"sel_{s}"] for s in SUBW_LOAD_SELS]
-        )
-        out.append(
-            Interaction(tuple([waddr, clk8_3] + mpv), loads_aff, KIND_MEMORY)
-        )
-        out.append(
-            Interaction(
-                tuple([waddr, clk8_3] + cvals), _aff(L["sel_sd"]), KIND_MEMORY
+        if has("mem_prev_val"):
+            clk8_3 = Affine(3, ((main_col(L["clk"]), 8),))
+            waddr = self._word_addr_aff()
+            mpv = [_aff(L["mem_prev_val"].start + i) for i in range(nl)]
+            loads_aff = self._sel_aff(("ld",) + SUBW_LOAD_SELS)
+            out.append(
+                Interaction(tuple([waddr, clk8_3] + mpv), loads_aff, KIND_MEMORY)
             )
-        )
-        nwvals = [_aff(L["nw"].start + i) for i in range(nl)]
-        subw_stores_aff = _aff_sum([L[f"sel_{s}"] for s in SUBW_STORE_SELS])
-        out.append(
-            Interaction(
-                tuple([waddr, clk8_3] + nwvals), subw_stores_aff, KIND_MEMORY
-            )
-        )
-        # bitwise byte-table lookups: (op, x, y, z) per half-limb
-        bw_op = Affine(
-            0,
-            (
-                (main_col(L["sel_or"]), 1),
-                (main_col(L["sel_ori"]), 1),
-                (main_col(L["sel_xor"]), 2),
-                (main_col(L["sel_xori"]), 2),
-            ),
-        )
-        sel_bw = self._sel_bw_aff()
-        for k in range(2 * nl):
             out.append(
                 Interaction(
-                    (
-                        bw_op,
-                        _aff(L["bh"].start + k),
-                        _aff(L["ch"].start + k),
-                        _aff(L["ah"].start + k),
-                    ),
-                    sel_bw,
-                    KIND_BYTE,
+                    tuple([waddr, clk8_3] + cvals), _aff(L["sel_sd"]), KIND_MEMORY
                 )
             )
-        # range checks: a limbs (on writes), ts diff limbs, addr + mul aux
-        writes = _aff_sum(
-            [L[f"sel_{s}"] for s in ("add", "addi", "sub", "jal", "ld")]
-            + [L[f"sel_{s}"] for s in BITWISE_SELS]
-            + [L[f"sel_{s}"] for s in MUL_SELS]
-            + [L[f"sel_{s}"] for s in SLT_SELS]
-            + [L[f"sel_{s}"] for s in SHIFT_SELS]
-            + [L[f"sel_{s}"] for s in DIV_SELS]
-            + [L["sel_jalr"], L["sel_lui"], L["sel_auipc"]]
-            + [L[f"sel_{s}"] for s in SUBW_LOAD_SELS]
-            + [L[f"sel_{s}"] for s in W_ARITH_SELS]
-            + [L[f"sel_{s}"] for s in WSHIFT_SELS]
-            + [L[f"sel_{s}"] for s in SDIV_SELS]
-            + [L[f"sel_{s}"] for s in WDIV_SELS]
-            + [L[f"sel_{s}"] for s in MULH_SELS]
-            + [L["is_read"]]
-        )
-        # comparison aux: difference limbs + sign-bit rests
-        sel_cmp_aff = _aff_sum([L[f"sel_{s}"] for s in CMP_SELS])
-        sel_signed_aff = _aff_sum([L[f"sel_{s}"] for s in SIGNED_CMP_SELS])
-        # hb_b is also the operand sign bit for arithmetic right shifts
-        hb_b_mult = _aff_sum(
-            [L[f"sel_{s}"] for s in SIGNED_CMP_SELS]
-            + [L[f"sel_{s}"] for s in SRA_CLS_SELS]
-            + [L[f"sel_{s}"] for s in SDIV_SELS]
-            + [L["sel_mulh"], L["sel_mulhsu"]]
-        )
-        for i in range(nl):
+            nwvals = [_aff(L["nw"].start + i) for i in range(nl)]
+            subw_stores_aff = self._sel_aff(SUBW_STORE_SELS)
             out.append(
-                Interaction((_aff(L["dcmp"].start + i),), sel_cmp_aff, KIND_RANGE)
+                Interaction(
+                    tuple([waddr, clk8_3] + nwvals), subw_stores_aff, KIND_MEMORY
+                )
             )
+        # bitwise byte-table lookups: (op, x, y, z) per half-limb
+        if has("bh"):
+            bw_op = Affine(
+                0,
+                (
+                    (main_col(L["sel_or"]), 1),
+                    (main_col(L["sel_ori"]), 1),
+                    (main_col(L["sel_xor"]), 2),
+                    (main_col(L["sel_xori"]), 2),
+                ),
+            )
+            sel_bw = self._sel_bw_aff()
+            for k in range(2 * nl):
+                out.append(
+                    Interaction(
+                        (
+                            bw_op,
+                            _aff(L["bh"].start + k),
+                            _aff(L["ch"].start + k),
+                            _aff(L["ah"].start + k),
+                        ),
+                        sel_bw,
+                        KIND_BYTE,
+                    )
+                )
+        # range checks: a limbs (on writes), ts diff limbs, addr + mul aux
+        writes_names = (
+            ("add", "addi", "sub", "jal", "ld", "jalr", "lui", "auipc")
+            + BITWISE_SELS + MUL_SELS + SLT_SELS + SHIFT_SELS + DIV_SELS
+            + SUBW_LOAD_SELS + W_ARITH_SELS + WSHIFT_SELS + SDIV_SELS
+            + WDIV_SELS + MULH_SELS
+        )
+        writes_idx = [L[f"sel_{s}"] for s in self._present(writes_names)]
+        if has("is_halt"):
+            writes_idx.append(L["is_read"])
+        writes = _aff_sum(writes_idx) if writes_idx else None
+        # comparison aux: difference limbs + sign-bit rests
         half_top = 1 << (ws.limb_bits - 1)
         top_idx = L["b"].start + nl - 1
         topc_idx = L["c"].start + nl - 1
-        # 2*(top - half*hb) < 2^L  <=>  rest < 2^(L-1)
-        out.append(
-            Interaction(
-                (
-                    Affine(
-                        0,
-                        (
-                            (main_col(top_idx), 2),
-                            (main_col(L["hb_b"]), (-2 * half_top) % kb.P),
-                        ),
-                    ),
-                ),
-                hb_b_mult,
-                KIND_RANGE,
-            )
-        )
-        hb_c_mult = _aff_sum(
-            [L[f"sel_{s}"] for s in SIGNED_CMP_SELS]
-            + [L[f"sel_{s}"] for s in SDIV_SELS]
-            + [L["sel_mulh"]]
-        )
-        out.append(
-            Interaction(
-                (
-                    Affine(
-                        0,
-                        (
-                            (main_col(topc_idx), 2),
-                            (main_col(L["hb_c"]), (-2 * half_top) % kb.P),
-                        ),
-                    ),
-                ),
-                hb_c_mult,
-                KIND_RANGE,
-            )
-        )
-        for i in range(nl):
-            out.append(
-                Interaction((_aff(L["a"].start + i),), writes, KIND_RANGE)
-            )
-        sel_mem = self._sel_mem_aff()
-        sel_addr = _aff_sum(
-            [L["sel_ld"], L["sel_sd"], L["sel_jalr"]]
-            + [L[f"sel_{s}"] for s in SUBW_SELS]
-        )
-        sel_anymem = self._sel_anymem_aff()
-        sel_mul = self._sel_mul_aff()
-        out.append(Interaction((_aff(L["maddr0_div"]),), sel_anymem, KIND_RANGE))
-        for i in range(nl):
-            if ws.limb_bits * i < 24:
+        if has("dcmp"):
+            sel_cmp_aff = self._sel_aff(CMP_SELS)
+            for i in range(nl):
                 out.append(
-                    Interaction((_aff(L["maddr"].start + i),), sel_addr, KIND_RANGE)
+                    Interaction((_aff(L["dcmp"].start + i),), sel_cmp_aff, KIND_RANGE)
                 )
-        for i in range(nl):
-            out.append(Interaction((_aff(L["mc_lo"].start + i),), sel_mul, KIND_RANGE))
-            out.append(Interaction((_aff(L["mc_hi"].start + i),), sel_mul, KIND_RANGE))
-        # shift decomposition limbs
-        sel_sll_aff = _aff_sum(
-            [L["sel_sll"]] + [L[f"sel_{s}"] for s in WSHIFT_LEFT_SELS]
+        # hb_b is also the operand sign bit for arithmetic right shifts
+        hb_b_mult = self._sel_aff(
+            SIGNED_CMP_SELS + SRA_CLS_SELS + SDIV_SELS + ("mulh", "mulhsu")
         )
-        sel_right_aff = _aff_sum(
-            [L[f"sel_{s}"] for s in SHIFT_RIGHT_SELS]
-            + [L[f"sel_{s}"] for s in WSHIFT_RIGHT_SELS]
-        )
-        for i in range(nl):
-            out.append(Interaction((_aff(L["sll_lo"].start + i),), sel_sll_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["sll_hi"].start + i),), sel_sll_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["srw_lo"].start + i),), sel_right_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["srw_hi"].start + i),), sel_right_aff, KIND_RANGE))
-        # division aux limbs
-        sel_div_aff = _aff_sum(
-            [L[f"sel_{s}"] for s in DIV_SELS]
-            + [L[f"sel_{s}"] for s in SDIV_SELS]
-            + [L[f"sel_{s}"] for s in WDIV_SELS]
-            + [L[f"sel_{s}"] for s in MULH_SELS]
-        )
-        sel_sdiv_aff = _aff_sum(
-            [L[f"sel_{s}"] for s in SDIV_SELS]
-            + [L[f"sel_{s}"] for s in WSDIV_SELS]
-            + [L[f"sel_{s}"] for s in MULH_SELS]
-        )
-        for i in range(nl):
-            out.append(Interaction((_aff(L["dq"].start + i),), sel_div_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["dr"].start + i),), sel_div_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["ddr"].start + i),), sel_div_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["mb"].start + i),), sel_sdiv_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["mc2"].start + i),), sel_sdiv_aff, KIND_RANGE))
-        for i in range(2 * nl):
-            out.append(Interaction((_aff(L["dvc_lo"].start + i),), sel_div_aff, KIND_RANGE))
-            out.append(Interaction((_aff(L["dvc_hi"].start + i),), sel_div_aff, KIND_RANGE))
-        sel_subw_aff = _aff_sum([L[f"sel_{s}"] for s in SUBW_SELS])
-        for i in range(nl):
+        if hb_b_mult is not None:
+            # 2*(top - half*hb) < 2^L  <=>  rest < 2^(L-1)
             out.append(
-                Interaction((_aff(L["mem_prev_val"].start + i),), sel_subw_aff, KIND_RANGE)
+                Interaction(
+                    (
+                        Affine(
+                            0,
+                            (
+                                (main_col(top_idx), 2),
+                                (main_col(L["hb_b"]), (-2 * half_top) % kb.P),
+                            ),
+                        ),
+                    ),
+                    hb_b_mult,
+                    KIND_RANGE,
+                )
             )
+        hb_c_mult = self._sel_aff(SIGNED_CMP_SELS + SDIV_SELS + ("mulh",))
+        if hb_c_mult is not None:
+            out.append(
+                Interaction(
+                    (
+                        Affine(
+                            0,
+                            (
+                                (main_col(topc_idx), 2),
+                                (main_col(L["hb_c"]), (-2 * half_top) % kb.P),
+                            ),
+                        ),
+                    ),
+                    hb_c_mult,
+                    KIND_RANGE,
+                )
+            )
+        if writes is not None:
+            for i in range(nl):
+                out.append(
+                    Interaction((_aff(L["a"].start + i),), writes, KIND_RANGE)
+                )
+        sel_anymem = self._sel_anymem_aff()
+        if has("maddr0_div"):
+            out.append(Interaction((_aff(L["maddr0_div"]),), sel_anymem, KIND_RANGE))
+        sel_addr = self._sel_aff(("ld", "sd", "jalr") + SUBW_SELS)
+        if has("maddr") and sel_addr is not None:
+            for i in range(nl):
+                if ws.limb_bits * i < 24:
+                    out.append(
+                        Interaction((_aff(L["maddr"].start + i),), sel_addr, KIND_RANGE)
+                    )
+        sel_mul = self._sel_mul_aff()
+        if has("mc_lo"):
+            for i in range(nl):
+                out.append(Interaction((_aff(L["mc_lo"].start + i),), sel_mul, KIND_RANGE))
+                out.append(Interaction((_aff(L["mc_hi"].start + i),), sel_mul, KIND_RANGE))
+        # shift decomposition limbs
+        if has("shq"):
+            sel_sll_aff = self._sel_aff(("sll",) + WSHIFT_LEFT_SELS)
+            sel_right_aff = self._sel_aff(SHIFT_RIGHT_SELS + WSHIFT_RIGHT_SELS)
+            for i in range(nl):
+                out.append(Interaction((_aff(L["sll_lo"].start + i),), sel_sll_aff, KIND_RANGE))
+                out.append(Interaction((_aff(L["sll_hi"].start + i),), sel_sll_aff, KIND_RANGE))
+                out.append(Interaction((_aff(L["srw_lo"].start + i),), sel_right_aff, KIND_RANGE))
+                out.append(Interaction((_aff(L["srw_hi"].start + i),), sel_right_aff, KIND_RANGE))
+        # division aux limbs
+        sel_div_aff = self._sel_aff(DIV_SELS + SDIV_SELS + WDIV_SELS + MULH_SELS)
+        sel_sdiv_aff = self._sel_aff(SDIV_SELS + WSDIV_SELS + MULH_SELS)
+        if has("dq"):
+            for i in range(nl):
+                out.append(Interaction((_aff(L["dq"].start + i),), sel_div_aff, KIND_RANGE))
+                out.append(Interaction((_aff(L["mb"].start + i),), sel_sdiv_aff, KIND_RANGE))
+            for i in range(2 * nl):
+                out.append(Interaction((_aff(L["dvc_lo"].start + i),), sel_div_aff, KIND_RANGE))
+                out.append(Interaction((_aff(L["dvc_hi"].start + i),), sel_div_aff, KIND_RANGE))
+        if has("dr"):
+            for i in range(nl):
+                out.append(Interaction((_aff(L["dr"].start + i),), sel_div_aff, KIND_RANGE))
+                out.append(Interaction((_aff(L["ddr"].start + i),), sel_div_aff, KIND_RANGE))
+                out.append(Interaction((_aff(L["mc2"].start + i),), sel_sdiv_aff, KIND_RANGE))
+        sel_subw_aff = self._sel_aff(SUBW_SELS)
+        if sel_subw_aff is not None:
+            for i in range(nl):
+                out.append(
+                    Interaction((_aff(L["mem_prev_val"].start + i),), sel_subw_aff, KIND_RANGE)
+                )
         # load sign bit: rest check on the top loaded byte per signed class
         half_top2 = 1 << (ws.limb_bits - 1)
-        warith_aff = _aff_sum(
-            [L[f"sel_{s}"] for s in W_ARITH_SELS]
-            + [L[f"sel_{s}"] for s in WSHIFT_SELS]
-            + [L[f"sel_{s}"] for s in WDIV_SELS]
-        )
-        # 32-bit operand sign bit for sraw/sraiw
-        out.append(
-            Interaction(
-                (
-                    Affine(
-                        0,
-                        (
-                            (main_col(L["b"].start + nl // 2 - 1), 2),
-                            (main_col(L["whb"]), (-(1 << ws.limb_bits)) % kb.P),
+        warith_aff = self._sel_aff(W_ARITH_SELS + WSHIFT_SELS + WDIV_SELS)
+        # 32-bit operand sign bit for sraw/sraiw (and W signed division)
+        whb_mult = self._sel_aff(WSRA_CLS_SELS + WDIV_SELS)
+        if whb_mult is not None:
+            out.append(
+                Interaction(
+                    (
+                        Affine(
+                            0,
+                            (
+                                (main_col(L["b"].start + nl // 2 - 1), 2),
+                                (main_col(L["whb"]), (-(1 << ws.limb_bits)) % kb.P),
+                            ),
                         ),
                     ),
-                ),
-                _aff_sum(
-                    [L[f"sel_{s}"] for s in WSRA_CLS_SELS]
-                    + [L[f"sel_{s}"] for s in WDIV_SELS]
-                ),
-                KIND_RANGE,
+                    whb_mult,
+                    KIND_RANGE,
+                )
             )
-        )
         # 32-bit divisor sign for divw/remw
-        out.append(
-            Interaction(
-                (
-                    Affine(
-                        0,
-                        (
-                            (main_col(L["c"].start + nl // 2 - 1), 2),
-                            (main_col(L["whc"]), (-(1 << ws.limb_bits)) % kb.P),
+        whc_mult = self._sel_aff(WSDIV_SELS)
+        if whc_mult is not None:
+            out.append(
+                Interaction(
+                    (
+                        Affine(
+                            0,
+                            (
+                                (main_col(L["c"].start + nl // 2 - 1), 2),
+                                (main_col(L["whc"]), (-(1 << ws.limb_bits)) % kb.P),
+                            ),
                         ),
                     ),
-                ),
-                _aff_sum([L[f"sel_{s}"] for s in WSDIV_SELS]),
-                KIND_RANGE,
+                    whc_mult,
+                    KIND_RANGE,
+                )
             )
-        )
-        out.append(
-            Interaction(
-                (
-                    Affine(
-                        0,
-                        (
-                            (main_col(L["a"].start + nl // 2 - 1), 2),
-                            (main_col(L["hbm"]), (-(1 << ws.limb_bits)) % kb.P),
+        if warith_aff is not None:
+            out.append(
+                Interaction(
+                    (
+                        Affine(
+                            0,
+                            (
+                                (main_col(L["a"].start + nl // 2 - 1), 2),
+                                (main_col(L["hbm"]), (-(1 << ws.limb_bits)) % kb.P),
+                            ),
                         ),
                     ),
-                ),
-                warith_aff,
-                KIND_RANGE,
+                    warith_aff,
+                    KIND_RANGE,
+                )
             )
-        )
         bpl = ws.limb_bits // 8
         for sname, size in (("lb", 1), ("lh", 2), ("lw", 4)):
+            if sname not in present:
+                continue
             if size >= bpl:
                 # top loaded byte is the high byte of limb (size-1)//bpl:
                 # 2*limb - 2^limb_bits * hbm must stay in the range table.
@@ -1830,7 +1950,7 @@ class CpuChip(Chip):
                         KIND_BYTE,
                     )
                 )
-        if bpl == 2:
+        if bpl == 2 and has("mpb"):
             # byte-split witnesses must be genuine bytes: AND-identity
             # lookups (op=0, v, v, v) in the byte table.
             sel_bytemem_aff = _aff_sum([L["sel_lb"], L["sel_lbu"], L["sel_sb"]])
@@ -1850,12 +1970,16 @@ class CpuChip(Chip):
                         KIND_BYTE,
                     )
                 )
-        for nm, mult in (
+        ts_sends = [
             ("tsd_rs1", self._uses_rs1_aff()),
             ("tsd_rs2", self._uses_rs2_aff()),
             ("tsd_rd", _aff(L["rd_write_mult"])),
-            ("tsd_mem", sel_anymem),
-        ):
+        ]
+        if has("tsd_mem"):
+            ts_sends.append(("tsd_mem", sel_anymem))
+        for nm, mult in ts_sends:
+            if mult is None:
+                continue
             for i in range(ws.ts_limbs):
                 out.append(
                     Interaction((_aff(L[nm].start + i),), mult, KIND_RANGE)
@@ -1875,20 +1999,22 @@ class CpuChip(Chip):
         bvals = [_aff(L["b"].start + i) for i in range(nl)]
         cvals = [_aff(L["c"].start + i) for i in range(nl)]
         pvals = [_aff(L["rd_prev_val"].start + i) for i in range(nl)]
-        out.append(
-            Interaction(
-                tuple([_aff(L["rs1"]), _aff(L["rs1_prev_ts"])] + bvals),
-                self._uses_rs1_aff(),
-                KIND_MEMORY,
+        if self._uses_rs1_aff() is not None:
+            out.append(
+                Interaction(
+                    tuple([_aff(L["rs1"]), _aff(L["rs1_prev_ts"])] + bvals),
+                    self._uses_rs1_aff(),
+                    KIND_MEMORY,
+                )
             )
-        )
-        out.append(
-            Interaction(
-                tuple([_aff(L["rs2"]), _aff(L["rs2_prev_ts"])] + cvals),
-                self._uses_rs2_aff(),
-                KIND_MEMORY,
+        if self._uses_rs2_aff() is not None:
+            out.append(
+                Interaction(
+                    tuple([_aff(L["rs2"]), _aff(L["rs2_prev_ts"])] + cvals),
+                    self._uses_rs2_aff(),
+                    KIND_MEMORY,
+                )
             )
-        )
         out.append(
             Interaction(
                 tuple([_aff(L["rd"]), _aff(L["rd_prev_ts"])] + pvals),
@@ -1896,15 +2022,16 @@ class CpuChip(Chip):
                 KIND_MEMORY,
             )
         )
-        waddr = self._word_addr_aff()
-        mpv = [_aff(L["mem_prev_val"].start + i) for i in range(nl)]
-        out.append(
-            Interaction(
-                tuple([waddr, _aff(L["mem_prev_ts"])] + mpv),
-                self._sel_anymem_aff(),
-                KIND_MEMORY,
+        if self._has("mem_prev_val"):
+            waddr = self._word_addr_aff()
+            mpv = [_aff(L["mem_prev_val"].start + i) for i in range(nl)]
+            out.append(
+                Interaction(
+                    tuple([waddr, _aff(L["mem_prev_ts"])] + mpv),
+                    self._sel_anymem_aff(),
+                    KIND_MEMORY,
+                )
             )
-        )
         return out
 
 
@@ -2239,7 +2366,10 @@ def _build_machine_uncached(ws: WordSpec) -> Machine:
 
     return RiscvMachine(
         [
-            CpuChip(ws),
+            CpuChip(ws, name, sel_names, fams)
+            for name, (sel_names, fams) in CPU_CLASSES.items()
+        ]
+        + [
             ProgramChip(ws),
             RangeChip(ws),
             ByteChip(ws),

@@ -521,56 +521,35 @@ def _pad_pow2(n: int, mlrc: int) -> int:
     return 1 << mlrc
 
 
-def generate_traces(
-    result,
-    program_words,
-    pc_base,
-    ws: WordSpec,
-    mlrc: int,
-    events=None,
-    init_states=None,
-    final_states=None,
-    genesis_addrs=None,
-    final_global_states=None,
-    include_bookends=True,
-    px_events=None,
-):
-    """Build all chip traces from an ExecutionResult (or an event slice).
+def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
+    """Fill one instruction-class chip trace from its event subset.
 
-    Returns (traces, preprocessed) dicts: name -> (monty jnp array, height).
-    For the single-shard case the genesis and final-global bookend tables
-    are derived automatically; a multi-shard splicer passes explicit
-    segment states and places the bookends in the first/last shard.
-    """
-    ev = result.events if events is None else events
+    Returns (trace, range_lookups, byte_pairs, byte_identity_lookups);
+    the caller tallies the lookup lists into the shared Range/Byte
+    table multiplicities. Column blocks absent from this class's layout
+    are skipped (see machine.CPU_CLASSES)."""
     n = len(ev)
-    if px_events is None:
-        px_events = px_events_of_segment(getattr(result, "px_events", None), ev)
-    rom = decode_program(program_words, pc_base, ws)
-    L = cpu_layout(ws)
     nl = ws.num_limbs
-    height = _pad_pow2(n, mlrc)
-
     cpu = np.zeros((height, L.n), np.uint32)
 
     def setc(name, val):
         idx = L[name]
         cpu[:n, idx] = val
 
-    pc_idx = ((ev["pc"] - pc_base) // 4).astype(np.int64)
-    op = rom["op_id"][pc_idx]
 
     setc("is_real", 1)
     setc("clk", ev["clk"].astype(np.uint32))
     setc("pc", ev["pc"].astype(np.uint32))
     setc("next_pc", ev["next_pc"].astype(np.uint32))
     for k, s in enumerate(SEL_NAMES):
-        cpu[:n, L[f"sel_{s}"]] = (op == k).astype(np.uint32)
+        if f"sel_{s}" in L.names:
+            cpu[:n, L[f"sel_{s}"]] = (op == k).astype(np.uint32)
     setc("rd", rom["rd"][pc_idx])
     setc("rs1", rom["rs1"][pc_idx])
     setc("rs2", rom["rs2"][pc_idx])
     setc("imm_f", rom["imm_f"][pc_idx])
-    cpu[:n, L["imm"]] = rom["imm"][pc_idx]
+    if "imm" in L.names:
+        cpu[:n, L["imm"]] = rom["imm"][pc_idx]
     b_l = limbs_of(ev["b"], ws)
     c_l = limbs_of(ev["c"], ws)
     a_l = limbs_of(ev["a"], ws)
@@ -583,10 +562,14 @@ def generate_traces(
              OP_ADDIW, OP_SLLIW, OP_SRLIW, OP_SRAIW]
     )
     c_l = np.where(cimm_mask[:, None], imm_l_all, c_l)
-    cpu[:n, L["b"]] = b_l
-    cpu[:n, L["c"]] = c_l
-    cpu[:n, L["a"]] = a_l
-    cpu[:n, L["rd_prev_val"]] = limbs_of(ev["rd_prev_val"], ws)
+    if "b" in L.names:
+        cpu[:n, L["b"]] = b_l
+    if "c" in L.names:
+        cpu[:n, L["c"]] = c_l
+    if "a" in L.names:
+        cpu[:n, L["a"]] = a_l
+    if "rd_prev_val" in L.names:
+        cpu[:n, L["rd_prev_val"]] = limbs_of(ev["rd_prev_val"], ws)
     setc("rs1_prev_ts", ev["rs1_prev_ts"].astype(np.uint32))
     setc("rs2_prev_ts", ev["rs2_prev_ts"].astype(np.uint32))
     setc("rd_prev_ts", ev["rd_prev_ts"].astype(np.uint32))
@@ -639,58 +622,71 @@ def generate_traces(
         d = b_l[:, i].astype(np.int64) - c_l[:, i].astype(np.int64) - accw.astype(np.int64)
         w_borrow[:, i] = (d < 0).astype(np.uint64)
         accw = w_borrow[:, i]
-    cpu[:n, L["carry"]] = np.where(
-        is_sub[:, None],
-        borrow,
-        np.where(
-            is_add[:, None],
-            carry,
+    if "carry" in L.names:
+        cpu[:n, L["carry"]] = np.where(
+            is_sub[:, None],
+            borrow,
             np.where(
-                is_addr[:, None],
-                addr_carry,
+                is_add[:, None],
+                carry,
                 np.where(
-                    is_wadd[:, None],
-                    w_carry,
-                    np.where(is_wsub[:, None], w_borrow, 0),
+                    is_addr[:, None],
+                    addr_carry,
+                    np.where(
+                        is_wadd[:, None],
+                        w_carry,
+                        np.where(is_wsub[:, None], w_borrow, 0),
+                    ),
                 ),
             ),
-        ),
-    ).astype(np.uint32)
-    cpu[:n, L["maddr"]] = np.where(is_addr[:, None], addr_limb, 0)
-    cpu[:n, L["maddr0_div"]] = np.where(is_anymem, addr_limb[:, 0] >> 3, 0)
-    cpu[:n, L["mem_prev_ts"]] = np.where(is_anymem, ev["mem_prev_ts"], 0).astype(np.uint32)
-    cpu[:n, L["mem_prev_val"]] = np.where(
-        is_anymem[:, None], limbs_of(ev["mem_prev_val"], ws), 0
-    )
+        ).astype(np.uint32)
+    if "maddr" in L.names:
+        cpu[:n, L["maddr"]] = np.where(is_addr[:, None], addr_limb, 0)
+    if "maddr0_div" in L.names:
+        cpu[:n, L["maddr0_div"]] = np.where(is_anymem, addr_limb[:, 0] >> 3, 0)
+    if "mem_prev_ts" in L.names:
+        cpu[:n, L["mem_prev_ts"]] = np.where(is_anymem, ev["mem_prev_ts"], 0).astype(np.uint32)
+    if "mem_prev_val" in L.names:
+        cpu[:n, L["mem_prev_val"]] = np.where(
+            is_anymem[:, None], limbs_of(ev["mem_prev_val"], ws), 0
+        )
     # sub-word machinery: byte-offset one-hot, new stored word, load sign
     # bit; with 16-bit limbs also the byte splits of the previous word
     # (lb/lbu/sb rows) and of the stored register's low limb (sb rows).
     offs = (addr_limb[:, 0] & 7).astype(np.uint32)
     for k in range(8):
-        cpu[:n, L["moff"].start + k] = (is_subw & (offs == k)).astype(np.uint32)
-    cpu[:n, L["nw"]] = np.where(
-        is_subw_store[:, None], limbs_of(ev["mem_val"], ws), 0
-    )
+        if "moff" in L.names:
+            cpu[:n, L["moff"].start + k] = (is_subw & (offs == k)).astype(np.uint32)
+    if "nw" in L.names:
+        cpu[:n, L["nw"]] = np.where(
+            is_subw_store[:, None], limbs_of(ev["mem_val"], ws), 0
+        )
     bpl = ws.limb_bits // 8
     if bpl == 2:
         is_bytemem = np.isin(op, [OP_LB, OP_LBU, OP_SB])
         mpv_l = limbs_of(ev["mem_prev_val"], ws)
         for i in range(nl):
-            cpu[:n, L["mpb"].start + 2 * i] = np.where(
-                is_bytemem, mpv_l[:, i] & 0xFF, 0
-            )
-            cpu[:n, L["mpb"].start + 2 * i + 1] = np.where(
-                is_bytemem, mpv_l[:, i] >> 8, 0
-            )
+            if "mpb" in L.names:
+                cpu[:n, L["mpb"].start + 2 * i] = np.where(
+                    is_bytemem, mpv_l[:, i] & 0xFF, 0
+                )
+            if "mpb" in L.names:
+                cpu[:n, L["mpb"].start + 2 * i + 1] = np.where(
+                    is_bytemem, mpv_l[:, i] >> 8, 0
+                )
         is_sb = op == OP_SB
-        cpu[:n, L["cb0"]] = np.where(is_sb, c_l[:, 0] & 0xFF, 0)
-        cpu[:n, L["cb1"]] = np.where(is_sb, c_l[:, 0] >> 8, 0)
+        if "cb0" in L.names:
+            cpu[:n, L["cb0"]] = np.where(is_sb, c_l[:, 0] & 0xFF, 0)
+        if "cb1" in L.names:
+            cpu[:n, L["cb1"]] = np.where(is_sb, c_l[:, 0] >> 8, 0)
 
     # bitwise half decompositions
     is_bw = np.isin(op, [OP_AND, OP_OR, OP_XOR, OP_ANDI, OP_ORI, OP_XORI])
     hb = ws.limb_bits // 2
     hmask = (1 << hb) - 1
     for src_l, dst in ((b_l, "bh"), (c_l, "ch"), (a_l, "ah")):
+        if dst not in L.names:
+            continue
         halves = np.zeros((n, 2 * nl), np.uint32)
         for i in range(nl):
             halves[:, 2 * i] = src_l[:, i] & hmask
@@ -722,12 +718,14 @@ def generate_traces(
         mcw_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
         mcw_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
         accm = cout
-    cpu[:n, L["mc_lo"]] = np.where(
-        is_mul[:, None], mc_lo, np.where(is_mulw[:, None], mcw_lo, 0)
-    )
-    cpu[:n, L["mc_hi"]] = np.where(
-        is_mul[:, None], mc_hi, np.where(is_mulw[:, None], mcw_hi, 0)
-    )
+    if "mc_lo" in L.names:
+        cpu[:n, L["mc_lo"]] = np.where(
+            is_mul[:, None], mc_lo, np.where(is_mulw[:, None], mcw_lo, 0)
+        )
+    if "mc_hi" in L.names:
+        cpu[:n, L["mc_hi"]] = np.where(
+            is_mul[:, None], mc_hi, np.where(is_mulw[:, None], mcw_hi, 0)
+        )
 
     # equality aux (for all real rows)
     d = (b_l.astype(np.int64) - c_l.astype(np.int64)) % kb.P
@@ -745,14 +743,17 @@ def generate_traces(
         base_ = base_ * base_ % kb.P
         e >>= 1
     eqi[nz] = inv
-    cpu[:n, L["eqf"]] = eqf
-    cpu[:n, L["eqi"]] = eqi.astype(np.uint32)
+    if "eqf" in L.names:
+        cpu[:n, L["eqf"]] = eqf
+    if "eqi" in L.names:
+        cpu[:n, L["eqi"]] = eqi.astype(np.uint32)
     if nl > 2:
         chain = np.zeros((n, nl - 2), np.uint32)
         chain[:, 0] = eqf[:, 0] * eqf[:, 1]
         for k in range(1, nl - 2):
             chain[:, k] = chain[:, k - 1] * eqf[:, k + 1]
-        cpu[:n, L["eqchain"]] = chain
+        if "eqchain" in L.names:
+            cpu[:n, L["eqchain"]] = chain
         all_eq = chain[:, nl - 3] * eqf[:, nl - 1]
     else:
         all_eq = eqf[:, 0] * eqf[:, 1] if nl == 2 else eqf[:, 0]
@@ -761,7 +762,8 @@ def generate_traces(
     taken = np.where(
         op == OP_BEQ, all_eq, np.where(op == OP_BNE, 1 - all_eq, 0)
     )
-    cpu[:n, L["taken"]] = np.where(is_br, taken, 0)
+    if "taken" in L.names:
+        cpu[:n, L["taken"]] = np.where(is_br, taken, 0)
 
     # comparison machinery
     is_cmp = np.isin(op, [OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU, OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
@@ -774,8 +776,11 @@ def generate_traces(
     is_sdiv = np.isin(op, [OP_DIV, OP_REM])
     is_mulh_b = np.isin(op, [OP_MULH, OP_MULHSU])
     is_mulh_bc = op == OP_MULH
-    cpu[:n, L["hb_b"]] = np.where(is_signed | is_sra_cls | is_sdiv | is_mulh_b, hb_b, 0)
-    cpu[:n, L["hb_c"]] = np.where(is_signed | is_sdiv | is_mulh_bc, hb_c, 0)
+    hb_b_eff = np.where(is_signed | is_sra_cls | is_sdiv | is_mulh_b, hb_b, 0)
+    if "hb_b" in L.names:
+        cpu[:n, L["hb_b"]] = hb_b_eff
+    if "hb_c" in L.names:
+        cpu[:n, L["hb_c"]] = np.where(is_signed | is_sdiv | is_mulh_bc, hb_c, 0)
     eb = b_l.astype(np.int64).copy()
     ec = c_l.astype(np.int64).copy()
     flip_b = np.where(is_signed, half_top - 2 * half_top * hb_b.astype(np.int64), 0)
@@ -791,10 +796,13 @@ def generate_traces(
         dl[:, i] = (d + borrow_i * (1 << ws.limb_bits)).astype(np.uint32)
         cb[:, i] = borrow_i.astype(np.uint32)
         accb = borrow_i
-    cpu[:n, L["dcmp"]] = np.where(is_cmp[:, None], dl, 0)
-    cpu[:n, L["cborrow"]] = np.where(is_cmp[:, None], cb, 0)
+    if "dcmp" in L.names:
+        cpu[:n, L["dcmp"]] = np.where(is_cmp[:, None], dl, 0)
+    if "cborrow" in L.names:
+        cpu[:n, L["cborrow"]] = np.where(is_cmp[:, None], cb, 0)
     ltres = np.where(is_cmp, cb[:, top], 0)
-    cpu[:n, L["ltres"]] = ltres
+    if "ltres" in L.names:
+        cpu[:n, L["ltres"]] = ltres
     # comparison branch taken
     is_cmp_br = np.isin(op, [OP_BLT, OP_BGE, OP_BLTU, OP_BGEU])
     taken_cmp = np.where(
@@ -802,9 +810,10 @@ def generate_traces(
             np.isin(op, [OP_BGE, OP_BGEU]), 1 - ltres, 0
         )
     )
-    cpu[:n, L["taken"]] = np.where(
-        is_cmp_br, taken_cmp, cpu[:n, L["taken"]]
-    )
+    if "taken" in L.names:
+        cpu[:n, L["taken"]] = np.where(
+            is_cmp_br, taken_cmp, cpu[:n, L["taken"]]
+        )
 
     # shift machinery (64-bit and W forms)
     is_shift = np.isin(op, [OP_SLL, OP_SRL, OP_SRA, OP_SRLI, OP_SRAI])
@@ -820,18 +829,23 @@ def generate_traces(
     q_amt = s_amt // lb
     r_amt = s_amt % lb
     for k in range(nl):
-        cpu[:n, L["shq"].start + k] = (is_anyshift & (q_amt == k)).astype(np.uint32)
+        if "shq" in L.names:
+            cpu[:n, L["shq"].start + k] = (is_anyshift & (q_amt == k)).astype(np.uint32)
     for j in range(lb):
-        cpu[:n, L["shr"].start + j] = (is_anyshift & (r_amt == j)).astype(np.uint32)
+        if "shr" in L.names:
+            cpu[:n, L["shr"].start + j] = (is_anyshift & (r_amt == j)).astype(np.uint32)
     hi2 = (c_l[:, 0] >> 6).astype(np.uint32)
     hi3 = (c_l[:, 0] >> 5).astype(np.uint32)
-    cpu[:n, L["shb0"]] = np.where(
-        is_shift, hi2 & 1, np.where(is_wshift, hi3 & 1, 0)
-    )
-    cpu[:n, L["shb1"]] = np.where(
-        is_shift, hi2 >> 1, np.where(is_wshift, (hi3 >> 1) & 1, 0)
-    )
-    cpu[:n, L["shb2"]] = np.where(is_wshift, hi3 >> 2, 0)
+    if "shb0" in L.names:
+        cpu[:n, L["shb0"]] = np.where(
+            is_shift, hi2 & 1, np.where(is_wshift, hi3 & 1, 0)
+        )
+    if "shb1" in L.names:
+        cpu[:n, L["shb1"]] = np.where(
+            is_shift, hi2 >> 1, np.where(is_wshift, (hi3 >> 1) & 1, 0)
+        )
+    if "shb2" in L.names:
+        cpu[:n, L["shb2"]] = np.where(is_wshift, hi3 >> 2, 0)
     p2r = (np.uint64(1) << r_amt.astype(np.uint64)).astype(np.uint64)
     p2rc = (np.uint64(1) << (lb - r_amt).astype(np.uint64)).astype(np.uint64)
     mask_l = np.uint64((1 << lb) - 1)
@@ -840,26 +854,33 @@ def generate_traces(
         left_m = is_sll | (is_wl & (i < half32w))
         right_m = is_right | (is_wr & (i < half32w))
         t = b_l[:, i].astype(np.uint64) * p2r
-        cpu[:n, L["sll_lo"].start + i] = np.where(left_m, t & mask_l, 0).astype(np.uint32)
-        cpu[:n, L["sll_hi"].start + i] = np.where(left_m, t >> np.uint64(lb), 0).astype(np.uint32)
+        if "sll_lo" in L.names:
+            cpu[:n, L["sll_lo"].start + i] = np.where(left_m, t & mask_l, 0).astype(np.uint32)
+        if "sll_hi" in L.names:
+            cpu[:n, L["sll_hi"].start + i] = np.where(left_m, t >> np.uint64(lb), 0).astype(np.uint32)
         t = b_l[:, i].astype(np.uint64) * p2rc
-        cpu[:n, L["srw_lo"].start + i] = np.where(right_m, t & mask_l, 0).astype(np.uint32)
-        cpu[:n, L["srw_hi"].start + i] = np.where(right_m, t >> np.uint64(lb), 0).astype(np.uint32)
+        if "srw_lo" in L.names:
+            cpu[:n, L["srw_lo"].start + i] = np.where(right_m, t & mask_l, 0).astype(np.uint32)
+        if "srw_hi" in L.names:
+            cpu[:n, L["srw_hi"].start + i] = np.where(right_m, t >> np.uint64(lb), 0).astype(np.uint32)
     is_wdiv_pre = np.isin(op, [OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW])
     whb_v = np.where(
         is_wsra | is_wdiv_pre, (b_l[:, half32w - 1] >> (lb - 1)) & 1, 0
     ).astype(np.int64)
-    cpu[:n, L["whb"]] = whb_v.astype(np.uint32)
+    if "whb" in L.names:
+        cpu[:n, L["whb"]] = whb_v.astype(np.uint32)
     # sgp = hb_b * (2^L - 2^(L-r)) holds UNGATED: on rows without shift
     # selectors the r one-hot is all-zero, so the affine 2^(L-r) is 0 and
     # sgp must equal hb_b * 2^L there (e.g. signed-cmp rows with negative b)
     p2rc_eff = np.where(is_anyshift, p2rc, 0).astype(np.int64)
     sgp_v = (
-        cpu[:n, L["hb_b"]].astype(np.int64) * (((1 << lb) - p2rc_eff) % kb.P)
+        hb_b_eff.astype(np.int64) * (((1 << lb) - p2rc_eff) % kb.P)
     ) % kb.P
-    cpu[:n, L["sgp"]] = sgp_v.astype(np.uint32)
+    if "sgp" in L.names:
+        cpu[:n, L["sgp"]] = sgp_v.astype(np.uint32)
     sgpw_v = (whb_v * (((1 << lb) - p2rc_eff) % kb.P)) % kb.P
-    cpu[:n, L["sgpw"]] = sgpw_v.astype(np.uint32)
+    if "sgpw" in L.names:
+        cpu[:n, L["sgpw"]] = sgpw_v.astype(np.uint32)
 
     # division machinery (unsigned + signed, 64-bit + W forms)
     is_div = np.isin(op, [OP_DIVU, OP_REMU])
@@ -897,12 +918,16 @@ def generate_traces(
     qv = np.where(~c_nz, M64, qv)
     dq_l = limbs_of(qv, ws)
     dr_l = limbs_of(rv, ws)
-    cpu[:n, L["dq"]] = np.where(is_divany[:, None], dq_l, 0)
-    cpu[:n, L["dr"]] = np.where(is_divany[:, None], dr_l, 0)
+    if "dq" in L.names:
+        cpu[:n, L["dq"]] = np.where(is_divany[:, None], dq_l, 0)
+    if "dr" in L.names:
+        cpu[:n, L["dr"]] = np.where(is_divany[:, None], dr_l, 0)
     mb_l = limbs_of(mbv, ws)
     mc_l = limbs_of(mcv, ws)
-    cpu[:n, L["mb"]] = np.where(is_any_signed[:, None], mb_l, 0)
-    cpu[:n, L["mc2"]] = np.where(is_any_signed[:, None], mc_l, 0)
+    if "mb" in L.names:
+        cpu[:n, L["mb"]] = np.where(is_any_signed[:, None], mb_l, 0)
+    if "mc2" in L.names:
+        cpu[:n, L["mc2"]] = np.where(is_any_signed[:, None], mc_l, 0)
     # negate-chain carries: x(+sign) accumulation
     def _neg_carries(src_l, sign):
         outc = np.zeros((n, nl), np.uint32)
@@ -917,17 +942,27 @@ def generate_traces(
             outc[:, i] = (t >> np.uint64(ws.limb_bits)).astype(np.uint32)
             acc = outc[:, i]
         return outc
-    cpu[:n, L["ncb"]] = np.where(is_any_signed[:, None], _neg_carries(b_l, sb), 0)
-    cpu[:n, L["ncc"]] = np.where(is_any_signed[:, None], _neg_carries(c_l, sc), 0)
+    if "ncb" in L.names:
+        cpu[:n, L["ncb"]] = np.where(is_any_signed[:, None], _neg_carries(b_l, sb), 0)
+    if "ncc" in L.names:
+        cpu[:n, L["ncc"]] = np.where(is_any_signed[:, None], _neg_carries(c_l, sc), 0)
     qs_v = np.where(is_any_signed & c_nz, sb ^ sc, 0).astype(np.uint32)
-    cpu[:n, L["qs"]] = qs_v
-    cpu[:n, L["d0_div"]] = ((op == OP_DIV) & ~c_nz).astype(np.uint32)
-    cpu[:n, L["d0_rem"]] = ((op == OP_REM) & ~c_nz).astype(np.uint32)
-    cpu[:n, L["d0u"]] = (is_div & ~c_nz).astype(np.uint32)
-    cpu[:n, L["d0_wu"]] = (is_wudiv & ~c_nz).astype(np.uint32)
-    cpu[:n, L["d0_ws"]] = (is_wsdiv & ~c_nz).astype(np.uint32)
-    cpu[:n, L["d0_remw"]] = ((op == OP_REMW) & ~c_nz).astype(np.uint32)
-    cpu[:n, L["whc"]] = np.where(is_wsdiv, sc, 0).astype(np.uint32)
+    if "qs" in L.names:
+        cpu[:n, L["qs"]] = qs_v
+    if "d0_div" in L.names:
+        cpu[:n, L["d0_div"]] = ((op == OP_DIV) & ~c_nz).astype(np.uint32)
+    if "d0_rem" in L.names:
+        cpu[:n, L["d0_rem"]] = ((op == OP_REM) & ~c_nz).astype(np.uint32)
+    if "d0u" in L.names:
+        cpu[:n, L["d0u"]] = (is_div & ~c_nz).astype(np.uint32)
+    if "d0_wu" in L.names:
+        cpu[:n, L["d0_wu"]] = (is_wudiv & ~c_nz).astype(np.uint32)
+    if "d0_ws" in L.names:
+        cpu[:n, L["d0_ws"]] = (is_wsdiv & ~c_nz).astype(np.uint32)
+    if "d0_remw" in L.names:
+        cpu[:n, L["d0_remw"]] = ((op == OP_REMW) & ~c_nz).astype(np.uint32)
+    if "whc" in L.names:
+        cpu[:n, L["whc"]] = np.where(is_wsdiv, sc, 0).astype(np.uint32)
     # result negate-chain carries go into the shared `carry` columns;
     # divw on div0 uses qs=0, dq=all-ones so the chain closes with a=~0
     is_qop = (op == OP_DIV) | (op == OP_DIVW)
@@ -937,9 +972,10 @@ def generate_traces(
     sdiv_live = is_sdiv & c_nz
     wsdiv_chain = is_wsdiv & (c_nz | is_qop)  # divw div0 still runs its chain
     res_carr = _neg_carries(res_src, res_sign)
-    cpu[:n, L["carry"]] = np.where(
-        (sdiv_live | wsdiv_chain)[:, None], res_carr, cpu[:n, L["carry"]]
-    )
+    if "carry" in L.names:
+        cpu[:n, L["carry"]] = np.where(
+            (sdiv_live | wsdiv_chain)[:, None], res_carr, cpu[:n, L["carry"]]
+        )
     # convolution carries for q*divisor + r = dividend over 2nl limbs
     # (W rows: only the low-half limbs participate; dividend low half)
     conv_c = np.where(is_any_signed[:, None], mc_l, np.where(is_wdiv[:, None], limbs_of(cv, ws), c_l))
@@ -959,8 +995,10 @@ def generate_traces(
         dvc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
         accd = cout
     conv_mask = is_div | sdiv_live | (is_wdiv & c_nz)
-    cpu[:n, L["dvc_lo"]] = np.where(conv_mask[:, None], dvc_lo, 0)
-    cpu[:n, L["dvc_hi"]] = np.where(conv_mask[:, None], dvc_hi, 0)
+    if "dvc_lo" in L.names:
+        cpu[:n, L["dvc_lo"]] = np.where(conv_mask[:, None], dvc_lo, 0)
+    if "dvc_hi" in L.names:
+        cpu[:n, L["dvc_hi"]] = np.where(conv_mask[:, None], dvc_hi, 0)
     # (divisor - 1 - r) borrow chain on c != 0 rows
     ddr = np.zeros((n, nl), np.uint32)
     dbor = np.zeros((n, nl), np.uint32)
@@ -972,9 +1010,12 @@ def generate_traces(
         dbor[:, i] = bo.astype(np.uint32)
         accb2 = bo
     div_nz = is_divany & c_nz
-    cpu[:n, L["ddr"]] = np.where(div_nz[:, None], ddr, 0)
-    cpu[:n, L["dbor"]] = np.where(div_nz[:, None], dbor, 0)
-    cpu[:n, L["is_div0"]] = (is_divany & ~c_nz).astype(np.uint32)
+    if "ddr" in L.names:
+        cpu[:n, L["ddr"]] = np.where(div_nz[:, None], ddr, 0)
+    if "dbor" in L.names:
+        cpu[:n, L["dbor"]] = np.where(div_nz[:, None], dbor, 0)
+    if "is_div0" in L.names:
+        cpu[:n, L["is_div0"]] = (is_divany & ~c_nz).astype(np.uint32)
     s_c = np.where(
         is_wdiv,
         c_l[:, : nl // 2].sum(axis=1).astype(np.uint64),
@@ -993,7 +1034,8 @@ def generate_traces(
             base_ = base_ * base_ % kb.P
             e >>= 1
         dz[nzm] = inv
-    cpu[:n, L["dz_inv"]] = dz.astype(np.uint32)
+    if "dz_inv" in L.names:
+        cpu[:n, L["dz_inv"]] = dz.astype(np.uint32)
 
     # high multiplication: full product halves + conv carries + correction
     is_mulh_any = np.isin(op, [OP_MULH, OP_MULHU, OP_MULHSU])
@@ -1034,17 +1076,22 @@ def generate_traces(
                 dvcm_lo[j, k] = cout & 0xFF
                 dvcm_hi[j, k] = cout >> 8
                 acc2 = cout
-        cpu[:n, L["dq"]] = np.where(is_mulh_any[:, None], lo_l, cpu[:n, L["dq"]])
-        cpu[:n, L["mb"]] = np.where(is_mulh_any[:, None], uh_l, cpu[:n, L["mb"]])
-        cpu[:n, L["mc_lo"]] = np.where(
-            is_mulh_any[:, None], hc_l, cpu[:n, L["mc_lo"]]
-        )
-        cpu[:n, L["dvc_lo"]] = np.where(
-            is_mulh_any[:, None], dvcm_lo, cpu[:n, L["dvc_lo"]]
-        )
-        cpu[:n, L["dvc_hi"]] = np.where(
-            is_mulh_any[:, None], dvcm_hi, cpu[:n, L["dvc_hi"]]
-        )
+        if "dq" in L.names:
+            cpu[:n, L["dq"]] = np.where(is_mulh_any[:, None], lo_l, cpu[:n, L["dq"]])
+        if "mb" in L.names:
+            cpu[:n, L["mb"]] = np.where(is_mulh_any[:, None], uh_l, cpu[:n, L["mb"]])
+        if "mc_lo" in L.names:
+            cpu[:n, L["mc_lo"]] = np.where(
+                is_mulh_any[:, None], hc_l, cpu[:n, L["mc_lo"]]
+            )
+        if "dvc_lo" in L.names:
+            cpu[:n, L["dvc_lo"]] = np.where(
+                is_mulh_any[:, None], dvcm_lo, cpu[:n, L["dvc_lo"]]
+            )
+        if "dvc_hi" in L.names:
+            cpu[:n, L["dvc_hi"]] = np.where(
+                is_mulh_any[:, None], dvcm_hi, cpu[:n, L["dvc_hi"]]
+            )
 
     hbm_v = np.zeros(n, np.uint32)
     for opc_, size in ((OP_LB, 1), (OP_LH, 2), (OP_LW, 4)):
@@ -1059,17 +1106,23 @@ def generate_traces(
     hbm_v = np.where(
         is_wext, (a_l[:, nl // 2 - 1] >> (ws.limb_bits - 1)) & 1, hbm_v
     )
-    cpu[:n, L["hbm"]] = hbm_v
+    if "hbm" in L.names:
+        cpu[:n, L["hbm"]] = hbm_v
 
     is_ecall = op == OP_ECALL
-    cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
-    cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
-    cpu[:n, L["is_sha_extend"]] = (is_ecall & (ev["b"] == 8)).astype(np.uint32)
-    cpu[:n, L["is_sha_compress"]] = (is_ecall & (ev["b"] == 9)).astype(np.uint32)
+    if "is_halt" in L.names:
+        cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
+    if "is_read" in L.names:
+        cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
+    if "is_sha_extend" in L.names:
+        cpu[:n, L["is_sha_extend"]] = (is_ecall & (ev["b"] == 8)).astype(np.uint32)
+    if "is_sha_compress" in L.names:
+        cpu[:n, L["is_sha_compress"]] = (is_ecall & (ev["b"] == 9)).astype(np.uint32)
 
     rd_arr = rom["rd"][pc_idx]
     rd_nonzero = (rd_arr != 0).astype(np.uint32)
-    cpu[:n, L["rd_nonzero"]] = rd_nonzero
+    if "rd_nonzero" in L.names:
+        cpu[:n, L["rd_nonzero"]] = rd_nonzero
     rd_inv = np.zeros(n, np.uint64)
     nz = rd_arr != 0
     rr = rd_arr[nz].astype(np.uint64)
@@ -1082,7 +1135,8 @@ def generate_traces(
         base_ = base_ * base_ % kb.P
         e >>= 1
     rd_inv[nz] = inv
-    cpu[:n, L["rd_inv"]] = rd_inv.astype(np.uint32)
+    if "rd_inv" in L.names:
+        cpu[:n, L["rd_inv"]] = rd_inv.astype(np.uint32)
     is_slt_fam = np.isin(op, [OP_SLT, OP_SLTU, OP_SLTI, OP_SLTIU])
     writes = (
         is_add.astype(np.uint32)
@@ -1101,10 +1155,11 @@ def generate_traces(
         + is_subw_load.astype(np.uint32)
         + is_warith.astype(np.uint32)
         + is_wshift.astype(np.uint32)
-        + cpu[:n, L["is_read"]]
+        + (is_ecall & (ev["b"] == 3)).astype(np.uint32)
     )
     rd_write_mult = writes * rd_nonzero
-    cpu[:n, L["rd_write_mult"]] = rd_write_mult
+    if "rd_write_mult" in L.names:
+        cpu[:n, L["rd_write_mult"]] = rd_write_mult
 
     # ts diffs
     uses_rs1 = (
@@ -1128,12 +1183,14 @@ def generate_traces(
         | is_mulh_any
     ).astype(np.uint32)
     is_mem_u = is_mem.astype(np.uint32)
-    for nm, uses, slot, prev in (
+    _ts_rows = [
         ("tsd_rs1", uses_rs1, 1, ev["rs1_prev_ts"]),
         ("tsd_rs2", uses_rs2, 2, ev["rs2_prev_ts"]),
         ("tsd_rd", rd_write_mult, 4, ev["rd_prev_ts"]),
-        ("tsd_mem", is_anymem.astype(np.uint32), 3, ev["mem_prev_ts"]),
-    ):
+    ]
+    if "tsd_mem" in L.names:
+        _ts_rows.append(("tsd_mem", is_anymem.astype(np.uint32), 3, ev["mem_prev_ts"]))
+    for nm, uses, slot, prev in _ts_rows:
         newts = ev["clk"] * 8 + slot
         diff = np.where(uses > 0, newts - prev - 1, 0).astype(np.uint64)
         dl = np.zeros((n, ws.ts_limbs), np.uint32)
@@ -1145,6 +1202,196 @@ def generate_traces(
         cpu[:n, L[nm]] = dl
 
     # Padded rows must be all-zero (they are, by construction).
+    lookups = []
+    # a-limb range sends use the UNGATED writes selector sum (matching the
+    # interaction multiplicity in CpuChip.sends) — a jal with rd=x0 still
+    # sends its (zero) result limbs to the range table.
+    for i in range(nl):
+        lookups.append((a_l[:, i], writes))
+    if "maddr0_div" in L.names:
+        lookups.append((cpu[:n, L["maddr0_div"]], is_anymem.astype(np.uint32)))
+    is_addr_u = is_addr.astype(np.uint32)
+    for i in range(nl):
+        if ws.limb_bits * i < 24:
+            if "maddr" in L.names:
+                lookups.append((cpu[:n, L["maddr"].start + i], is_addr_u))
+    is_anymul = (is_mul | is_mulw | is_mulh_any).astype(np.uint32)
+    for i in range(nl):
+        if "mc_lo" in L.names:
+            lookups.append((cpu[:n, L["mc_lo"].start + i], is_anymul))
+        if "mc_hi" in L.names:
+            lookups.append((cpu[:n, L["mc_hi"].start + i], is_anymul))
+    for i in range(nl):
+        if "dcmp" in L.names:
+            lookups.append((cpu[:n, L["dcmp"].start + i], is_cmp.astype(np.uint32)))
+    # signed sign-bit rest checks: value = 2*(top - half*hb)
+    if "hb_b" in L.names:
+        rest_b = (
+            2 * (b_l[:, top].astype(np.int64) - half_top * hb_b_eff.astype(np.int64))
+        ) % kb.P
+        lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls | is_sdiv | is_mulh_b).astype(np.uint32)))
+    if "hb_c" in L.names:
+        rest_c = (
+            2 * (c_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_c"]].astype(np.int64))
+        ) % kb.P
+        lookups.append((rest_c.astype(np.uint32), (is_signed | is_sdiv | is_mulh_bc).astype(np.uint32)))
+
+    left_u = (is_sll | is_wl).astype(np.uint32)
+    right_u = (is_right | is_wr).astype(np.uint32)
+    for i in range(nl):
+        if "sll_lo" in L.names:
+            lookups.append((cpu[:n, L["sll_lo"].start + i], left_u))
+        if "sll_hi" in L.names:
+            lookups.append((cpu[:n, L["sll_hi"].start + i], left_u))
+        if "srw_lo" in L.names:
+            lookups.append((cpu[:n, L["srw_lo"].start + i], right_u))
+        if "srw_hi" in L.names:
+            lookups.append((cpu[:n, L["srw_hi"].start + i], right_u))
+    is_divany_u = (is_divany | is_mulh_any).astype(np.uint32)
+    for i in range(nl):
+        if "dq" in L.names:
+            lookups.append((cpu[:n, L["dq"].start + i], is_divany_u))
+        if "dr" in L.names:
+            lookups.append((cpu[:n, L["dr"].start + i], is_divany_u))
+        if "ddr" in L.names:
+            lookups.append((cpu[:n, L["ddr"].start + i], is_divany_u))
+        if "mb" in L.names:
+            lookups.append((cpu[:n, L["mb"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
+        if "mc2" in L.names:
+            lookups.append((cpu[:n, L["mc2"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
+    for i in range(2 * nl):
+        if "dvc_lo" in L.names:
+            lookups.append((cpu[:n, L["dvc_lo"].start + i], is_divany_u))
+        if "dvc_hi" in L.names:
+            lookups.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u))
+    for i in range(nl):
+        if "mem_prev_val" in L.names:
+            lookups.append((cpu[:n, L["mem_prev_val"].start + i], is_subw.astype(np.uint32)))
+    bpl_ = ws.limb_bits // 8
+    for opc_, size in ((OP_LB, 1), (OP_LH, 2), (OP_LW, 4)):
+        if size < bpl_:
+            continue  # byte-table sign check instead (see below)
+        top_i = (size - 1) // bpl_
+        rest = (
+            2 * (a_l[:, top_i].astype(np.int64) - half_top * hbm_v.astype(np.int64))
+        ) % kb.P
+        if "hbm" in L.names:
+            lookups.append((rest.astype(np.uint32), (op == opc_).astype(np.uint32)))
+    rest_w = (
+        2 * (a_l[:, nl // 2 - 1].astype(np.int64) - half_top * hbm_v.astype(np.int64))
+    ) % kb.P
+    if "hbm" in L.names:
+        lookups.append((rest_w.astype(np.uint32), is_wext.astype(np.uint32)))
+    rest_whb = (
+        2 * (b_l[:, nl // 2 - 1].astype(np.int64) - half_top * whb_v)
+    ) % kb.P
+    if "whb" in L.names:
+        lookups.append((rest_whb.astype(np.uint32), (is_wsra | is_wdiv).astype(np.uint32)))
+    if "whc" in L.names:
+        rest_whc = (
+            2 * (c_l[:, nl // 2 - 1].astype(np.int64)
+                 - half_top * cpu[:n, L["whc"]].astype(np.int64))
+        ) % kb.P
+        lookups.append((rest_whc.astype(np.uint32), is_wsdiv.astype(np.uint32)))
+
+    _tsd_rows = [
+        ("tsd_rs1", uses_rs1),
+        ("tsd_rs2", uses_rs2),
+        ("tsd_rd", rd_write_mult),
+    ]
+    if "tsd_mem" in L.names:
+        _tsd_rows.append(("tsd_mem", is_anymem.astype(np.uint32)))
+    for nm, uses in _tsd_rows:
+        sl = L[nm]
+        for i in range(ws.ts_limbs):
+            lookups.append((cpu[:n, sl.start + i], uses))
+    # --- byte-table lookups (collected; tallied by the caller) -------------
+    bw_pairs = []  # (x_halves, y_halves, table column, selected mask)
+    byte_id = []   # AND-identity rows (v, mult)
+    if "bh" in L.names:
+        op_col = {0: [OP_AND, OP_ANDI], 1: [OP_OR, OP_ORI], 2: [OP_XOR, OP_XORI]}
+        for col, opset in op_col.items():
+            sel = np.isin(op, opset)
+            if not np.any(sel):
+                continue
+            for k in range(2 * nl):
+                bw_pairs.append(
+                    (cpu[:n, L["bh"].start + k], cpu[:n, L["ch"].start + k], col, sel)
+                )
+    if ws.limb_bits == 16 and "mpb" in L.names:
+        # AND-identity byte checks for the sub-word byte-split witnesses,
+        # plus the lb sign-rest check (see CpuChip.sends).
+        is_bytemem_ = np.isin(op, [OP_LB, OP_LBU, OP_SB]).astype(np.int64)
+        for k in range(8):
+            byte_id.append((cpu[:n, L["mpb"].start + k], is_bytemem_))
+        is_sb_ = (op == OP_SB).astype(np.int64)
+        byte_id.append((cpu[:n, L["cb0"]], is_sb_))
+        byte_id.append((cpu[:n, L["cb1"]], is_sb_))
+        lb_rest = (
+            2 * a_l[:, 0].astype(np.int64)
+            - (2 * (((1 << ws.limb_bits) - 1) - 0xFF) + 256)
+            * hbm_v.astype(np.int64)
+        ) % kb.P
+        byte_id.append((lb_rest, (op == OP_LB).astype(np.int64)))
+    return cpu, lookups, bw_pairs, byte_id
+
+
+
+def generate_traces(
+    result,
+    program_words,
+    pc_base,
+    ws: WordSpec,
+    mlrc: int,
+    events=None,
+    init_states=None,
+    final_states=None,
+    genesis_addrs=None,
+    final_global_states=None,
+    include_bookends=True,
+    px_events=None,
+):
+    """Build all chip traces from an ExecutionResult (or an event slice).
+
+    Returns (traces, preprocessed) dicts: name -> (monty jnp array, height).
+    For the single-shard case the genesis and final-global bookend tables
+    are derived automatically; a multi-shard splicer passes explicit
+    segment states and places the bookends in the first/last shard.
+    """
+    ev = result.events if events is None else events
+    n = len(ev)
+    if px_events is None:
+        px_events = px_events_of_segment(getattr(result, "px_events", None), ev)
+    rom = decode_program(program_words, pc_base, ws)
+    L = cpu_layout(ws)
+    nl = ws.num_limbs
+    height = _pad_pow2(n, mlrc)
+
+    pc_idx = ((ev["pc"] - pc_base) // 4).astype(np.int64)
+    op_all = rom["op_id"][pc_idx]
+
+    # --- instruction-class chip traces (see machine.CPU_CLASSES) ----------
+    from .machine import CPU_CLASSES
+
+    cpu_traces = {}
+    lookups = []       # (values, mult) pairs for the Range table
+    bw_pairs = []      # (x, y, col, mask) byte-op table lookups
+    byte_id_lookups = []  # AND-identity byte rows
+    for cls_name, (cls_sels, cls_fams) in CPU_CLASSES.items():
+        ids = [SEL_NAMES.index(s) for s in cls_sels]
+        mask = np.isin(op_all, ids)
+        n_cls = int(mask.sum())
+        if n_cls == 0:
+            continue
+        Lc = cpu_layout(ws, cls_sels, cls_fams)
+        tr, rl, bp, bi = _fill_cpu_class(
+            ev[mask], pc_idx[mask], op_all[mask], rom, ws, Lc,
+            _pad_pow2(n_cls, mlrc),
+        )
+        cpu_traces[cls_name] = (tr, n_cls)
+        lookups.extend(rl)
+        bw_pairs.extend(bp)
+        byte_id_lookups.extend(bi)
 
     # --- Program ROM (preprocessed) + multiplicity main trace -------------
     rom_h = _pad_pow2(len(program_words), mlrc)
@@ -1200,82 +1447,6 @@ def generate_traces(
     prep_rng = np.zeros((rng_h, 1), np.uint32)
     prep_rng[: 1 << ws.limb_bits, 0] = np.arange(1 << ws.limb_bits)
     rng_mult = np.zeros((rng_h, 1), np.uint32)
-    lookups = []
-    # a-limb range sends use the UNGATED writes selector sum (matching the
-    # interaction multiplicity in CpuChip.sends) — a jal with rd=x0 still
-    # sends its (zero) result limbs to the range table.
-    for i in range(nl):
-        lookups.append((a_l[:, i], writes))
-    lookups.append((cpu[:n, L["maddr0_div"]], is_anymem.astype(np.uint32)))
-    is_addr_u = is_addr.astype(np.uint32)
-    for i in range(nl):
-        if ws.limb_bits * i < 24:
-            lookups.append((cpu[:n, L["maddr"].start + i], is_addr_u))
-    is_anymul = (is_mul | is_mulw | is_mulh_any).astype(np.uint32)
-    for i in range(nl):
-        lookups.append((cpu[:n, L["mc_lo"].start + i], is_anymul))
-        lookups.append((cpu[:n, L["mc_hi"].start + i], is_anymul))
-    for i in range(nl):
-        lookups.append((cpu[:n, L["dcmp"].start + i], is_cmp.astype(np.uint32)))
-    # signed sign-bit rest checks: value = 2*(top - half*hb)
-    rest_b = (
-        2 * (b_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_b"]].astype(np.int64))
-    ) % kb.P
-    rest_c = (
-        2 * (c_l[:, top].astype(np.int64) - half_top * cpu[:n, L["hb_c"]].astype(np.int64))
-    ) % kb.P
-    lookups.append((rest_b.astype(np.uint32), (is_signed | is_sra_cls | is_sdiv | is_mulh_b).astype(np.uint32)))
-    lookups.append((rest_c.astype(np.uint32), (is_signed | is_sdiv | is_mulh_bc).astype(np.uint32)))
-    left_u = (is_sll | is_wl).astype(np.uint32)
-    right_u = (is_right | is_wr).astype(np.uint32)
-    for i in range(nl):
-        lookups.append((cpu[:n, L["sll_lo"].start + i], left_u))
-        lookups.append((cpu[:n, L["sll_hi"].start + i], left_u))
-        lookups.append((cpu[:n, L["srw_lo"].start + i], right_u))
-        lookups.append((cpu[:n, L["srw_hi"].start + i], right_u))
-    is_divany_u = (is_divany | is_mulh_any).astype(np.uint32)
-    for i in range(nl):
-        lookups.append((cpu[:n, L["dq"].start + i], is_divany_u))
-        lookups.append((cpu[:n, L["dr"].start + i], is_divany_u))
-        lookups.append((cpu[:n, L["ddr"].start + i], is_divany_u))
-        lookups.append((cpu[:n, L["mb"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
-        lookups.append((cpu[:n, L["mc2"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
-    for i in range(2 * nl):
-        lookups.append((cpu[:n, L["dvc_lo"].start + i], is_divany_u))
-        lookups.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u))
-    for i in range(nl):
-        lookups.append((cpu[:n, L["mem_prev_val"].start + i], is_subw.astype(np.uint32)))
-    bpl_ = ws.limb_bits // 8
-    for opc_, size in ((OP_LB, 1), (OP_LH, 2), (OP_LW, 4)):
-        if size < bpl_:
-            continue  # byte-table sign check instead (see below)
-        top_i = (size - 1) // bpl_
-        rest = (
-            2 * (a_l[:, top_i].astype(np.int64) - half_top * hbm_v.astype(np.int64))
-        ) % kb.P
-        lookups.append((rest.astype(np.uint32), (op == opc_).astype(np.uint32)))
-    rest_w = (
-        2 * (a_l[:, nl // 2 - 1].astype(np.int64) - half_top * hbm_v.astype(np.int64))
-    ) % kb.P
-    lookups.append((rest_w.astype(np.uint32), is_wext.astype(np.uint32)))
-    rest_whb = (
-        2 * (b_l[:, nl // 2 - 1].astype(np.int64) - half_top * whb_v)
-    ) % kb.P
-    lookups.append((rest_whb.astype(np.uint32), (is_wsra | is_wdiv).astype(np.uint32)))
-    rest_whc = (
-        2 * (c_l[:, nl // 2 - 1].astype(np.int64)
-             - half_top * cpu[:n, L["whc"]].astype(np.int64))
-    ) % kb.P
-    lookups.append((rest_whc.astype(np.uint32), is_wsdiv.astype(np.uint32)))
-    for nm, uses in (
-        ("tsd_rs1", uses_rs1),
-        ("tsd_rs2", uses_rs2),
-        ("tsd_rd", rd_write_mult),
-        ("tsd_mem", is_anymem.astype(np.uint32)),
-    ):
-        sl = L[nm]
-        for i in range(ws.ts_limbs):
-            lookups.append((cpu[:n, sl.start + i], uses))
     for vals, mult in lookups + sha_range_lookups + shac_range_lookups:
         rng_mult[:, 0] += np.bincount(
             vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
@@ -1300,39 +1471,16 @@ def generate_traces(
     shak_main[:64, 0] = sha_k_mult
 
     byte_mult = np.zeros((byte_h, 3), np.uint32)
-    op_col = {0: [OP_AND, OP_ANDI], 1: [OP_OR, OP_ORI], 2: [OP_XOR, OP_XORI]}
-    for col, opset in op_col.items():
-        sel = np.isin(op, opset)
-        if not np.any(sel):
-            continue
-        for k in range(2 * nl):
-            x = cpu[:n, L["bh"].start + k]
-            y = cpu[:n, L["ch"].start + k]
-            pair_idx = (x.astype(np.int64) << hb) | y
-            byte_mult[:, col] += np.bincount(
-                pair_idx, weights=sel.astype(np.int64), minlength=byte_h
-            )[:byte_h].astype(np.uint32)
-    if ws.limb_bits == 16:
-        # AND-identity byte checks for the sub-word byte-split witnesses,
-        # plus the lb sign-rest check (see CpuChip.sends).
-        id_lookups = []
-        is_bytemem_ = np.isin(op, [OP_LB, OP_LBU, OP_SB]).astype(np.int64)
-        for k in range(8):
-            id_lookups.append((cpu[:n, L["mpb"].start + k], is_bytemem_))
-        is_sb_ = (op == OP_SB).astype(np.int64)
-        id_lookups.append((cpu[:n, L["cb0"]], is_sb_))
-        id_lookups.append((cpu[:n, L["cb1"]], is_sb_))
-        lb_rest = (
-            2 * a_l[:, 0].astype(np.int64)
-            - (2 * (((1 << ws.limb_bits) - 1) - 0xFF) + 256)
-            * hbm_v.astype(np.int64)
-        ) % kb.P
-        id_lookups.append((lb_rest, (op == OP_LB).astype(np.int64)))
-        for v, mult in id_lookups:
-            pair_idx = (v.astype(np.int64) << hb) | v.astype(np.int64)
-            byte_mult[:, 0] += np.bincount(
-                pair_idx, weights=mult, minlength=byte_h
-            )[:byte_h].astype(np.uint32)
+    for x, y, col, sel in bw_pairs:
+        pair_idx = (x.astype(np.int64) << hb) | y
+        byte_mult[:, col] += np.bincount(
+            pair_idx, weights=sel.astype(np.int64), minlength=byte_h
+        )[:byte_h].astype(np.uint32)
+    for v, mult in byte_id_lookups:
+        pair_idx = (v.astype(np.int64) << hb) | v.astype(np.int64)
+        byte_mult[:, 0] += np.bincount(
+            pair_idx, weights=mult, minlength=byte_h
+        )[:byte_h].astype(np.uint32)
 
     # --- Memory init/final (segment boundary states) ----------------------
     if init_states is None or final_states is None:
@@ -1421,7 +1569,10 @@ def generate_traces(
         rng_mult[v, 0] += cnt
 
     traces = {
-        "Cpu": (jnp.asarray(to_monty(cpu)), n),
+        **{
+            cls_name: (jnp.asarray(to_monty(tr)), n_cls)
+            for cls_name, (tr, n_cls) in cpu_traces.items()
+        },
         "Program": (jnp.asarray(to_monty(prog_mult)), np_rows),
         **(
             {"ShaExtend": (jnp.asarray(to_monty(sha_trace)), sha_rows)}

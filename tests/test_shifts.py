@@ -85,10 +85,10 @@ class TestShiftProve:
         traces, _ = tracegen.generate_traces(res, prog, 0, WS, MLRC)
         # forge the sll result: bump one result limb on the sll row
         from sp1_tpu.field import koalabear as kb
-        from sp1_tpu.riscv.machine import cpu_layout
+        from sp1_tpu.riscv.machine import CPU_CLASSES, cpu_layout
 
-        L = cpu_layout(WS)
-        cpu_t, h = traces["Cpu"]
+        L = cpu_layout(WS, *CPU_CLASSES["CpuShift"])
+        cpu_t, h = traces["CpuShift"]
         cpu_t = np.asarray(cpu_t).copy()  # monty-form uint32
         one_m = kb.to_monty_i(1)
         rows = [i for i in range(h) if int(cpu_t[i, L["sel_sll"]]) == one_m]
@@ -98,7 +98,7 @@ class TestShiftProve:
         import jax.numpy as jnp
 
         traces = dict(traces)
-        traces["Cpu"] = (jnp.asarray(cpu_t), h)
+        traces["CpuShift"] = (jnp.asarray(cpu_t), h)
         pv = tracegen.make_public_values(res, 0, WS, traces=traces)
         pv = pv + [0] * (machine.max_num_pvs - len(pv))
         from sp1_tpu.iop.challenger import DuplexChallenger
