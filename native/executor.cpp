@@ -294,6 +294,7 @@ bool step(VM& vm) {
         case 0x03: {  // loads
             ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
             uint64_t addr = b + (uint64_t)imm_i;
+            if (addr >= (1ULL << 32)) return false;  // guest address space
             wr = true;
             switch (funct3) {
                 case 0: a = load_sized(vm, addr, 0, true, ev); break;   // lb
@@ -311,6 +312,7 @@ bool step(VM& vm) {
             ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
             ev.rs2_prev_ts = vm.reg_ts[rs2]; c = read_reg(rs2, 2);
             uint64_t addr = b + (uint64_t)imm_s;
+            if (addr >= (1ULL << 32)) return false;  // guest address space
             switch (funct3) {
                 case 0: store_sized(vm, addr, c, 0, ev); break;
                 case 1: store_sized(vm, addr, c, 1, ev); break;
@@ -498,7 +500,13 @@ bool step(VM& vm) {
         vm.regs[rd] = a;
         vm.reg_ts[rd] = vm.clk * 8 + 4;
     }
-    ev.a = (wr && rd != 0) ? a : 0;
+    // Record the true computed result even when rd == x0: the register
+    // file write is skipped (and the AIR's write send is gated by
+    // rd_write_mult), but the result-binding constraints hold ungated,
+    // which keeps legal rd=x0 encodings (hints like `ori x0, ...`)
+    // provable (reference role: the reference's op_a_0 handling in
+    // crates/core/machine/src/cpu/).
+    ev.a = wr ? a : 0;
     ev.b = b;
     ev.c = c;
     ev.next_pc = next_pc;

@@ -12,11 +12,15 @@ global_accumulation}.rs, crates/hypercube/src/septic_digest.rs).
 
 Row layout (w = ws.limb_bits, the range-table width):
   message[8], kind, is_real, is_receive, is_send, offset, index,
-  m0 limbs (message[0] < 2^24 decomposition),
   [m7 limbs when w == 8 (message[7] < 2^16 decomposition)],
   y6 limbs + top6 (y6_value < 63*2^24 decomposition),
   y[7], permutation round states (28 x 16), initial_digest[14],
   cumulative_sum[14].
+
+Kind and offset both pack into element 7 of the hash input
+(message[7] + offset*2^16 + kind*2^24 < 2^30): elements 0..6 are free
+field elements, so message[0] can carry full 32-bit-address cell
+indices (2^29 + 32) without a dedicated decomposition.
 
 The in-AIR hash is the full Poseidon2-16 permutation over committed
 round states (air/p2air.py); x = the first 7 output lanes. The y sign
@@ -99,9 +103,6 @@ class GlobalChip(Chip):
         alloc("is_send")
         alloc("offset")
         alloc("index")
-        # message[0] < 2^24 limbs (widths in bits, little-endian)
-        self.m0_widths = [16, 8] if L == 16 else [8, 8, 8]
-        alloc("m0", len(self.m0_widths))
         # message[7] < 2^16 limbs (only needed when the table is 2^8)
         self.m7_widths = [] if L == 16 else [8, 8]
         if self.m7_widths:
@@ -137,8 +138,6 @@ class GlobalChip(Chip):
                 )
                 out.append(scaled)
 
-        for k, w in enumerate(self.m0_widths):
-            check_bits(self._aff("m0", k), w)
         for k, w in enumerate(self.m7_widths):
             check_bits(self._aff("m7", k), w)
         if not self.m7_widths:
@@ -179,21 +178,27 @@ class GlobalChip(Chip):
                 shift += w
             return acc
 
-        f.assert_eq(col("message", 0), recompose("m0", self.m0_widths))
         if self.m7_widths:
             f.assert_eq(col("message", 7), recompose("m7", self.m7_widths))
 
-        # Hash input: kind packs into message[0]'s high bits, offset into
-        # message[7]'s (both range-checked, so the packing is injective).
+        # Hash input: offset and kind both pack into message[7]'s high
+        # bits (message[7] < 2^16 range-checked, offset < 2^8,
+        # kind < 2^6, so the packing is injective and < 2^30).
         m_trial = [
-            ops.add(col("message", 0), ops.scale_base(col("kind"), 1 << 24)),
+            col("message", 0),
             col("message", 1),
             col("message", 2),
             col("message", 3),
             col("message", 4),
             col("message", 5),
             col("message", 6),
-            ops.add(col("message", 7), ops.scale_base(col("offset"), 1 << 16)),
+            ops.add(
+                col("message", 7),
+                ops.add(
+                    ops.scale_base(col("offset"), 1 << 16),
+                    ops.scale_base(col("kind"), 1 << 24),
+                ),
+            ),
         ] + [ops.zero()] * 8
 
         perm0 = C["perm"]
@@ -320,10 +325,10 @@ def generate_global_trace(chip: GlobalChip, events: list, mlrc: int):
     rows_meta = []
     for j, (message, is_receive, kind) in enumerate(events):
         message = [int(v) % P for v in message]
-        assert message[0] < (1 << 24) and message[7] < (1 << 16)
+        assert message[7] < (1 << 16)
         assert 0 <= kind < 64
         hash_msg = list(message)
-        hash_msg[0] = message[0] + (kind << 24)
+        hash_msg[7] = message[7] + (kind << 24)
         point, offset, m_trial, _ = septic.lift_x(hash_msg)
         if not is_receive:
             point = point.neg()
@@ -341,9 +346,6 @@ def generate_global_trace(chip: GlobalChip, events: list, mlrc: int):
         row[C["is_send"]] = 0 if is_receive else 1
         row[C["offset"]] = offset
         row[C["index"]] = j
-        row[C["m0"]: C["m0"] + len(chip.m0_widths)] = _decomp(
-            message[0], chip.m0_widths
-        )
         if chip.m7_widths:
             row[C["m7"]: C["m7"] + len(chip.m7_widths)] = _decomp(
                 message[7], chip.m7_widths

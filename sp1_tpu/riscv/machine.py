@@ -533,29 +533,21 @@ class CpuChip(Chip):
             f.assert_zero(ops.mul(sel_br, ops.sub(next_pc, br_next)))
 
         if self._present(("jal", "jalr")):
-            # jal: a = pc + 4 decomposed into the low pc_limbs (only when
-            # the link register is actually written, i.e. rd != 0)
+            # jal/jalr: a = pc + 4 decomposed into the low pc_limbs (the
+            # executor records the link value even when rd == x0; only the
+            # register write send is rd-gated)
             pcl = ws.pc_limbs
             acc = ops.zero()
             for i in range(pcl):
                 acc = ops.add(acc, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
             sel_link = ops.add(sels["jal"], sels["jalr"])
-            f.assert_zero(
-                ops.mul(
-                    ops.mul(sel_link, rd_nonzero_c), ops.sub(acc, ops.add(pc, four))
-                )
-            )
+            f.assert_zero(ops.mul(sel_link, ops.sub(acc, ops.add(pc, four))))
             for i in range(pcl, nl):
                 f.assert_zero(ops.mul(sel_link, a[i]))
         if "lui" in present:
             # lui: a = imm (full 64-bit sign-extended constant)
             for i in range(nl):
-                f.assert_zero(
-                    ops.mul(ops.mul(sels["lui"], rd_nonzero_c), ops.sub(a[i], imm[i]))
-                )
-                f.assert_zero(
-                    ops.mul(ops.sub(one, rd_nonzero_c), ops.mul(sels["lui"], a[i]))
-                )
+                f.assert_zero(ops.mul(sels["lui"], ops.sub(a[i], imm[i])))
         if "auipc" in present:
             # auipc: low pc_limbs of a reconstruct pc + imm_f; rest zero
             pcl = ws.pc_limbs
@@ -563,10 +555,7 @@ class CpuChip(Chip):
             for i in range(pcl):
                 acc_au = ops.add(acc_au, ops.scale_base(a[i], 1 << (ws.limb_bits * i)))
             f.assert_zero(
-                ops.mul(
-                    ops.mul(sels["auipc"], rd_nonzero_c),
-                    ops.sub(acc_au, ops.add(pc, imm_f)),
-                )
+                ops.mul(sels["auipc"], ops.sub(acc_au, ops.add(pc, imm_f)))
             )
             for i in range(pcl, nl):
                 f.assert_zero(ops.mul(sels["auipc"], a[i]))
@@ -624,16 +613,18 @@ class CpuChip(Chip):
                     ops.add(maddr[i], ops.mul(carry[i], base)),
                 )
                 f.assert_zero(ops.mul(sel_addr, expr))
-            # address space bound: limbs covering >= 24 bits must be zero
+            # address space bound: limbs covering >= 32 bits must be zero
+            # (the full reference guest address space; the memory argument
+            # keys cells as 32 + addr/8 < 2^29 + 32, injective in the field)
             for i in range(nl):
-                if ws.limb_bits * i >= 24:
+                if ws.limb_bits * i >= 32:
                     f.assert_zero(ops.mul(sel_addr, maddr[i]))
         if "jalr" in present:
             # jalr: next_pc = target (reconstructed from the address limbs;
             # the ROM lookup of next_pc enforces 4-alignment and code range)
             acc_j = ops.zero()
             for i in range(nl):
-                if ws.limb_bits * i < 24:
+                if ws.limb_bits * i < 32:
                     acc_j = ops.add(
                         acc_j, ops.scale_base(maddr[i], 1 << (ws.limb_bits * i))
                     )
@@ -1592,7 +1583,7 @@ class CpuChip(Chip):
         ws, L = self.ws, self.layout
         terms = [(main_col(L["maddr0_div"]), 1)]
         for i in range(1, ws.num_limbs):
-            if ws.limb_bits * i < 24:
+            if ws.limb_bits * i < 32:
                 terms.append((main_col(L["maddr"].start + i), 1 << (ws.limb_bits * i - 3)))
         return Affine(32, tuple(terms))
 
@@ -1811,7 +1802,7 @@ class CpuChip(Chip):
         sel_addr = self._sel_aff(("ld", "sd", "jalr") + SUBW_SELS)
         if has("maddr") and sel_addr is not None:
             for i in range(nl):
-                if ws.limb_bits * i < 24:
+                if ws.limb_bits * i < 32:
                     out.append(
                         Interaction((_aff(L["maddr"].start + i),), sel_addr, KIND_RANGE)
                     )

@@ -52,7 +52,7 @@ WRITE_SLOT = 4
 
 def _pcell_limbs(ws: WordSpec) -> list:
     """Pointer limb indices (>=1) that contribute to the cell index."""
-    return [i for i in range(1, ws.num_limbs) if ws.limb_bits * i < 24]
+    return [i for i in range(1, ws.num_limbs) if ws.limb_bits * i < 32]
 
 
 def sha_extend_layout(ws: WordSpec) -> Cols:

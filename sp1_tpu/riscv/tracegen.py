@@ -1212,7 +1212,7 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
         lookups.append((cpu[:n, L["maddr0_div"]], is_anymem.astype(np.uint32)))
     is_addr_u = is_addr.astype(np.uint32)
     for i in range(nl):
-        if ws.limb_bits * i < 24:
+        if ws.limb_bits * i < 32:
             if "maddr" in L.names:
                 lookups.append((cpu[:n, L["maddr"].start + i], is_addr_u))
     is_anymul = (is_mul | is_mulw | is_mulh_any).astype(np.uint32)

@@ -190,15 +190,32 @@ class TestPoseidon2Pallas:
     Runs in a subprocess with JAX_PLATFORMS=cpu set in the ENVIRONMENT:
     when the axon TPU plugin is merely registered (as under the conftest's
     config.update path), pallas interpret-mode lowering slows from seconds
-    to many minutes, so the in-process backend cannot be used here."""
+    to many minutes, so the in-process backend cannot be used here.
+
+    Opt-in via SP1_TPU_PALLAS_DIFF=1: interpret-mode lowering of the
+    28-round permutation unrolls into modules that XLA-CPU takes ~2.5
+    minutes EACH to compile (3 kernels ~= 8 minutes cold), far beyond the
+    suite budget. The subprocess uses the persistent jit cache, so repeat
+    runs are fast once warmed."""
 
     def test_differential_vs_host(self):
         import os
         import subprocess
         import sys
 
+        if os.environ.get("SP1_TPU_PALLAS_DIFF") != "1":
+            import pytest
+
+            pytest.skip(
+                "pallas interpret-mode XLA-CPU compiles take ~8 min cold; "
+                "set SP1_TPU_PALLAS_DIFF=1 to run"
+            )
+
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         script = r"""
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/sp1_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np, jax.numpy as jnp
 from sp1_tpu.field import koalabear as kb
 from sp1_tpu.ops import poseidon2 as p2
@@ -216,10 +233,18 @@ got = kb.from_monty(pp.compress(jnp.asarray(kb.to_monty(l)), jnp.asarray(kb.to_m
 assert np.array_equal(np.asarray(got), p2.hostp2.compress(l, r)), "compress"
 print("PALLAS-DIFF-OK")
 """
-        env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
+        # PALLAS_AXON_POOL_IPS="" keeps the axon plugin from dialing the
+        # TPU relay during backend discovery (which blocks forever on a
+        # CPU-only run even under JAX_PLATFORMS=cpu).
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="",
+            PALLAS_AXON_POOL_IPS="",
+        )
         res = subprocess.run(
             [sys.executable, "-c", script], env=env, cwd=root,
-            capture_output=True, text=True, timeout=420,
+            capture_output=True, text=True, timeout=900,
         )
         assert res.returncode == 0 and "PALLAS-DIFF-OK" in res.stdout, (
             res.stdout + res.stderr

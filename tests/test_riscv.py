@@ -156,3 +156,67 @@ class TestExtendedIsa:
         vch = DuplexChallenger()
         pk.vk.observe_into(vch)
         assert verifier.verify_shard(pk.vk, proof, vch)
+
+
+class TestAddressAndX0:
+    """32-bit guest address space + rd=x0 result recording.
+
+    Reference behavior: full memory model (crates/core/executor/src/
+    memory.rs) and op_a_0 handling — legal encodings that write x0
+    still prove; the register write itself is skipped."""
+
+    GUEST = """
+        li t0, 1
+        slli t0, t0, 30    # t0 = 2^30 (1 GB)
+        li t1, 77
+        sd t1, 8(t0)       # store above the old 24-bit cap
+        ld t2, 8(t0)
+        add x0, t2, t1     # legal write to x0: result discarded
+        jal x0, skip       # plain j: link value discarded
+    skip:
+        mv a0, t2
+        li a7, 0
+        ecall
+    """
+
+    def test_high_address_and_x0_prove(self):
+        prog = asm.assemble(self.GUEST)
+        res = native.execute(prog, inputs=[])
+        assert res.exit_code == 77
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        pv = tracegen.make_public_values(res, 0, WS, traces=traces)
+        machine = build_machine(WS)
+        violations = mm.debug_constraints(
+            machine,
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+            pv + [0] * (187 - len(pv)),
+        )
+        assert violations == [], violations[:10]
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+        pch = DuplexChallenger()
+        pk.vk.observe_into(pch)
+        proof = prover.prove_shard(pk, traces, pv, pch)
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        vch = DuplexChallenger()
+        pk.vk.observe_into(vch)
+        assert verifier.verify_shard(pk.vk, proof, vch)
+
+    def test_out_of_space_address_traps(self):
+        prog = asm.assemble(
+            """
+            li t0, 1
+            slli t0, t0, 33
+            ld t1, 0(t0)
+            li a7, 0
+            ecall
+        """
+        )
+        # illegal address: the executor refuses to continue (rc != 0)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="did not halt"):
+            native.execute(prog, inputs=[])
