@@ -101,17 +101,26 @@ class CpuProver:
         )
 
     def prove(self, pk, stdin: list | None = None) -> SP1ProofWithPublicValues:
+        """Prove an execution, splitting into shards when it exceeds one.
+
+        Each shard proves under a fresh transcript (the septic-digest
+        global argument makes shards independent — reference:
+        crates/prover/src/worker/controller/core.rs ProveShard fan-out).
+        """
+        from ..prover import multi
+
         res = native.execute(pk.program, inputs=stdin or [])
-        traces, prep = tracegen.generate_traces(
+        shard_inputs = multi.shard_inputs_of(
             res, pk.program, pk.pc_base, self.ws, self.mlrc
         )
-        pv = tracegen.make_public_values(res, pk.pc_base, self.ws, traces=traces)
-        # The setup-time preprocessed commitment must match tracegen's.
-        challenger = DuplexChallenger()
-        pk.vk.observe_into(challenger)
-        proof = self.shard_prover.prove_shard(pk, traces, pv, challenger)
+        proofs = []
+        for traces, pv in shard_inputs:
+            pv = pv + [0] * (self.machine.max_num_pvs - len(pv))
+            challenger = DuplexChallenger()
+            pk.vk.observe_into(challenger)
+            proofs.append(self.shard_prover.prove_shard(pk, traces, pv, challenger))
         return SP1ProofWithPublicValues(
-            shard_proofs=[proof], public_values=proof.public_values
+            shard_proofs=proofs, public_values=proofs[-1].public_values
         )
 
     def verify(self, proof: SP1ProofWithPublicValues, vk) -> bool:
