@@ -487,6 +487,79 @@ bool step(VM& vm) {
                     vm.px_events.push_back(px);
                 }
                 vm.clk += 80;
+            } else if (id == 10) {
+                // KECCAK_PERMUTE precompile (reference role:
+                // crates/core/executor/src/syscalls/precompiles/keccak256/
+                // permute.rs). ABI: a0 = cell-aligned pointer to the 25-lane
+                // u64 state, one lane per 8-byte cell (row-major x + 5*y).
+                // 74 steps at clk+1+step: steps 0..24 read lane j, steps
+                // 25..48 run keccak-f round step-25 (no memory traffic),
+                // steps 49..73 write lane step-49.
+                static const uint64_t RC[24] = {
+                    0x0000000000000001ULL, 0x0000000000008082ULL,
+                    0x800000000000808aULL, 0x8000000080008000ULL,
+                    0x000000000000808bULL, 0x0000000080000001ULL,
+                    0x8000000080008081ULL, 0x8000000000008009ULL,
+                    0x000000000000008aULL, 0x0000000000000088ULL,
+                    0x0000000080008009ULL, 0x000000008000000aULL,
+                    0x000000008000808bULL, 0x800000000000008bULL,
+                    0x8000000000008089ULL, 0x8000000000008003ULL,
+                    0x8000000000008002ULL, 0x8000000000000080ULL,
+                    0x000000000000800aULL, 0x800000008000000aULL,
+                    0x8000000080008081ULL, 0x8000000000008080ULL,
+                    0x0000000080000001ULL, 0x8000000080008008ULL};
+                static const int RHO[25] = {
+                    0, 1, 62, 28, 27, 36, 44, 6, 55, 20, 3, 10, 43, 25,
+                    39, 41, 45, 15, 21, 8, 18, 2, 61, 56, 14};
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + 25 * 8 > (1ULL << 32)) return false;
+                uint64_t st64[25];
+                for (int j = 0; j < 74; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = 10; px.step = (uint64_t)j; px.ptr = ptr;
+                    if (j < 25) {  // load lane j
+                        MemCell& mc = cell(vm, ptr + 8 * (uint64_t)j);
+                        px.r_addr[0] = ptr + 8 * (uint64_t)j;
+                        px.r_prev_ts[0] = mc.ts;
+                        px.r_val[0] = mc.value;
+                        mc.ts = rclk * 8;  // read slot 0
+                        st64[j] = mc.value;
+                    } else if (j < 49) {  // keccak-f round
+                        int r = j - 25;
+                        uint64_t cpar[5], d[5], b[25];
+                        for (int x = 0; x < 5; x++)
+                            cpar[x] = st64[x] ^ st64[x + 5] ^ st64[x + 10] ^
+                                      st64[x + 15] ^ st64[x + 20];
+                        for (int x = 0; x < 5; x++) {
+                            uint64_t t = cpar[(x + 1) % 5];
+                            d[x] = cpar[(x + 4) % 5] ^ ((t << 1) | (t >> 63));
+                        }
+                        for (int i2 = 0; i2 < 25; i2++) {
+                            uint64_t v = st64[i2] ^ d[i2 % 5];
+                            int rot = RHO[i2];
+                            uint64_t rv = rot ? ((v << rot) | (v >> (64 - rot))) : v;
+                            int x = i2 % 5, y = i2 / 5;
+                            b[y + 5 * ((2 * x + 3 * y) % 5)] = rv;  // pi
+                        }
+                        for (int y = 0; y < 5; y++)
+                            for (int x = 0; x < 5; x++)
+                                st64[x + 5 * y] = b[x + 5 * y] ^
+                                    (~b[(x + 1) % 5 + 5 * y] & b[(x + 2) % 5 + 5 * y]);
+                        st64[0] ^= RC[r];
+                    } else {  // store lane j-49
+                        int i2 = j - 49;
+                        MemCell& wc = cell(vm, ptr + 8 * (uint64_t)i2);
+                        px.w_addr = ptr + 8 * (uint64_t)i2;
+                        px.w_prev_ts = wc.ts;
+                        px.w_prev_val = wc.value;
+                        wc.value = st64[i2];
+                        wc.ts = rclk * 8 + 4;  // write slot 4
+                        px.w_val = st64[i2];
+                    }
+                    vm.px_events.push_back(px);
+                }
+                vm.clk += 74;
             }
             break;
         }
