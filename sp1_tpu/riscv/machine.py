@@ -267,10 +267,32 @@ def cpu_layout(ws: WordSpec, sel_names=None, fams=None) -> Cols:
         c.cols("bh", 2 * nl)
         c.cols("ch", 2 * nl)
         c.cols("ah", 2 * nl)
-    # mul carry decompositions
+    # The mul/shift/div machinery runs at BYTE granularity in all word
+    # models (NB = 8 bytes per 64-bit word): byte products stay < 2^16,
+    # so convolution partial sums never overflow the ~2^31 field. At
+    # limb_bits=8 the byte arrays alias the operand limbs; at
+    # limb_bits=16 they are witness columns (bv*) bound to the limbs and
+    # byte-checked through the byte table (reference analog: the byte
+    # decompositions of crates/core/machine/src/alu/mul/mod.rs).
+    nb = 8
+    bpl = ws.limb_bits // 8
+    if bpl == 2:
+        if fams & {"mulcols", "mulh", "shift", "div"}:
+            c.cols("bvb", nb)
+        if fams & {"mulcols", "mulh", "div"}:
+            c.cols("bvc", nb)
+        if fams & {"mulcols", "shift"}:
+            c.cols("bva", nb)
+        if fams & {"mulh", "div"}:
+            c.cols("bvq", nb)
+            c.cols("bvm", nb)
+        if "div" in fams:
+            c.cols("bvr", nb)
+            c.cols("bvmc", nb)
+    # mul carry decompositions (per byte position)
     if "mulcols" in fams:
-        c.cols("mc_lo", nl)
-        c.cols("mc_hi", nl)
+        c.cols("mc_lo", nb)
+        c.cols("mc_hi", nb)
     # comparison machinery: difference limbs, borrow chain, sign bits
     if "cmp" in fams:
         c.cols("dcmp", nl)
@@ -284,18 +306,21 @@ def cpu_layout(ws: WordSpec, sel_names=None, fams=None) -> Cols:
     # high bits of the amount operand, per-limb 2^r / 2^(L-r) product
     # decompositions, and the arithmetic-shift sign-fill partial
     if "shift" in fams:
-        c.cols("shq", nl)
-        c.cols("shr", ws.limb_bits)
+        c.cols("shq", nb)
+        c.cols("shr", 8)
         c.col("shb0")
         c.col("shb1")
-        c.cols("sll_lo", nl)
-        c.cols("sll_hi", nl)
-        c.cols("srw_lo", nl)
-        c.cols("srw_hi", nl)
+        c.cols("sll_lo", nb)
+        c.cols("sll_hi", nb)
+        c.cols("srw_lo", nb)
+        c.cols("srw_hi", nb)
         c.col("sgp")
         # W-shift extras: third amount high bit, 32-bit sign, its fill
         c.col("shb2")
         c.col("sgpw")
+        if bpl == 2:
+            # bits 8.. of the amount limb c_0 (byte-checked)
+            c.col("shrest")
     if fams & {"shift", "div"}:
         c.col("whb")  # 32-bit operand sign (W-sra / W signed division)
     # unsigned division: quotient/remainder limbs, 2nl-limb convolution
@@ -303,8 +328,8 @@ def cpu_layout(ws: WordSpec, sel_names=None, fams=None) -> Cols:
     # dq/mb/dvc double as the full-product halves for mulh.
     if fams & {"div", "mulh"}:
         c.cols("dq", nl)
-        c.cols("dvc_lo", 2 * nl)
-        c.cols("dvc_hi", 2 * nl)
+        c.cols("dvc_lo", 2 * nb)
+        c.cols("dvc_hi", 2 * nb)
         c.cols("mb", nl)
     if "div" in fams:
         c.cols("dr", nl)
@@ -456,6 +481,35 @@ class CpuChip(Chip):
         sel_wdiv = ops.add(sel_wudiv, sel_wsdiv)
         sel_mulh_any = sel_sum(MULH_SELS)
         sel_warith = sel_sum(W_ARITH_SELS)
+
+        # Byte views: mul/shift/div arithmetic runs at byte granularity
+        # (NB = 8 bytes/word) so convolution sums stay far below the
+        # field modulus at any limb width. At limb_bits=8 a byte view IS
+        # the limb array; at limb_bits=16 it is a bv* witness column set
+        # bound to the limbs here and byte-checked in sends().
+        NB = 8
+        bpl = lb // 8
+        base8 = ops.const(1 << 8)
+
+        def _bytes(name, limbs_):
+            return limbs_ if bpl == 1 else g(name)
+
+        def _bind_bytes(cols, limbs_, gate, lo=0, hi=None):
+            if bpl == 1:
+                return
+            hi = nl if hi is None else hi
+            for i in range(lo, hi):
+                f.assert_zero(
+                    ops.mul(
+                        gate,
+                        ops.sub(
+                            limbs_[i],
+                            ops.add(
+                                cols[2 * i], ops.scale_base(cols[2 * i + 1], 1 << 8)
+                            ),
+                        ),
+                    )
+                )
 
         if self._present(("add", "addi", "sub")):
             # addi uses c = imm
@@ -802,25 +856,37 @@ class CpuChip(Chip):
                     ops.mul(sel_bw, ops.sub(a[i], ops.add(ah[2 * i], ops.mul(ah[2 * i + 1], half))))
                 )
 
+        # Byte views of the mul-family operands (shared by mul/mulw/mulh).
+        if self._present(MUL_SELS + ("mulw",) + MULH_SELS) and has("mc_lo"):
+            sel_mulfam = ops.add(ops.add(sel_mul, sels["mulw"]), sel_mulh_any)
+            mulB = _bytes("bvb", b)
+            mulC = _bytes("bvc", c)
+            mulA = _bytes("bva", a)
+            _bind_bytes(mulB, b, sel_mulfam)
+            _bind_bytes(mulC, c, sel_mulfam)
+            _bind_bytes(mulA, a, sel_mul)
+
         if self._present(MUL_SELS):
-            # ---- mul (mod 2^64) ----------------------------------------------
+            # ---- mul (mod 2^64): byte-granular convolution --------------------
             sel_mul = ops.add(sels["mul"], sels["muli"])
             mc_lo, mc_hi = g("mc_lo"), g("mc_hi")
-            for k in range(nl):
+            for k in range(NB):
                 conv = ops.zero()
                 for i in range(k + 1):
                     j = k - i
-                    conv = ops.add(conv, ops.mul(b[i], c[j]))
+                    conv = ops.add(conv, ops.mul(mulB[i], mulC[j]))
                 cin = (
-                    ops.add(mc_lo[k - 1], ops.mul(mc_hi[k - 1], base))
+                    ops.add(mc_lo[k - 1], ops.mul(mc_hi[k - 1], base8))
                     if k > 0
                     else ops.zero()
                 )
-                cout = ops.add(mc_lo[k], ops.mul(mc_hi[k], base))
+                cout = ops.add(mc_lo[k], ops.mul(mc_hi[k], base8))
                 f.assert_zero(
                     ops.mul(
                         sel_mul,
-                        ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
+                        ops.sub(
+                            ops.add(conv, cin), ops.add(mulA[k], ops.mul(cout, base8))
+                        ),
                     )
                 )
 
@@ -884,10 +950,10 @@ class CpuChip(Chip):
             )
 
         if has("shq"):
-            # ---- shifts (sll/srl/sra/srli/srai) -------------------------------
-            # s = L*q + r with q, r one-hot; decompose per-limb products by 2^r
-            # (left) / 2^(L-r) (right); byte-level shift is a one-hot select.
-            lb = ws.limb_bits
+            # ---- shifts (sll/srl/sra/srli/srai), byte-granular -----------------
+            # s = 8*q + r with q (byte positions) and r (bit-in-byte) one-hot;
+            # decompose per-byte products by 2^r (left) / 2^(8-r) (right); the
+            # byte-level shift is then a one-hot select over byte positions.
             sel_shift = ops.zero()
             for sname in SHIFT_SELS:
                 sel_shift = ops.add(sel_shift, sels[sname])
@@ -905,135 +971,146 @@ class CpuChip(Chip):
             sll_lo, sll_hi = g("sll_lo"), g("sll_hi")
             srw_lo, srw_hi = g("srw_lo"), g("srw_hi")
             sgp = g("sgp")
+            shB = _bytes("bvb", b)
+            shA = _bytes("bva", a)
+            _bind_bytes(shB, b, sel_anyshift)
+            _bind_bytes(shA, a, sel_shift)
             for x in shq + shr + [shb0, shb1]:
                 f.assert_bool(x)
             sum_q = ops.zero()
-            for k in range(nl):
+            for k in range(NB):
                 sum_q = ops.add(sum_q, shq[k])
             f.assert_eq(sum_q, sel_anyshift)
             sum_r = ops.zero()
-            for j in range(lb):
+            for j in range(8):
                 sum_r = ops.add(sum_r, shr[j])
             f.assert_eq(sum_r, sel_anyshift)
-            # amount binding: c_0 = s + 64*(2*shb1 + shb0)  (RV64 takes c & 63)
+            # amount binding: c_0 = s + 64*(2*shb1 + shb0) (+ 256*rest of the
+            # 16-bit limb)  (RV64 takes c & 63)
+            shrest = g("shrest") if bpl == 2 else None
             s_val = ops.zero()
-            for k in range(nl):
-                s_val = ops.add(s_val, ops.scale_base(shq[k], lb * k))
-            for j in range(lb):
+            for k in range(NB):
+                s_val = ops.add(s_val, ops.scale_base(shq[k], 8 * k))
+            for j in range(8):
                 s_val = ops.add(s_val, ops.scale_base(shr[j], j))
             s_val = ops.add(s_val, ops.scale_base(shb0, 64))
             s_val = ops.add(s_val, ops.scale_base(shb1, 128))
+            if shrest is not None:
+                s_val = ops.add(s_val, ops.scale_base(shrest, 256))
             f.assert_zero(ops.mul(sel_shift, ops.sub(c[0], s_val)))
-            # p2r = 2^r, p2rc = 2^(L-r)  (affine in the r one-hot)
+            # p2r = 2^r, p2rc = 2^(8-r)  (affine in the r one-hot)
             p2r = ops.zero()
             p2rc = ops.zero()
-            for j in range(lb):
+            for j in range(8):
                 p2r = ops.add(p2r, ops.scale_base(shr[j], 1 << j))
-                p2rc = ops.add(p2rc, ops.scale_base(shr[j], 1 << (lb - j)))
-            # left: b_i * 2^r = 256*hi + lo (lo/hi range-checked 8-bit)
-            for i in range(nl):
+                p2rc = ops.add(p2rc, ops.scale_base(shr[j], 1 << (8 - j)))
+            # left: b_i * 2^r = 256*hi + lo (lo/hi byte-checked)
+            for i in range(NB):
                 f.assert_zero(
                     ops.mul(
                         sels["sll"],
                         ops.sub(
-                            ops.mul(b[i], p2r),
-                            ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
+                            ops.mul(shB[i], p2r),
+                            ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << 8)),
                         ),
                     )
                 )
-            # right: b_i * 2^(L-r) = 256*hi + lo
-            for i in range(nl):
+            # right: b_i * 2^(8-r) = 256*hi + lo
+            for i in range(NB):
                 f.assert_zero(
                     ops.mul(
                         sel_right,
                         ops.sub(
-                            ops.mul(b[i], p2rc),
-                            ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
+                            ops.mul(shB[i], p2rc),
+                            ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << 8)),
                         ),
                     )
                 )
-            # sgp = hb_b * (2^L - 2^(L-r)): the partial sign-fill byte (ungated;
+            # sgp = hb_b * (2^8 - 2^(8-r)): the partial sign-fill byte (ungated;
             # tracegen maintains it on every row, incl. cmp rows that set hb_b)
             f.assert_eq(
-                ops.mul(hb_b, ops.sub(ops.const(1 << lb), p2rc)), sgp
+                ops.mul(hb_b, ops.sub(ops.const(1 << 8), p2rc)), sgp
             )
-            # sll result: a_i = select_q( (b*2^r) limbs with carry chaining )
+            # sll result: a_i = select_q( (b*2^r) bytes with carry chaining )
             def c16(m):
-                if m < 0 or m > nl:
+                if m < 0 or m > NB:
                     return ops.zero()
-                t = sll_lo[m] if m < nl else ops.zero()
+                t = sll_lo[m] if m < NB else ops.zero()
                 if m > 0:
                     t = ops.add(t, sll_hi[m - 1])
                 return t
-            for i in range(nl):
+            for i in range(NB):
                 sel_v = ops.zero()
-                for k in range(nl):
+                for k in range(NB):
                     if i - k >= 0:
                         sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
-                f.assert_zero(ops.mul(sels["sll"], ops.sub(a[i], sel_v)))
-            # right-shift-by-r limbs: d_j = hi_j + lo_{j+1}
+                f.assert_zero(ops.mul(sels["sll"], ops.sub(shA[i], sel_v)))
+            # right-shift-by-r bytes: d_j = hi_j + lo_{j+1}
             def dlimb(j):
-                if j < 0 or j >= nl:
+                if j < 0 or j >= NB:
                     return ops.zero()
                 t = srw_hi[j]
-                if j + 1 < nl:
+                if j + 1 < NB:
                     t = ops.add(t, srw_lo[j + 1])
                 return t
-            for i in range(nl):
+            for i in range(NB):
                 sel_v = ops.zero()
-                for k in range(nl):
+                for k in range(NB):
                     sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb(i + k)))
-                f.assert_zero(ops.mul(sel_srl_cls, ops.sub(a[i], sel_v)))
-                # sra: add the sign fill: full limbs above the boundary + the
-                # partial boundary byte shq_{nl-1-i} * sgp
+                f.assert_zero(ops.mul(sel_srl_cls, ops.sub(shA[i], sel_v)))
+                # sra: add the sign fill: full bytes above the boundary + the
+                # partial boundary byte shq_{NB-1-i} * sgp
                 filled = ops.zero()
-                for k in range(nl - i, nl):
+                for k in range(NB - i, NB):
                     filled = ops.add(filled, shq[k])
                 fill = ops.add(
-                    ops.scale_base(ops.mul(hb_b, filled), (1 << lb) - 1),
-                    ops.mul(shq[nl - 1 - i], sgp),
+                    ops.scale_base(ops.mul(hb_b, filled), (1 << 8) - 1),
+                    ops.mul(shq[NB - 1 - i], sgp),
                 )
                 f.assert_zero(
-                    ops.mul(sel_sra_cls, ops.sub(a[i], ops.add(sel_v, fill)))
+                    ops.mul(sel_sra_cls, ops.sub(shA[i], ops.add(sel_v, fill)))
                 )
 
         if has("shq"):
             # ---- W-form shifts (sllw/srlw/sraw + immediate forms) -------------
-            # Same q/r machinery restricted to the low 4 limbs; result is
+            # Same q/r machinery restricted to the low 4 bytes; result is
             # sign-extended from bit 31 via the shared hbm witness.
             shb2 = g("shb2")
             sgpw = g("sgpw")
             f.assert_bool(shb2)
-            half32s = nl // 2
+            half32s = NB // 2
             sel_wl = ops.add(sels["sllw"], sels["slliw"])
             sel_wr = ops.zero()
             for sname in WSHIFT_RIGHT_SELS:
                 sel_wr = ops.add(sel_wr, sels[sname])
             sel_wsrl = ops.add(sels["srlw"], sels["srliw"])
             sel_wsra = ops.add(sels["sraw"], sels["sraiw"])
+            _bind_bytes(shA, a, sel_wshift, hi=nl // 2)
             # byte shift < 4 on W rows
             hi_q = ops.zero()
-            for k in range(half32s, nl):
+            for k in range(half32s, NB):
                 hi_q = ops.add(hi_q, shq[k])
             f.assert_zero(ops.mul(sel_wshift, hi_q))
-            # amount binding: c_0 = s + 32*(4*shb2 + 2*shb1 + shb0)
+            # amount binding: c_0 = s + 32*(4*shb2 + 2*shb1 + shb0) (+ 256*rest)
             s_val_w = ops.zero()
             for k in range(half32s):
-                s_val_w = ops.add(s_val_w, ops.scale_base(shq[k], lb * k))
-            for j in range(lb):
+                s_val_w = ops.add(s_val_w, ops.scale_base(shq[k], 8 * k))
+            for j in range(8):
                 s_val_w = ops.add(s_val_w, ops.scale_base(shr[j], j))
             s_val_w = ops.add(s_val_w, ops.scale_base(shb0, 32))
             s_val_w = ops.add(s_val_w, ops.scale_base(shb1, 64))
             s_val_w = ops.add(s_val_w, ops.scale_base(shb2, 128))
+            if shrest is not None:
+                s_val_w = ops.add(s_val_w, ops.scale_base(shrest, 256))
             f.assert_zero(ops.mul(sel_wshift, ops.sub(c[0], s_val_w)))
-            # left: decompose low limbs by 2^r
+            # left: decompose low bytes by 2^r
             for i in range(half32s):
                 f.assert_zero(
                     ops.mul(
                         sel_wl,
                         ops.sub(
-                            ops.mul(b[i], p2r),
-                            ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << lb)),
+                            ops.mul(shB[i], p2r),
+                            ops.add(sll_lo[i], ops.scale_base(sll_hi[i], 1 << 8)),
                         ),
                     )
                 )
@@ -1041,15 +1118,15 @@ class CpuChip(Chip):
                 for k in range(half32s):
                     if i - k >= 0:
                         sel_v = ops.add(sel_v, ops.mul(shq[k], c16(i - k)))
-                f.assert_zero(ops.mul(sel_wl, ops.sub(a[i], sel_v)))
-            # right: decompose low limbs by 2^(L-r)
+                f.assert_zero(ops.mul(sel_wl, ops.sub(shA[i], sel_v)))
+            # right: decompose low bytes by 2^(8-r)
             for i in range(half32s):
                 f.assert_zero(
                     ops.mul(
                         sel_wr,
                         ops.sub(
-                            ops.mul(b[i], p2rc),
-                            ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << lb)),
+                            ops.mul(shB[i], p2rc),
+                            ops.add(srw_lo[i], ops.scale_base(srw_hi[i], 1 << 8)),
                         ),
                     )
                 )
@@ -1062,25 +1139,25 @@ class CpuChip(Chip):
                     t = ops.add(t, srw_lo[j + 1])
                 return t
 
-            # sgpw = whb * (2^L - 2^(L-r)) (ungated; whb is zero off W-sra rows)
-            f.assert_eq(ops.mul(whb, ops.sub(ops.const(1 << lb), p2rc)), sgpw)
+            # sgpw = whb * (2^8 - 2^(8-r)) (ungated; whb is zero off W-sra rows)
+            f.assert_eq(ops.mul(whb, ops.sub(ops.const(1 << 8), p2rc)), sgpw)
             for i in range(half32s):
                 sel_v = ops.zero()
                 for k in range(half32s):
                     sel_v = ops.add(sel_v, ops.mul(shq[k], dlimb_w(i + k)))
-                f.assert_zero(ops.mul(sel_wsrl, ops.sub(a[i], sel_v)))
+                f.assert_zero(ops.mul(sel_wsrl, ops.sub(shA[i], sel_v)))
                 filled = ops.zero()
                 for k in range(half32s - i, half32s):
                     filled = ops.add(filled, shq[k])
                 fill = ops.add(
-                    ops.scale_base(ops.mul(whb, filled), (1 << lb) - 1),
+                    ops.scale_base(ops.mul(whb, filled), (1 << 8) - 1),
                     ops.mul(shq[half32s - 1 - i], sgpw),
                 )
                 f.assert_zero(
-                    ops.mul(sel_wsra, ops.sub(a[i], ops.add(sel_v, fill)))
+                    ops.mul(sel_wsra, ops.sub(shA[i], ops.add(sel_v, fill)))
                 )
-            # sign extension of the 32-bit result into limbs 4..7
-            for i in range(half32s, nl):
+            # sign extension of the 32-bit result into the high limbs
+            for i in range(nl // 2, nl):
                 f.assert_zero(
                     ops.mul(
                         sel_wshift,
@@ -1104,6 +1181,16 @@ class CpuChip(Chip):
             dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
             ddr, dbor = g("ddr"), g("dbor")
             is_div0, dz_inv = g("is_div0"), g("dz_inv")
+            # byte views for the q*divisor + r = dividend convolutions
+            sel_div_allfam = ops.add(sel_divany, sel_wdiv)
+            divB = _bytes("bvb", b)
+            divC = _bytes("bvc", c)
+            divQ = _bytes("bvq", dq)
+            divR = _bytes("bvr", dr)
+            _bind_bytes(divB, b, sel_div_allfam)
+            _bind_bytes(divC, c, sel_div_allfam)
+            _bind_bytes(divQ, dq, sel_div_allfam)
+            _bind_bytes(divR, dr, sel_div_allfam)
             f.assert_bool(is_div0)
             f.assert_zero(
                 ops.mul(is_div0, ops.sub(ops.add(sel_divany, sel_wdiv), one))
@@ -1132,26 +1219,26 @@ class CpuChip(Chip):
             f.assert_zero(
                 ops.mul(sel_wdiv, ops.sub(ops.add(ops.mul(s_c4, dz_inv), is_div0), one))
             )
-            for k in range(2 * nl):
+            for k in range(2 * NB):
                 conv = ops.zero()
-                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-                    conv = ops.add(conv, ops.mul(dq[i], c[k - i]))
-                if k < nl:
-                    conv = ops.add(conv, dr[k])
+                for i in range(max(0, k - NB + 1), min(NB, k + 1)):
+                    conv = ops.add(conv, ops.mul(divQ[i], divC[k - i]))
+                if k < NB:
+                    conv = ops.add(conv, divR[k])
                 if k > 0:
                     conv = ops.add(
-                        conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
+                        conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << 8))
                     )
-                out_k = b[k] if k < nl else ops.zero()
-                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                out_k = divB[k] if k < NB else ops.zero()
+                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << 8))
                 f.assert_zero(
                     ops.mul(
                         sel_div,
-                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << 8))),
                     )
                 )
-            f.assert_zero(ops.mul(sel_div, dvc_lo[2 * nl - 1]))
-            f.assert_zero(ops.mul(sel_div, dvc_hi[2 * nl - 1]))
+            f.assert_zero(ops.mul(sel_div, dvc_lo[2 * NB - 1]))
+            f.assert_zero(ops.mul(sel_div, dvc_hi[2 * NB - 1]))
             # div-by-zero forcing
             for i in range(nl):
                 f.assert_zero(ops.mul(is_div0, ops.sub(dq[i], ops.const((1 << lb) - 1))))
@@ -1191,6 +1278,11 @@ class CpuChip(Chip):
             # mandated result.
             mb, mc2 = g("mb"), g("mc2")
             ncb, ncc = g("ncb"), g("ncc")
+            sel_any_signed = ops.add(sel_sdiv, sel_wsdiv)
+            divM = _bytes("bvm", mb)
+            divMC = _bytes("bvmc", mc2)
+            _bind_bytes(divM, mb, sel_any_signed)
+            _bind_bytes(divMC, mc2, sel_any_signed)
             qs = g("qs")
             d0_div, d0_rem = g("d0_div"), g("d0_rem")
             f.assert_bool(qs)
@@ -1231,26 +1323,26 @@ class CpuChip(Chip):
             neg_chain(b, mb, ncb, hb_b, sel_sdiv, hb_b)
             neg_chain(c, mc2, ncc, hb_c, sel_sdiv, hb_c)
             # magnitude identity: dq*mc2 + dr = mb  (off div0)
-            for k in range(2 * nl):
+            for k in range(2 * NB):
                 conv = ops.zero()
-                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-                    conv = ops.add(conv, ops.mul(dq[i], mc2[k - i]))
-                if k < nl:
-                    conv = ops.add(conv, dr[k])
+                for i in range(max(0, k - NB + 1), min(NB, k + 1)):
+                    conv = ops.add(conv, ops.mul(divQ[i], divMC[k - i]))
+                if k < NB:
+                    conv = ops.add(conv, divR[k])
                 if k > 0:
                     conv = ops.add(
-                        conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb))
+                        conv, ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << 8))
                     )
-                out_k = mb[k] if k < nl else ops.zero()
-                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                out_k = divM[k] if k < NB else ops.zero()
+                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << 8))
                 f.assert_zero(
                     ops.mul(
                         sel_sdiv_live,
-                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << 8))),
                     )
                 )
-            f.assert_zero(ops.mul(sel_sdiv_live, dvc_lo[2 * nl - 1]))
-            f.assert_zero(ops.mul(sel_sdiv_live, dvc_hi[2 * nl - 1]))
+            f.assert_zero(ops.mul(sel_sdiv_live, dvc_lo[2 * NB - 1]))
+            f.assert_zero(ops.mul(sel_sdiv_live, dvc_hi[2 * NB - 1]))
             # dr < mc2 off div0
             for i in range(nl):
                 bin_ = dbor[i - 1] if i > 0 else one
@@ -1292,21 +1384,25 @@ class CpuChip(Chip):
                 )
                 f.assert_zero(ops.mul(sels["subw"], expr_s))
         if "mulw" in present:
+            # 32-bit product: byte conv over the low NB//2 byte positions
             mc_lo_, mc_hi_ = g("mc_lo"), g("mc_hi")
-            for k in range(half32):
+            _bind_bytes(mulA, a, sels["mulw"], hi=half32)
+            for k in range(NB // 2):
                 conv = ops.zero()
                 for i in range(k + 1):
-                    conv = ops.add(conv, ops.mul(b[i], c[k - i]))
+                    conv = ops.add(conv, ops.mul(mulB[i], mulC[k - i]))
                 cin = (
-                    ops.add(mc_lo_[k - 1], ops.mul(mc_hi_[k - 1], base))
+                    ops.add(mc_lo_[k - 1], ops.mul(mc_hi_[k - 1], base8))
                     if k > 0
                     else ops.zero()
                 )
-                cout = ops.add(mc_lo_[k], ops.mul(mc_hi_[k], base))
+                cout = ops.add(mc_lo_[k], ops.mul(mc_hi_[k], base8))
                 f.assert_zero(
                     ops.mul(
                         sels["mulw"],
-                        ops.sub(ops.add(conv, cin), ops.add(a[k], ops.mul(cout, base))),
+                        ops.sub(
+                            ops.add(conv, cin), ops.add(mulA[k], ops.mul(cout, base8))
+                        ),
                     )
                 )
         if self._present(W_ARITH_SELS):
@@ -1357,30 +1453,31 @@ class CpuChip(Chip):
                             ),
                         )
                     )
-            # convolution identities over 8 limbs (q, divisor, r, dividend all
-            # 4-limb): unsigned on (c, b), signed on (mc2, mb)
-            for gate, dv, dd in ((sel_wu_live, c, b), (sel_ws_live, mc2, mb)):
-                for k in range(nl):
+            # convolution identities over 8 byte positions (q, divisor, r,
+            # dividend all 4-byte): unsigned on (c, b), signed on (mc2, mb)
+            hb4 = NB // 2
+            for gate, dv, dd in ((sel_wu_live, divC, divB), (sel_ws_live, divMC, divM)):
+                for k in range(NB):
                     conv = ops.zero()
-                    for i in range(max(0, k - h4 + 1), min(h4, k + 1)):
-                        conv = ops.add(conv, ops.mul(dq[i], dv[k - i]))
-                    if k < h4:
-                        conv = ops.add(conv, dr[k])
+                    for i in range(max(0, k - hb4 + 1), min(hb4, k + 1)):
+                        conv = ops.add(conv, ops.mul(divQ[i], dv[k - i]))
+                    if k < hb4:
+                        conv = ops.add(conv, divR[k])
                     if k > 0:
                         conv = ops.add(
                             conv,
-                            ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb)),
+                            ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << 8)),
                         )
-                    out_k = dd[k] if k < h4 else ops.zero()
-                    cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                    out_k = dd[k] if k < hb4 else ops.zero()
+                    cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << 8))
                     f.assert_zero(
                         ops.mul(
                             gate,
-                            ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                            ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << 8))),
                         )
                     )
-                f.assert_zero(ops.mul(gate, dvc_lo[nl - 1]))
-                f.assert_zero(ops.mul(gate, dvc_hi[nl - 1]))
+                f.assert_zero(ops.mul(gate, dvc_lo[NB - 1]))
+                f.assert_zero(ops.mul(gate, dvc_hi[NB - 1]))
                 # r < divisor via (divisor - 1 - r), 4 limbs
                 for i in range(h4):
                     bin_ = dbor[i - 1] if i > 0 else one
@@ -1440,25 +1537,29 @@ class CpuChip(Chip):
             dq, mb = g("dq"), g("mb")
             dvc_lo, dvc_hi = g("dvc_lo"), g("dvc_hi")
             mc_lo = g("mc_lo")
-            for k in range(2 * nl):
+            mulhQ = _bytes("bvq", dq)
+            mulhM = _bytes("bvm", mb)
+            _bind_bytes(mulhQ, dq, sel_mulh_any)
+            _bind_bytes(mulhM, mb, sel_mulh_any)
+            for k in range(2 * NB):
                 conv = ops.zero()
-                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-                    conv = ops.add(conv, ops.mul(b[i], c[k - i]))
+                for i in range(max(0, k - NB + 1), min(NB, k + 1)):
+                    conv = ops.add(conv, ops.mul(mulB[i], mulC[k - i]))
                 if k > 0:
                     conv = ops.add(
                         conv,
-                        ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << lb)),
+                        ops.add(dvc_lo[k - 1], ops.scale_base(dvc_hi[k - 1], 1 << 8)),
                     )
-                out_k = dq[k] if k < nl else mb[k - nl]
-                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << lb))
+                out_k = mulhQ[k] if k < NB else mulhM[k - NB]
+                cout = ops.add(dvc_lo[k], ops.scale_base(dvc_hi[k], 1 << 8))
                 f.assert_zero(
                     ops.mul(
                         sel_mulh_any,
-                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << lb))),
+                        ops.sub(conv, ops.add(out_k, ops.scale_base(cout, 1 << 8))),
                     )
                 )
-            f.assert_zero(ops.mul(sel_mulh_any, dvc_lo[2 * nl - 1]))
-            f.assert_zero(ops.mul(sel_mulh_any, dvc_hi[2 * nl - 1]))
+            f.assert_zero(ops.mul(sel_mulh_any, dvc_lo[2 * NB - 1]))
+            f.assert_zero(ops.mul(sel_mulh_any, dvc_hi[2 * NB - 1]))
             # mulhu: the high half is the result
             for i in range(nl):
                 f.assert_zero(ops.mul(sels["mulhu"], ops.sub(a[i], mb[i])))
@@ -1806,20 +1907,37 @@ class CpuChip(Chip):
                     out.append(
                         Interaction((_aff(L["maddr"].start + i),), sel_addr, KIND_RANGE)
                     )
+        # 8-bit checks: the byte-position aux columns of the mul/shift/div
+        # machinery. At limb_bits=8 the range table IS an 8-bit table; at
+        # limb_bits=16 they go through the byte table as AND-identity rows
+        # (op=0, v, v, v), like the sub-word memory byte splits below.
+        NB = 8
+        bpl = ws.limb_bits // 8
+
+        def _bcheck(aff, mult):
+            if mult is None:
+                return
+            if bpl == 1:
+                out.append(Interaction((aff,), mult, KIND_RANGE))
+            else:
+                out.append(
+                    Interaction((Affine.const(0), aff, aff, aff), mult, KIND_BYTE)
+                )
+
         sel_mul = self._sel_mul_aff()
         if has("mc_lo"):
-            for i in range(nl):
-                out.append(Interaction((_aff(L["mc_lo"].start + i),), sel_mul, KIND_RANGE))
-                out.append(Interaction((_aff(L["mc_hi"].start + i),), sel_mul, KIND_RANGE))
-        # shift decomposition limbs
+            for i in range(NB):
+                _bcheck(_aff(L["mc_lo"].start + i), sel_mul)
+                _bcheck(_aff(L["mc_hi"].start + i), sel_mul)
+        # shift decomposition bytes
         if has("shq"):
             sel_sll_aff = self._sel_aff(("sll",) + WSHIFT_LEFT_SELS)
             sel_right_aff = self._sel_aff(SHIFT_RIGHT_SELS + WSHIFT_RIGHT_SELS)
-            for i in range(nl):
-                out.append(Interaction((_aff(L["sll_lo"].start + i),), sel_sll_aff, KIND_RANGE))
-                out.append(Interaction((_aff(L["sll_hi"].start + i),), sel_sll_aff, KIND_RANGE))
-                out.append(Interaction((_aff(L["srw_lo"].start + i),), sel_right_aff, KIND_RANGE))
-                out.append(Interaction((_aff(L["srw_hi"].start + i),), sel_right_aff, KIND_RANGE))
+            for i in range(NB):
+                _bcheck(_aff(L["sll_lo"].start + i), sel_sll_aff)
+                _bcheck(_aff(L["sll_hi"].start + i), sel_sll_aff)
+                _bcheck(_aff(L["srw_lo"].start + i), sel_right_aff)
+                _bcheck(_aff(L["srw_hi"].start + i), sel_right_aff)
         # division aux limbs
         sel_div_aff = self._sel_aff(DIV_SELS + SDIV_SELS + WDIV_SELS + MULH_SELS)
         sel_sdiv_aff = self._sel_aff(SDIV_SELS + WSDIV_SELS + MULH_SELS)
@@ -1827,9 +1945,37 @@ class CpuChip(Chip):
             for i in range(nl):
                 out.append(Interaction((_aff(L["dq"].start + i),), sel_div_aff, KIND_RANGE))
                 out.append(Interaction((_aff(L["mb"].start + i),), sel_sdiv_aff, KIND_RANGE))
-            for i in range(2 * nl):
-                out.append(Interaction((_aff(L["dvc_lo"].start + i),), sel_div_aff, KIND_RANGE))
-                out.append(Interaction((_aff(L["dvc_hi"].start + i),), sel_div_aff, KIND_RANGE))
+            for i in range(2 * NB):
+                _bcheck(_aff(L["dvc_lo"].start + i), sel_div_aff)
+                _bcheck(_aff(L["dvc_hi"].start + i), sel_div_aff)
+        # byte-view witnesses (limb_bits=16 only): genuine-byte checks with
+        # the same multiplicity as their binding gates in eval()
+        if bpl == 2:
+            sel_mulw_aff = self._sel_aff(MUL_SELS + ("mulw",))
+            sel_anyshift_aff = self._sel_aff(SHIFT_SELS + WSHIFT_SELS)
+            sel_divfam_aff = self._sel_aff(DIV_SELS + SDIV_SELS + WDIV_SELS)
+            sel_anysigned_aff = self._sel_aff(SDIV_SELS + WSDIV_SELS)
+            sel_mulh_aff = self._sel_aff(MULH_SELS)
+            bv_checks = []
+            if has("mc_lo"):  # mul family (bv cols shared per byte content)
+                bv_checks += [
+                    ("bvb", sel_mul), ("bvc", sel_mul), ("bva", sel_mulw_aff),
+                    ("bvq", sel_mulh_aff), ("bvm", sel_mulh_aff),
+                ]
+            if has("shq"):
+                bv_checks += [("bvb", sel_anyshift_aff), ("bva", sel_anyshift_aff)]
+            if has("dr"):
+                bv_checks += [
+                    ("bvb", sel_divfam_aff), ("bvc", sel_divfam_aff),
+                    ("bvq", sel_divfam_aff), ("bvr", sel_divfam_aff),
+                    ("bvm", sel_anysigned_aff), ("bvmc", sel_anysigned_aff),
+                ]
+            for nm, mult in bv_checks:
+                if nm in L.names:
+                    for i in range(NB):
+                        _bcheck(_aff(L[nm].start + i), mult)
+            if "shrest" in L.names:
+                _bcheck(_aff(L["shrest"]), sel_anyshift_aff)
         if has("dr"):
             for i in range(nl):
                 out.append(Interaction((_aff(L["dr"].start + i),), sel_div_aff, KIND_RANGE))

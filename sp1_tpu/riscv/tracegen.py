@@ -194,18 +194,13 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             op_id[i] = {0: OP_ADD, 1: OP_SLL, 2: OP_SLT, 3: OP_SLTU,
                         4: OP_XOR, 6: OP_OR, 7: OP_AND}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
-            if f3 == 1:
-                assert ws.limb_bits == 8, "shifts require 8-bit limbs"
         elif opc == 0x33 and f7 == 0x00 and f3 == 5:
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SRL
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x33 and f7 == 0x20 and f3 == 5:
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SRA
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x13 and f3 == 5:  # srli / srai (shamt as plain imm)
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SRAI if ((w >> 26) & 0x3F) == 0x10 else OP_SRLI
             rd[i], rs1[i] = rd_i, rs1_i
             sh = (w >> 20) & 63
@@ -214,16 +209,12 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             op_id[i] = OP_SUB
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x33 and f7 == 0x01 and f3 == 0:
-            # the mul carry bound requires conv sums < p: limb_bits <= 8
-            assert ws.limb_bits <= 8, "mul requires limb_bits <= 8 for now"
             op_id[i] = OP_MUL
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x33 and f7 == 0x01 and f3 in (4, 5, 6, 7):
-            assert ws.limb_bits == 8, "div requires 8-bit limbs"
             op_id[i] = {4: OP_DIV, 5: OP_DIVU, 6: OP_REM, 7: OP_REMU}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x33 and f7 == 0x01 and f3 in (1, 2, 3):
-            assert ws.limb_bits == 8, "mulh requires 8-bit limbs"
             op_id[i] = {1: OP_MULH, 2: OP_MULHSU, 3: OP_MULHU}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x13 and f3 in (0, 2, 3, 4, 6, 7):
@@ -245,33 +236,26 @@ def decode_program(words: np.ndarray, pc_base: int, ws: WordSpec):
             op_id[i] = OP_SUBW
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x3B and f7 == 0x01 and f3 == 0:
-            assert ws.limb_bits <= 8, "mulw requires limb_bits <= 8"
             op_id[i] = OP_MULW
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x3B and f7 == 0x01 and f3 in (4, 5, 6, 7):
-            assert ws.limb_bits == 8, "div requires 8-bit limbs"
             op_id[i] = {4: OP_DIVW, 5: OP_DIVUW, 6: OP_REMW, 7: OP_REMUW}[f3]
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x3B and f7 == 0x00 and f3 == 1:
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SLLW
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x3B and f7 == 0x00 and f3 == 5:
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SRLW
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x3B and f7 == 0x20 and f3 == 5:
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SRAW
             rd[i], rs1[i], rs2[i] = rd_i, rs1_i, rs2_i
         elif opc == 0x1B and f3 == 1:  # slliw
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SLLIW
             rd[i], rs1[i] = rd_i, rs1_i
             sh = (w >> 20) & 31
             imm[i] = limbs_of(np.array([sh], np.uint64), ws)[0]
         elif opc == 0x1B and f3 == 5:  # srliw / sraiw
-            assert ws.limb_bits == 8, "shifts require 8-bit limbs"
             op_id[i] = OP_SRAIW if ((w >> 26) & 0x3F) == 0x10 else OP_SRLIW
             rd[i], rs1[i] = rd_i, rs1_i
             sh = (w >> 20) & 31
@@ -693,30 +677,50 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
             halves[:, 2 * i + 1] = src_l[:, i] >> hb
         cpu[:n, L[dst]] = np.where(is_bw[:, None], halves, 0)
 
-    # mul carries
+    # Byte views: mul/shift/div arithmetic is byte-granular in the AIR
+    # (NB = 8 bytes/word; see machine.cpu_layout). At limb_bits=8 the
+    # byte arrays ARE the limb arrays; at limb_bits=16 they additionally
+    # fill the bv* witness columns and are byte-checked (bcheckables).
+    NB = 8
+    bcheckables = []  # (vals, mult) 8-bit checks -> range table | byte table
+
+    def bytes_from_limbs(limb_arr):
+        if bpl == 1:
+            return limb_arr
+        out_ = np.zeros((n, NB), np.uint32)
+        for i in range(nl):
+            out_[:, 2 * i] = limb_arr[:, i] & 0xFF
+            out_[:, 2 * i + 1] = limb_arr[:, i] >> 8
+        return out_
+
+    b_B = bytes_from_limbs(b_l)
+    c_B = bytes_from_limbs(c_l)
+    a_B = bytes_from_limbs(a_l)
+
+    # mul carries (per byte position)
     is_mul = (op == OP_MUL) | (op == OP_MULI)
-    mc_lo = np.zeros((n, nl), np.uint32)
-    mc_hi = np.zeros((n, nl), np.uint32)
+    mc_lo = np.zeros((n, NB), np.uint32)
+    mc_hi = np.zeros((n, NB), np.uint32)
     acc = np.zeros(n, np.uint64)
-    for k in range(nl):
+    for k in range(NB):
         conv = acc.copy()
         for i in range(k + 1):
-            conv = conv + b_l[:, i].astype(np.uint64) * c_l[:, k - i]
-        cout = (conv - a_l[:, k]) >> np.uint64(ws.limb_bits)
-        mc_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
-        mc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
+            conv = conv + b_B[:, i].astype(np.uint64) * c_B[:, k - i]
+        cout = (conv - a_B[:, k]) >> np.uint64(8)
+        mc_lo[:, k] = (cout & np.uint64(0xFF)).astype(np.uint32)
+        mc_hi[:, k] = (cout >> np.uint64(8)).astype(np.uint32)
         acc = cout
     is_mulw = op == OP_MULW
-    mcw_lo = np.zeros((n, nl), np.uint32)
-    mcw_hi = np.zeros((n, nl), np.uint32)
+    mcw_lo = np.zeros((n, NB), np.uint32)
+    mcw_hi = np.zeros((n, NB), np.uint32)
     accm = np.zeros(n, np.uint64)
-    for k in range(half32):
+    for k in range(NB // 2):
         conv = accm.copy()
         for i in range(k + 1):
-            conv = conv + b_l[:, i].astype(np.uint64) * c_l[:, k - i]
-        cout = (conv - a_l[:, k]) >> np.uint64(ws.limb_bits)
-        mcw_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
-        mcw_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
+            conv = conv + b_B[:, i].astype(np.uint64) * c_B[:, k - i]
+        cout = (conv - a_B[:, k]) >> np.uint64(8)
+        mcw_lo[:, k] = (cout & np.uint64(0xFF)).astype(np.uint32)
+        mcw_hi[:, k] = (cout >> np.uint64(8)).astype(np.uint32)
         accm = cout
     if "mc_lo" in L.names:
         cpu[:n, L["mc_lo"]] = np.where(
@@ -826,12 +830,12 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
     is_wsra = np.isin(op, [OP_SRAW, OP_SRAIW])
     lb = ws.limb_bits
     s_amt = np.where(is_wshift, c_l[:, 0] & 31, c_l[:, 0] & 63).astype(np.uint32)
-    q_amt = s_amt // lb
-    r_amt = s_amt % lb
-    for k in range(nl):
+    q_amt = s_amt // 8
+    r_amt = s_amt % 8
+    for k in range(NB):
         if "shq" in L.names:
             cpu[:n, L["shq"].start + k] = (is_anyshift & (q_amt == k)).astype(np.uint32)
-    for j in range(lb):
+    for j in range(8):
         if "shr" in L.names:
             cpu[:n, L["shr"].start + j] = (is_anyshift & (r_amt == j)).astype(np.uint32)
     hi2 = (c_l[:, 0] >> 6).astype(np.uint32)
@@ -842,43 +846,45 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
         )
     if "shb1" in L.names:
         cpu[:n, L["shb1"]] = np.where(
-            is_shift, hi2 >> 1, np.where(is_wshift, (hi3 >> 1) & 1, 0)
+            is_shift, (hi2 >> 1) & 1, np.where(is_wshift, (hi3 >> 1) & 1, 0)
         )
     if "shb2" in L.names:
-        cpu[:n, L["shb2"]] = np.where(is_wshift, hi3 >> 2, 0)
+        cpu[:n, L["shb2"]] = np.where(is_wshift, (hi3 >> 2) & 1, 0)
+    if "shrest" in L.names:
+        cpu[:n, L["shrest"]] = np.where(is_anyshift, c_l[:, 0] >> 8, 0)
+        bcheckables.append((cpu[:n, L["shrest"]], is_anyshift.astype(np.int64)))
     p2r = (np.uint64(1) << r_amt.astype(np.uint64)).astype(np.uint64)
-    p2rc = (np.uint64(1) << (lb - r_amt).astype(np.uint64)).astype(np.uint64)
-    mask_l = np.uint64((1 << lb) - 1)
-    half32w = nl // 2
-    for i in range(nl):
+    p2rc = (np.uint64(1) << (8 - r_amt).astype(np.uint64)).astype(np.uint64)
+    half32w = NB // 2
+    for i in range(NB):
         left_m = is_sll | (is_wl & (i < half32w))
         right_m = is_right | (is_wr & (i < half32w))
-        t = b_l[:, i].astype(np.uint64) * p2r
+        t = b_B[:, i].astype(np.uint64) * p2r
         if "sll_lo" in L.names:
-            cpu[:n, L["sll_lo"].start + i] = np.where(left_m, t & mask_l, 0).astype(np.uint32)
+            cpu[:n, L["sll_lo"].start + i] = np.where(left_m, t & np.uint64(0xFF), 0).astype(np.uint32)
         if "sll_hi" in L.names:
-            cpu[:n, L["sll_hi"].start + i] = np.where(left_m, t >> np.uint64(lb), 0).astype(np.uint32)
-        t = b_l[:, i].astype(np.uint64) * p2rc
+            cpu[:n, L["sll_hi"].start + i] = np.where(left_m, t >> np.uint64(8), 0).astype(np.uint32)
+        t = b_B[:, i].astype(np.uint64) * p2rc
         if "srw_lo" in L.names:
-            cpu[:n, L["srw_lo"].start + i] = np.where(right_m, t & mask_l, 0).astype(np.uint32)
+            cpu[:n, L["srw_lo"].start + i] = np.where(right_m, t & np.uint64(0xFF), 0).astype(np.uint32)
         if "srw_hi" in L.names:
-            cpu[:n, L["srw_hi"].start + i] = np.where(right_m, t >> np.uint64(lb), 0).astype(np.uint32)
+            cpu[:n, L["srw_hi"].start + i] = np.where(right_m, t >> np.uint64(8), 0).astype(np.uint32)
     is_wdiv_pre = np.isin(op, [OP_DIVW, OP_DIVUW, OP_REMW, OP_REMUW])
     whb_v = np.where(
-        is_wsra | is_wdiv_pre, (b_l[:, half32w - 1] >> (lb - 1)) & 1, 0
+        is_wsra | is_wdiv_pre, (b_l[:, nl // 2 - 1] >> (lb - 1)) & 1, 0
     ).astype(np.int64)
     if "whb" in L.names:
         cpu[:n, L["whb"]] = whb_v.astype(np.uint32)
-    # sgp = hb_b * (2^L - 2^(L-r)) holds UNGATED: on rows without shift
-    # selectors the r one-hot is all-zero, so the affine 2^(L-r) is 0 and
-    # sgp must equal hb_b * 2^L there (e.g. signed-cmp rows with negative b)
+    # sgp = hb_b * (2^8 - 2^(8-r)) holds UNGATED: on rows without shift
+    # selectors the r one-hot is all-zero, so the affine 2^(8-r) is 0 and
+    # sgp must equal hb_b * 2^8 there (e.g. signed-cmp rows with negative b)
     p2rc_eff = np.where(is_anyshift, p2rc, 0).astype(np.int64)
     sgp_v = (
-        hb_b_eff.astype(np.int64) * (((1 << lb) - p2rc_eff) % kb.P)
+        hb_b_eff.astype(np.int64) * (((1 << 8) - p2rc_eff) % kb.P)
     ) % kb.P
     if "sgp" in L.names:
         cpu[:n, L["sgp"]] = sgp_v.astype(np.uint32)
-    sgpw_v = (whb_v * (((1 << lb) - p2rc_eff) % kb.P)) % kb.P
+    sgpw_v = (whb_v * (((1 << 8) - p2rc_eff) % kb.P)) % kb.P
     if "sgpw" in L.names:
         cpu[:n, L["sgpw"]] = sgpw_v.astype(np.uint32)
 
@@ -976,23 +982,30 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
         cpu[:n, L["carry"]] = np.where(
             (sdiv_live | wsdiv_chain)[:, None], res_carr, cpu[:n, L["carry"]]
         )
-    # convolution carries for q*divisor + r = dividend over 2nl limbs
-    # (W rows: only the low-half limbs participate; dividend low half)
+    # convolution carries for q*divisor + r = dividend over 2*NB byte
+    # positions (W rows: only the low-half bytes participate; high bytes
+    # of q/divisor are zero there so the full-width loop degenerates)
     conv_c = np.where(is_any_signed[:, None], mc_l, np.where(is_wdiv[:, None], limbs_of(cv, ws), c_l))
     conv_out = np.where(is_any_signed[:, None], mb_l, np.where(is_wdiv[:, None], limbs_of(bv, ws), b_l))
-    dvc_lo = np.zeros((n, 2 * nl), np.uint32)
-    dvc_hi = np.zeros((n, 2 * nl), np.uint32)
+    conv_c_B = bytes_from_limbs(conv_c)
+    conv_out_B = bytes_from_limbs(conv_out)
+    dq_B = bytes_from_limbs(dq_l)
+    dr_B = bytes_from_limbs(dr_l)
+    mb_B = bytes_from_limbs(mb_l)
+    mc2_B = bytes_from_limbs(mc_l)
+    dvc_lo = np.zeros((n, 2 * NB), np.uint32)
+    dvc_hi = np.zeros((n, 2 * NB), np.uint32)
     accd = np.zeros(n, np.uint64)
-    for k in range(2 * nl):
+    for k in range(2 * NB):
         conv = accd.copy()
-        for i in range(max(0, k - nl + 1), min(nl, k + 1)):
-            conv = conv + dq_l[:, i].astype(np.uint64) * conv_c[:, k - i]
-        if k < nl:
-            conv = conv + dr_l[:, k]
-        out_k = conv_out[:, k].astype(np.uint64) if k < nl else np.uint64(0)
-        cout = (conv - out_k) >> np.uint64(ws.limb_bits)
-        dvc_lo[:, k] = (cout & np.uint64((1 << ws.limb_bits) - 1)).astype(np.uint32)
-        dvc_hi[:, k] = (cout >> np.uint64(ws.limb_bits)).astype(np.uint32)
+        for i in range(max(0, k - NB + 1), min(NB, k + 1)):
+            conv = conv + dq_B[:, i].astype(np.uint64) * conv_c_B[:, k - i]
+        if k < NB:
+            conv = conv + dr_B[:, k]
+        out_k = conv_out_B[:, k].astype(np.uint64) if k < NB else np.uint64(0)
+        cout = (conv - out_k) >> np.uint64(8)
+        dvc_lo[:, k] = (cout & np.uint64(0xFF)).astype(np.uint32)
+        dvc_hi[:, k] = (cout >> np.uint64(8)).astype(np.uint32)
         accd = cout
     conv_mask = is_div | sdiv_live | (is_wdiv & c_nz)
     if "dvc_lo" in L.names:
@@ -1039,37 +1052,45 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
 
     # high multiplication: full product halves + conv carries + correction
     is_mulh_any = np.isin(op, [OP_MULH, OP_MULHU, OP_MULHSU])
+    mulh_lo_B = np.zeros((n, NB), np.uint32)
+    mulh_uh_B = np.zeros((n, NB), np.uint32)
     if np.any(is_mulh_any):
         idxs = np.nonzero(is_mulh_any)[0]
         lo_l = np.zeros((n, nl), np.uint32)
         uh_l = np.zeros((n, nl), np.uint32)
-        hc_l = np.zeros((n, nl), np.uint32)
-        dvcm_lo = np.zeros((n, 2 * nl), np.uint32)
-        dvcm_hi = np.zeros((n, 2 * nl), np.uint32)
+        hc_l = np.zeros((n, NB), np.uint32)
+        dvcm_lo = np.zeros((n, 2 * NB), np.uint32)
+        dvcm_hi = np.zeros((n, 2 * NB), np.uint32)
+        lmask = (1 << lb) - 1
         for j in idxs:
             bi, ci = int(bv_full[j]), int(cv_full[j])
             prod = bi * ci
             uh = prod >> 64
             sbj, scj = bi >> 63, ci >> 63
             for i in range(nl):
-                lo_l[j, i] = (prod >> (8 * i)) & 0xFF
-                uh_l[j, i] = (uh >> (8 * i)) & 0xFF
+                lo_l[j, i] = (prod >> (lb * i)) & lmask
+                uh_l[j, i] = (uh >> (lb * i)) & lmask
+            for i in range(NB):
+                mulh_lo_B[j, i] = (prod >> (8 * i)) & 0xFF
+                mulh_uh_B[j, i] = (uh >> (8 * i)) & 0xFF
             opj = int(op[j])
             av = int(ev["a"][j])
             accj = 0
+            # signed-correction carries: limb-granular
             for i in range(nl):
-                lhs = (av >> (8 * i)) & 0xFF
+                lhs = (av >> (lb * i)) & lmask
                 if opj in (OP_MULH, OP_MULHSU):
-                    lhs += sbj * ((ci >> (8 * i)) & 0xFF)
+                    lhs += sbj * ((ci >> (lb * i)) & lmask)
                 if opj == OP_MULH:
-                    lhs += scj * ((bi >> (8 * i)) & 0xFF)
+                    lhs += scj * ((bi >> (lb * i)) & lmask)
                 lhs += accj
-                hc_l[j, i] = (lhs - ((uh >> (8 * i)) & 0xFF)) >> 8
+                hc_l[j, i] = (lhs - ((uh >> (lb * i)) & lmask)) >> lb
                 accj = int(hc_l[j, i])
+            # full-product convolution carries: byte-granular
             acc2 = 0
-            for k in range(2 * nl):
+            for k in range(2 * NB):
                 conv = acc2
-                for i in range(max(0, k - nl + 1), min(nl, k + 1)):
+                for i in range(max(0, k - NB + 1), min(NB, k + 1)):
                     conv += ((bi >> (8 * i)) & 0xFF) * ((ci >> (8 * (k - i))) & 0xFF)
                 outk = (prod >> (8 * k)) & 0xFF
                 cout = (conv - outk) >> 8
@@ -1092,6 +1113,72 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
             cpu[:n, L["dvc_hi"]] = np.where(
                 is_mulh_any[:, None], dvcm_hi, cpu[:n, L["dvc_hi"]]
             )
+
+    # byte-view witness columns (limb_bits=16): one consolidated fill per
+    # column with the union of its family masks; byte checks are tallied
+    # per family to mirror the per-family interactions in CpuChip.sends.
+    if bpl == 2:
+        is_mulfam = is_mul | is_mulw | is_mulh_any
+        is_divfam = is_divany
+        is_anysigned = is_any_signed
+
+        def _fill_bv(name, fills, checks):
+            """fills: [(mask, byte_array)] first-match-wins; checks: [mask]."""
+            if name not in L.names:
+                return
+            sl = L[name]
+            acc_ = np.zeros((n, NB), np.uint32)
+            taken_ = np.zeros(n, bool)
+            for mask_, arr_ in fills:
+                use = mask_ & ~taken_
+                acc_ = np.where(use[:, None], arr_, acc_)
+                taken_ |= mask_
+            cpu[:n, sl] = acc_
+            for mask_ in checks:
+                m64 = mask_.astype(np.int64)
+                for i in range(NB):
+                    bcheckables.append((cpu[:n, sl.start + i], m64))
+
+        has_mul_cls = "mc_lo" in L.names
+        has_shift_cls = "shq" in L.names
+        has_div_cls = "dr" in L.names
+        bvb_fills, bvb_checks = [], []
+        bvc_fills, bvc_checks = [], []
+        bva_fills, bva_checks = [], []
+        bvq_fills, bvq_checks = [], []
+        bvm_fills, bvm_checks = [], []
+        if has_mul_cls:
+            bvb_fills.append((is_mulfam, b_B))
+            bvb_checks.append(is_mulfam)
+            bvc_fills.append((is_mulfam, c_B))
+            bvc_checks.append(is_mulfam)
+            bva_fills.append((is_mul | is_mulw, a_B))
+            bva_checks.append(is_mul | is_mulw)
+            bvq_fills.append((is_mulh_any, mulh_lo_B))
+            bvq_checks.append(is_mulh_any)
+            bvm_fills.append((is_mulh_any, mulh_uh_B))
+            bvm_checks.append(is_mulh_any)
+        if has_shift_cls:
+            bvb_fills.append((is_anyshift, b_B))
+            bvb_checks.append(is_anyshift)
+            bva_fills.append((is_anyshift, a_B))
+            bva_checks.append(is_anyshift)
+        if has_div_cls:
+            bvb_fills.append((is_divfam, b_B))
+            bvb_checks.append(is_divfam)
+            bvc_fills.append((is_divfam, c_B))
+            bvc_checks.append(is_divfam)
+            bvq_fills.append((is_divfam, dq_B))
+            bvq_checks.append(is_divfam)
+            bvm_fills.append((is_anysigned, mb_B))
+            bvm_checks.append(is_anysigned)
+            _fill_bv("bvr", [(is_divfam, dr_B)], [is_divfam])
+            _fill_bv("bvmc", [(is_anysigned, mc2_B)], [is_anysigned])
+        _fill_bv("bvb", bvb_fills, bvb_checks)
+        _fill_bv("bvc", bvc_fills, bvc_checks)
+        _fill_bv("bva", bva_fills, bva_checks)
+        _fill_bv("bvq", bvq_fills, bvq_checks)
+        _fill_bv("bvm", bvm_fills, bvm_checks)
 
     hbm_v = np.zeros(n, np.uint32)
     for opc_, size in ((OP_LB, 1), (OP_LH, 2), (OP_LW, 4)):
@@ -1215,12 +1302,12 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
         if ws.limb_bits * i < 32:
             if "maddr" in L.names:
                 lookups.append((cpu[:n, L["maddr"].start + i], is_addr_u))
-    is_anymul = (is_mul | is_mulw | is_mulh_any).astype(np.uint32)
-    for i in range(nl):
+    is_anymul = (is_mul | is_mulw | is_mulh_any).astype(np.int64)
+    for i in range(NB):
         if "mc_lo" in L.names:
-            lookups.append((cpu[:n, L["mc_lo"].start + i], is_anymul))
+            bcheckables.append((cpu[:n, L["mc_lo"].start + i], is_anymul))
         if "mc_hi" in L.names:
-            lookups.append((cpu[:n, L["mc_hi"].start + i], is_anymul))
+            bcheckables.append((cpu[:n, L["mc_hi"].start + i], is_anymul))
     for i in range(nl):
         if "dcmp" in L.names:
             lookups.append((cpu[:n, L["dcmp"].start + i], is_cmp.astype(np.uint32)))
@@ -1236,17 +1323,17 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
         ) % kb.P
         lookups.append((rest_c.astype(np.uint32), (is_signed | is_sdiv | is_mulh_bc).astype(np.uint32)))
 
-    left_u = (is_sll | is_wl).astype(np.uint32)
-    right_u = (is_right | is_wr).astype(np.uint32)
-    for i in range(nl):
+    left_u = (is_sll | is_wl).astype(np.int64)
+    right_u = (is_right | is_wr).astype(np.int64)
+    for i in range(NB):
         if "sll_lo" in L.names:
-            lookups.append((cpu[:n, L["sll_lo"].start + i], left_u))
+            bcheckables.append((cpu[:n, L["sll_lo"].start + i], left_u))
         if "sll_hi" in L.names:
-            lookups.append((cpu[:n, L["sll_hi"].start + i], left_u))
+            bcheckables.append((cpu[:n, L["sll_hi"].start + i], left_u))
         if "srw_lo" in L.names:
-            lookups.append((cpu[:n, L["srw_lo"].start + i], right_u))
+            bcheckables.append((cpu[:n, L["srw_lo"].start + i], right_u))
         if "srw_hi" in L.names:
-            lookups.append((cpu[:n, L["srw_hi"].start + i], right_u))
+            bcheckables.append((cpu[:n, L["srw_hi"].start + i], right_u))
     is_divany_u = (is_divany | is_mulh_any).astype(np.uint32)
     for i in range(nl):
         if "dq" in L.names:
@@ -1259,11 +1346,11 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
             lookups.append((cpu[:n, L["mb"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
         if "mc2" in L.names:
             lookups.append((cpu[:n, L["mc2"].start + i], (is_sdiv | is_wsdiv | is_mulh_any).astype(np.uint32)))
-    for i in range(2 * nl):
+    for i in range(2 * NB):
         if "dvc_lo" in L.names:
-            lookups.append((cpu[:n, L["dvc_lo"].start + i], is_divany_u))
+            bcheckables.append((cpu[:n, L["dvc_lo"].start + i], is_divany_u.astype(np.int64)))
         if "dvc_hi" in L.names:
-            lookups.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u))
+            bcheckables.append((cpu[:n, L["dvc_hi"].start + i], is_divany_u.astype(np.int64)))
     for i in range(nl):
         if "mem_prev_val" in L.names:
             lookups.append((cpu[:n, L["mem_prev_val"].start + i], is_subw.astype(np.uint32)))
@@ -1333,6 +1420,12 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
             * hbm_v.astype(np.int64)
         ) % kb.P
         byte_id.append((lb_rest, (op == OP_LB).astype(np.int64)))
+    # 8-bit checks: range-table rows at limb_bits=8 (where the range table
+    # IS a byte table), AND-identity byte-table rows at limb_bits=16.
+    if bpl == 1:
+        lookups.extend(bcheckables)
+    else:
+        byte_id.extend(bcheckables)
     return cpu, lookups, bw_pairs, byte_id
 
 

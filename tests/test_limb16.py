@@ -21,16 +21,6 @@ from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 WS = WordSpec(limb_bits=16)
 MLRC = 16
 
-# mul/div/shift families still constrain at 8-bit limb granularity
-# (their convolution-carry bounds need byte products); they move to
-# byte-internal per-class chips with the chip split. Until then, decode
-# rejects them at limb_bits=16 and they are marked xfail here.
-_NEEDS_BYTE_CHIPS = pytest.mark.xfail(
-    reason="mul/div/shift constraints pending byte-internal class chips",
-    raises=AssertionError,
-    strict=True,
-)
-
 PROGRAMS = [
     pytest.param(asm.FIBONACCI, [10], lambda n: 55, id="fib"),
     pytest.param(asm.CMP_OPS, [2**64 - 3, 7],
@@ -39,17 +29,13 @@ PROGRAMS = [
                  lambda n: asm.membyte_ops_expected(0xABCD), id="membyte"),
     pytest.param(asm.CALL_OPS, [77], lambda n: asm.call_ops_expected(77), id="call"),
     pytest.param(asm.MIXED_OPS, [0xABCDEF],
-                 lambda n: asm.mixed_ops_expected(0xABCDEF), id="mixed",
-                 marks=_NEEDS_BYTE_CHIPS),
+                 lambda n: asm.mixed_ops_expected(0xABCDEF), id="mixed"),
     pytest.param(asm.WORD_OPS, [0xFFFF],
-                 lambda n: asm.word_ops_expected(0xFFFF), id="word",
-                 marks=_NEEDS_BYTE_CHIPS),
+                 lambda n: asm.word_ops_expected(0xFFFF), id="word"),
     pytest.param(asm.SHIFT_OPS, [0x1234],
-                 lambda n: asm.shift_ops_expected(0x1234), id="shift",
-                 marks=_NEEDS_BYTE_CHIPS),
+                 lambda n: asm.shift_ops_expected(0x1234), id="shift"),
     pytest.param(asm.DIV_OPS, [0xDEAD],
-                 lambda n: asm.div_ops_expected(0xDEAD), id="div",
-                 marks=_NEEDS_BYTE_CHIPS),
+                 lambda n: asm.div_ops_expected(0xDEAD), id="div"),
 ]
 
 
