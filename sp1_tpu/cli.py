@@ -86,7 +86,11 @@ def cmd_execute(args) -> int:
 def cmd_prove(args) -> int:
     client = _client(args)
     prog = _load_program(args.elf)
-    pk, vk = client.setup(prog.words, pc_base=prog.pc_base)
+    # The whole Program object goes through setup so the proof attests the
+    # same execution `execute` reports: data segments (memory_image) seed
+    # the executor's initial RAM and the ELF entry (pc_start) becomes
+    # vk.pc_start (checked against the first shard's public values).
+    pk, vk = client.setup(prog)
     t0 = time.time()
     proof = client.prove(pk, stdin=_parse_stdin(args.stdin))
     secs = time.time() - t0
@@ -101,10 +105,42 @@ def cmd_prove(args) -> int:
     return 0
 
 
+class _ProofUnpickler(pickle.Unpickler):
+    """Restricted unpickler for proof files: a proof is the canonical
+    ADVERSARIAL input to a verifier, so arbitrary-code-execution pickles
+    are rejected — only numpy array reconstruction and the proof/vk
+    dataclasses are allowed."""
+
+    _ALLOWED_PREFIXES = (
+        "sp1_tpu.prover.",
+        "sp1_tpu.pcs.",
+        "sp1_tpu.iop.",
+        "sp1_tpu.sdk.",
+        "sp1_tpu.recursion.",
+    )
+
+    def find_class(self, module, name):
+        if module == "numpy" and name in ("ndarray", "dtype", "uint32", "uint64", "int64"):
+            return super().find_class(module, name)
+        if module in ("numpy.core.multiarray", "numpy._core.multiarray") and name in (
+            "_reconstruct", "scalar",
+        ):
+            return super().find_class(module, name)
+        if module.startswith(self._ALLOWED_PREFIXES) and not name.startswith("_"):
+            import importlib
+
+            cls = getattr(importlib.import_module(module), name)
+            if isinstance(cls, type):
+                return cls
+        raise pickle.UnpicklingError(
+            f"proof file references disallowed global {module}.{name}"
+        )
+
+
 def cmd_verify(args) -> int:
     client = _client(args)
     with open(args.proof, "rb") as f:
-        blob = pickle.load(f)
+        blob = _ProofUnpickler(f).load()
     ok = client.verify(blob["proof"], blob["vk"])
     print(json.dumps({"verified": bool(ok)}))
     return 0 if ok else 1
@@ -113,7 +149,7 @@ def cmd_verify(args) -> int:
 def cmd_vkey(args) -> int:
     client = _client(args)
     prog = _load_program(args.elf)
-    _, vk = client.setup(prog.words, pc_base=prog.pc_base)
+    _, vk = client.setup(prog)
     print(json.dumps({
         "preprocessed_commit": [int(v) for v in vk.preprocessed_commit],
         "pc_start": [int(v) for v in vk.pc_start],

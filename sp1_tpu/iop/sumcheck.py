@@ -70,6 +70,38 @@ class PartialSumcheckProof:
     eval: np.ndarray  # (4,) claimed evaluation at `point`
 
 
+def _round_uni_polys(polys, claims) -> list:
+    """One round's coefficient messages for every component poly.
+
+    Device polys exposing `sum_values_device()` (returning their restricted
+    sums as a monty DeviceArray) are batched into a SINGLE device->host
+    transfer per round — the readback latency on a remote TPU dwarfs the
+    per-poly compute, so one fetch per (round x poly) would dominate the
+    whole sumcheck.
+    """
+    out = [None] * len(polys)
+    dev = [
+        i
+        for i, p in enumerate(polys)
+        if not getattr(p, "host", True) and hasattr(p, "sum_values_device")
+    ]
+    if len(dev) > 1:
+        import jax.numpy as jnp
+
+        handles = [polys[i].sum_values_device() for i in dev]
+        if len({h.shape for h in handles}) == 1:
+            stacked = kb.from_monty(jnp.stack(handles).reshape(-1))
+            vals = np.asarray(stacked, np.uint32).reshape(
+                len(dev), -1, 4
+            )
+            for i, v in zip(dev, vals):
+                out[i] = polys[i].coeffs_from_sums(list(v))
+    for i, p in enumerate(polys):
+        if out[i] is None:
+            out[i] = p.sum_as_poly_in_last_variable(np.asarray(claims[i], np.uint32))
+    return out
+
+
 def reduce_sumcheck_to_evaluation(
     polys: list,
     challenger: DuplexChallenger,
@@ -88,10 +120,7 @@ def reduce_sumcheck_to_evaluation(
     point: list[np.ndarray] = []
     messages = []
 
-    uni_polys = [
-        p.sum_as_poly_in_last_variable(np.asarray(c, np.uint32))
-        for p, c in zip(polys, claims)
-    ]
+    uni_polys = _round_uni_polys(polys, claims)
     rlc = rlc_polys(uni_polys, lam)
     challenger.observe_slice(rlc.reshape(-1))
     messages.append(rlc)
@@ -101,9 +130,7 @@ def reduce_sumcheck_to_evaluation(
 
     for _ in range(1, num_vars):
         round_claims = [uni_eval(up, point[0]) for up in uni_polys]
-        uni_polys = [
-            p.sum_as_poly_in_last_variable(c) for p, c in zip(cursor, round_claims)
-        ]
+        uni_polys = _round_uni_polys(cursor, round_claims)
         rlc = rlc_polys(uni_polys, lam)
         challenger.observe_slice(rlc.reshape(-1))
         messages.append(rlc)

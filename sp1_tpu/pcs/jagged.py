@@ -308,7 +308,8 @@ def _hadamard_round_sums(a, b):
     s0 = mle_ops._sum_ext_axis0(ext.ext4_mul(a0, b0))
     s1 = mle_ops._sum_ext_axis0(ext.ext4_mul(a1, b1))
     s2 = mle_ops._sum_ext_axis0(ext.ext4_mul(a2, b2))
-    return s0, s1, s2
+    # one stacked result -> one device->host transfer per round
+    return jnp.stack([s0, s1, s2])
 
 
 @jax.jit
@@ -334,22 +335,30 @@ class HadamardPoly:
     def num_variables(self) -> int:
         return int(self.a.shape[0]).bit_length() - 1
 
-    def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
-        if self.host:
-            v0, v1, v2 = (
-                hostmle.sum0_fast(
-                    E4.mul(hostmle.at_x(self.a, x), hostmle.at_x(self.b, x))
-                )
-                for x in range(3)
-            )
-        else:
-            s0, s1, s2 = _hadamard_round_sums(self.a, self.b)
-            v0, v1, v2 = (_from_monty_np(s) for s in (s0, s1, s2))
+    def sum_values_device(self):
+        """(3, 4) monty restricted sums as one device array (one fetch)."""
+        return _hadamard_round_sums(self.a, self.b)
+
+    def coeffs_from_sums(self, ys) -> np.ndarray:
+        v0, v1, v2 = ys[0], ys[1], ys[2]
         inv2 = np.uint32(pow(2, kb.P - 2, kb.P))
         t = E4.sub(E4.add(v2, v0), E4.add(v1, v1))
         c2 = kb.npf.mul(t, inv2)
         c1 = E4.sub(E4.sub(v1, v0), c2)
         return np.stack([v0, c1, c2])
+
+    def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
+        if self.host:
+            vs = [
+                hostmle.sum0_fast(
+                    E4.mul(hostmle.at_x(self.a, x), hostmle.at_x(self.b, x))
+                )
+                for x in range(3)
+            ]
+        else:
+            sums = _from_monty_np(self.sum_values_device().reshape(-1))
+            vs = list(sums.reshape(-1, 4))
+        return self.coeffs_from_sums(vs)
 
     def fix_last_variable(self, alpha: np.ndarray) -> "HadamardPoly":
         if self.host:

@@ -53,15 +53,21 @@ def _compress_pairs(pairs16):
 
 @dataclass
 class MerkleTree:
-    """Prover data: all digest layers, monty form, layer[0] = leaves."""
+    """Prover data: all digest layers, monty form, layer[0] = leaves.
 
-    layers: list  # list of np.ndarray (N_l, 8) monty
+    Layers stay DEVICE-resident (jnp) on the device path: the full tree
+    is hundreds of MB and the remote-TPU device->host link is ~15 MB/s,
+    so only the root (and, at opening time, the queried sibling digests)
+    ever cross to the host. Host-built trees store numpy layers.
+    """
+
+    layers: list  # list of (N_l, 8) monty arrays (jnp device or np host)
     height: int  # number of leaf rows (power of 2)
 
     @property
     def root(self) -> np.ndarray:
         """Root digest, canonical uint32 (8,)."""
-        return np.asarray(kb.from_monty(jnp.asarray(self.layers[-1][0])))
+        return np.asarray(kb.from_monty(jnp.asarray(self.layers[-1][0])), np.uint32)
 
 
 @dataclass
@@ -124,8 +130,7 @@ def commit_tensors(tensors: list) -> MerkleTree:
     assert all(t.shape[0] == h for t in tensors)
     rows = jnp.concatenate([t.reshape(h, -1) for t in tensors], axis=1)
     leaves, stacked = _commit_kernel(rows)
-    stacked = np.asarray(stacked)
-    layers = [np.asarray(leaves)]
+    layers = [leaves]
     for k in range(stacked.shape[0]):
         layers.append(stacked[k][: h >> (k + 1)])
     return MerkleTree(layers=layers, height=h)
@@ -154,6 +159,19 @@ def commit_tensors_host(leaves_canon: np.ndarray) -> MerkleTree:
 def open_at_indices(tree: MerkleTree, indices: list, width: int) -> MerkleProof:
     """Sibling paths (bottom-up) for leaf indices, canonical digests."""
     depth = len(tree.layers) - 1
+    if depth and not isinstance(tree.layers[0], np.ndarray):
+        # device tree: gather the queried siblings on device, one small
+        # transfer for all (Q, depth, 8) digests.
+        idx = np.asarray(indices, np.int64)
+        sib_rows = []
+        for lvl in range(depth):
+            sib = jnp.asarray((idx >> lvl) ^ 1, jnp.int32)
+            sib_rows.append(tree.layers[lvl][sib])  # (Q, 8)
+        dev = jnp.stack(sib_rows, axis=1)  # (Q, depth, 8)
+        paths = np.asarray(kb.from_monty(dev.reshape(-1)), np.uint32).reshape(
+            len(indices), depth, p2.DIGEST
+        )
+        return MerkleProof(paths=paths, log_height=depth, width=width)
     paths = np.zeros((len(indices), depth, p2.DIGEST), np.uint32)
     for q, idx in enumerate(indices):
         i = int(idx)
@@ -162,9 +180,10 @@ def open_at_indices(tree: MerkleTree, indices: list, width: int) -> MerkleProof:
             paths[q, lvl] = tree.layers[lvl][sib]
             i >>= 1
     # convert digests to canonical form in one vectorized call
-    paths = np.asarray(kb.from_monty(jnp.asarray(paths.reshape(-1))), np.uint32).reshape(
-        paths.shape
-    )
+    if depth:
+        paths = np.asarray(
+            kb.from_monty(jnp.asarray(paths.reshape(-1))), np.uint32
+        ).reshape(paths.shape)
     return MerkleProof(paths=paths, log_height=depth, width=width)
 
 

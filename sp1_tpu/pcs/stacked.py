@@ -69,6 +69,17 @@ def commit_multilinears(
     mles: list, config: FriConfig, log_stacking_height: int
 ) -> tuple[np.ndarray, StackedProverData]:
     mat, num_added = interleave(mles, log_stacking_height)
+    from ..parallel import mesh as pm
+
+    mesh = pm.active_mesh()
+    if mesh is not None and int(mat.shape[1]) % pm.mesh_size(mesh) == 0:
+        # Column-shard the stacked matrix over the mesh: the RS encode's
+        # NTT butterflies run along rows and vectorize over columns, so
+        # GSPMD partitions the whole encode without communication; the
+        # Merkle build reshards as needed.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mat = jax.device_put(mat, NamedSharding(mesh, P(None, "d")))
     commit, bf_data = basefold.commit_mles([mat], config)
     return commit, StackedProverData(
         basefold_data=bf_data, stacked_matrix=mat, num_added_vals=num_added

@@ -267,7 +267,8 @@ def _gkr_round_sums(eq, n0, n1, d0, d1, lam):
             ext.ext4_mul(d0_x, d1_x),
         )
         outs.append(mle_ops._sum_ext_axis0(ext.ext4_mul(eq_x, inner)))
-    return outs
+    # one stacked result -> one device->host transfer per round
+    return jnp.stack(outs)
 
 
 @jax.jit
@@ -346,12 +347,18 @@ class LogupRoundPoly:
             ys.append(hostmle.sum0_fast(E4.mul(eq_x, inner)))
         return ys
 
+    def sum_values_device(self):
+        """(4, 4) monty restricted sums as one device array (one fetch)."""
+        return _gkr_round_sums(*self.tabs, self.lam_m)
+
+    def coeffs_from_sums(self, ys) -> np.ndarray:
+        return _interp4(list(ys))
+
     def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
         if self.host:
             return _interp4(self._host_sums())
-        sums = _gkr_round_sums(*self.tabs, self.lam_m)
-        ys = [_from_monty_np(s) for s in sums]
-        return _interp4(ys)
+        sums = _from_monty_np(self.sum_values_device().reshape(-1)).reshape(-1, 4)
+        return _interp4(list(sums))
 
     def fix_last_variable(self, alpha) -> "LogupRoundPoly":
         if self.host:
@@ -566,28 +573,51 @@ def prove_logup_gkr(
     if host_small:
         eq_c = mle_ops.host.partial_lagrange_ext(trace_point)
 
-    def _trace_eval(t):
-        with timing.span("trace_open"):
-            return _trace_eval_inner(t)
-
-    def _trace_eval_inner(t):
-        if host_small:
-            tc = hostmle.dev_to_host(t)  # (2^mlrc, W)
-            acc = np.zeros((tc.shape[1], 4), np.uint64)
-            prod = (
-                tc[:, :, None].astype(np.uint64) * eq_c[:, None, :].astype(np.uint64)
-            ) % kb.P
-            return (prod.sum(axis=0) % kb.P).astype(np.uint32)
-        return _from_monty_np(_eval_mle_jit(t, tp_m).reshape(-1)).reshape(-1, 4)
+    def _trace_eval_host(t):
+        tc = hostmle.dev_to_host(t)  # (2^mlrc, W)
+        prod = (
+            tc[:, :, None].astype(np.uint64) * eq_c[:, None, :].astype(np.uint64)
+        ) % kb.P
+        return (prod.sum(axis=0) % kb.P).astype(np.uint32)
 
     challenger.observe(len(chips))
+    with timing.span("trace_open"):
+        # Evaluate every chip's main (and preprocessed) trace at the final
+        # point; on device, all results cross to the host in ONE transfer.
+        jobs = []  # (chip, kind) in evaluation order
+        if host_small:
+            results = []
+            for chip in chips:
+                jobs.append((chip.name, "main"))
+                results.append(_trace_eval_host(traces[chip.name]))
+                prep = preprocessed.get(chip.name)
+                if prep is not None:
+                    jobs.append((chip.name, "prep"))
+                    results.append(_trace_eval_host(prep))
+        else:
+            handles = []
+            for chip in chips:
+                jobs.append((chip.name, "main"))
+                handles.append(_eval_mle_jit(traces[chip.name], tp_m))
+                prep = preprocessed.get(chip.name)
+                if prep is not None:
+                    jobs.append((chip.name, "prep"))
+                    handles.append(_eval_mle_jit(prep, tp_m))
+            flat = kb.from_monty(jnp.concatenate([h.reshape(-1) for h in handles]))
+            flat = np.asarray(flat, np.uint32).reshape(-1, 4)
+            results, off = [], 0
+            for h in handles:
+                w = int(h.shape[0])
+                results.append(flat[off : off + w])
+                off += w
+    evals = {}
+    for (name, kind), val in zip(jobs, results):
+        evals[(name, kind)] = val
     chip_openings = {}
     for chip in chips:
-        main_eval = _trace_eval(traces[chip.name])
-        prep = preprocessed.get(chip.name)
-        prep_eval = None
-        if prep is not None:
-            prep_eval = _trace_eval(prep)
+        main_eval = evals[(chip.name, "main")]
+        prep_eval = evals.get((chip.name, "prep"))
+        if prep_eval is not None:
             challenger.observe_variable_length_slice(prep_eval.reshape(-1))
         challenger.observe_variable_length_slice(main_eval.reshape(-1))
         chip_openings[chip.name] = ChipEvaluation(

@@ -234,6 +234,420 @@ def _fix_last_tables(eq, geq, main, prep, alpha):
     return tuple(out)
 
 
+# ---------------------------------------------------------------------------
+# Device path: tape-interpreter kernels
+# ---------------------------------------------------------------------------
+#
+# The chip constraint tape (air/tape.py) is executed on device as a
+# register-file interpreter: one fancy-indexed vector op per (level,
+# opcode) group instead of one XLA node per expression. This keeps the
+# HLO size proportional to the tape's LEVEL count (~40-65 groups/chip)
+# rather than its node count (up to ~3.6k ops x ~100 HLO each fully
+# inlined — which OOM-killed the TPU compiler at mlrc=16). The five
+# X-point restrictions are stacked along the row axis (one tape pass,
+# not five), and rows are processed in fixed blocks under lax.fori_loop
+# so the register file stays bounded. Analog of the reference GPU's
+# constraint-bytecode interpreter (sp1-gpu/crates/air/src/ir/).
+
+
+def _tree_sum_mod(x):
+    """Field-sum along axis 0 of a monty array (device)."""
+    while x.shape[0] > 1:
+        m = x.shape[0]
+        if m % 2 == 1:
+            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+            m += 1
+        x = kb.add(x[: m // 2], x[m // 2:])
+    return x[0]
+
+
+def _make_local_sums_fn(chip, num_points: int):
+    """Shape-generic restricted-sums body over a packed-table row block.
+
+    Returns local_sums(table, n_pairs_live, apow_m, gkr_powers_m, adj_m,
+    pv_m) -> (num_points, 4) monty — jittable; also the building block of
+    the shard_map'd multi-device kernel (each device runs it on its row
+    block and the partials reduce with a modular allreduce).
+    """
+    attr = f"_zc_local_sums_{num_points}"
+    cached = getattr(chip, attr, None)
+    if cached is not None:
+        return cached
+    tape = air_tape.trace_chip_tape(chip)
+    wm, wp = chip.width, chip.preprocessed_width
+    const_m = jnp.asarray(_to_monty_np(tape.const_vals % kb.P))
+    const_m4 = jnp.stack(
+        [const_m, jnp.zeros_like(const_m), jnp.zeros_like(const_m),
+         jnp.zeros_like(const_m)], axis=-1,
+    ) if tape.const_vals.size else jnp.zeros((0, 4), jnp.uint32)
+
+    # tape executor closure with the prep offset fixed
+    def tape_exec(flat, pv_m, apow_m):
+        N = flat.shape[0]
+        n_regs = max(tape.n_regs, 1)
+        regs = jnp.zeros((n_regs, N, 4), jnp.uint32)
+        if tape.main_regs.size:
+            regs = regs.at[tape.main_regs].set(
+                flat[:, tape.main_cols].transpose(1, 0, 2)
+            )
+        if tape.prep_regs.size:
+            regs = regs.at[tape.prep_regs].set(
+                flat[:, tape.prep_cols + wm].transpose(1, 0, 2)
+            )
+        if tape.pv_regs.size:
+            pv_sel = pv_m[np.asarray(tape.pv_idx)]
+            regs = regs.at[tape.pv_regs].set(
+                jnp.broadcast_to(pv_sel[:, None, :], (len(tape.pv_idx), N, 4))
+            )
+        if tape.const_regs.size:
+            regs = regs.at[tape.const_regs].set(
+                jnp.broadcast_to(const_m4[:, None, :], (len(tape.const_regs), N, 4))
+            )
+        acc = jnp.zeros((N, 4), jnp.uint32)
+        for op, dst, a, b in tape.levels:
+            if op == air_tape.OP_ADD:
+                regs = regs.at[dst].set(kb.add(regs[a], regs[b]))
+            elif op == air_tape.OP_SUB:
+                regs = regs.at[dst].set(kb.sub(regs[a], regs[b]))
+            elif op == air_tape.OP_MUL:
+                regs = regs.at[dst].set(ext.ext4_mul(regs[a], regs[b]))
+            elif op == air_tape.OP_NEG:
+                regs = regs.at[dst].set(kb.sub(jnp.zeros_like(regs[a]), regs[a]))
+            elif op == air_tape.OP_SCALE:
+                w = jnp.asarray(_to_monty_np(b % kb.P), jnp.uint32)
+                regs = regs.at[dst].set(kb.mul(regs[a], w[:, None, None]))
+            else:  # OP_OUT
+                terms = ext.ext4_mul(regs[a], apow_m[np.asarray(dst)][:, None, :])
+                acc = kb.add(acc, terms[0] if terms.shape[0] == 1 else _tree_sum_mod(terms))
+        return acc
+
+    def local_sums(table, n_pairs_live, apow_m, gkr_powers_m, adj_m, pv_m):
+        # table: (n, Wt, 4) monty with Wt = wm + wp + 2 (eq, geq last)
+        n, wt = table.shape[0], table.shape[1]
+        n2 = n // 2
+        blk = min(2048, n2)
+        n_blocks = n2 // blk
+        pairs = table.reshape(n2, 2, wt, 4)
+
+        def body(i, sums):
+            p = jax.lax.dynamic_slice(pairs, (i * blk, 0, 0, 0), (blk, 2, wt, 4))
+            lo, hi = p[:, 0], p[:, 1]
+            diff = kb.sub(hi, lo)
+            xs = [lo, hi]
+            cur = hi
+            for _ in range(num_points - 2):
+                cur = kb.add(cur, diff)
+                xs.append(cur)
+            flat = jnp.stack(xs).reshape(num_points * blk, wt, 4)
+            constr = tape_exec(flat[:, : wm + wp], pv_m, apow_m)
+            eq_x = flat[:, wm + wp + 0]
+            geq_x = flat[:, wm + wp + 1]
+            # gkrc column batching, one vectorized mul + log-depth reduce
+            terms = ext.ext4_mul(flat[:, : wm + wp], gkr_powers_m[None, :, :])
+            batch = _tree_sum_mod(terms.transpose(1, 0, 2))
+            inner = kb.add(
+                kb.sub(constr, ext.ext4_mul(geq_x, adj_m[None, :])), batch
+            )
+            total = ext.ext4_mul(eq_x, inner)  # (num_points*blk, 4)
+            mask = (i * blk + jnp.arange(blk)) < n_pairs_live
+            t = total.reshape(num_points, blk, 4)
+            t = jnp.where(mask[None, :, None], t, 0)
+            # sum the pair axis for all X points at once (log-depth)
+            part = _tree_sum_mod(t.transpose(1, 0, 2))
+            return kb.add(sums, part)
+
+        init = jnp.zeros((num_points, 4), jnp.uint32)
+        if n_blocks == 1:
+            return body(0, init)
+        return jax.lax.fori_loop(0, n_blocks, body, init)
+
+    try:
+        setattr(chip, attr, local_sums)
+    except AttributeError:
+        pass
+    return local_sums
+
+
+def _make_packed_round_kernel(chip, num_points: int):
+    """Single-device jit of the restricted sums (one compile per shape)."""
+    attr = f"_zc_packed_kernel_{num_points}"
+    cached = getattr(chip, attr, None)
+    if cached is not None:
+        return cached
+    kernel = jax.jit(_make_local_sums_fn(chip, num_points))
+    try:
+        setattr(chip, attr, kernel)
+    except AttributeError:
+        pass
+    return kernel
+
+
+def _make_sharded_round_kernel(chip, num_points: int, mesh):
+    """shard_map'd restricted sums over the mesh's row blocks.
+
+    Each device computes its block's (num_points, 4) partials with the
+    SAME local-sums body as the single-device kernel, then the partials
+    reduce with a modular butterfly allreduce over ICI. Valid while each
+    device still owns >= 1 live pair (the poly switches to the host
+    below that).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as pm
+
+    nd = pm.mesh_size(mesh)
+    attr = f"_zc_sharded_kernel_{num_points}_{nd}"
+    cached = getattr(chip, attr, None)
+    if cached is not None:
+        return cached
+    local_sums = _make_local_sums_fn(chip, num_points)
+
+    def per_device(table, n_pairs_live, apow_m, gkr_powers_m, adj_m, pv_m):
+        # table: LOCAL (n/nd, Wt, 4) block; live pairs split evenly since
+        # every device folds into its local first half (MSB sharding).
+        part = local_sums(
+            table, n_pairs_live // nd, apow_m, gkr_powers_m, adj_m, pv_m
+        )
+        return pm.psum_mod(part, "d", nd)
+
+    kernel = jax.jit(
+        pm.shard_map_fn(
+            per_device,
+            mesh,
+            in_specs=(P("d", None, None), P(), P(None, None), P(None, None),
+                      P(None), P(None, None)),
+            out_specs=P(None, None),
+        )
+    )
+    try:
+        setattr(chip, attr, kernel)
+    except AttributeError:
+        pass
+    return kernel
+
+
+_SHARDED_FOLD_KERNELS = {}
+
+
+def _fold_packed_sharded(table, alpha_m, mesh):
+    """Per-device-local fold of the packed table (live pairs shrink into
+    each device's local first half; MSB row sharding keeps pairs local)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as pm
+
+    wt = int(table.shape[1])
+    key = (wt, pm.mesh_size(mesh), id(mesh))
+    k = _SHARDED_FOLD_KERNELS.get(key)
+    if k is None:
+        def fold_local(t, am):
+            v = t.reshape(t.shape[0] // 2, 2, t.shape[1], 4)
+            lo, hi = v[:, 0], v[:, 1]
+            diff = ext.ext4_sub(hi, lo)
+            folded = ext.ext4_add(
+                lo, ext.ext4_mul(diff, jnp.broadcast_to(am, diff.shape))
+            )
+            return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=0)
+
+        k = jax.jit(
+            pm.shard_map_fn(
+                fold_local,
+                mesh,
+                in_specs=(P("d", None, None), P(None)),
+                out_specs=P("d", None, None),
+            )
+        )
+        _SHARDED_FOLD_KERNELS[key] = k
+    return k(table, alpha_m)
+
+
+_FOLD_KERNELS = {}
+
+
+def _fold_packed(table, alpha_m):
+    """Fold the packed table's live pairs into its first half (fixed shape:
+    one compile per table shape). Dead tail is zeroed."""
+    wt = int(table.shape[1])
+    k = _FOLD_KERNELS.get(wt)
+    if k is None:
+        @jax.jit
+        def k(t, am):
+            v = t.reshape(t.shape[0] // 2, 2, t.shape[1], 4)
+            lo, hi = v[:, 0], v[:, 1]
+            diff = ext.ext4_sub(hi, lo)
+            folded = ext.ext4_add(
+                lo, ext.ext4_mul(diff, jnp.broadcast_to(am, diff.shape))
+            )
+            return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=0)
+        _FOLD_KERNELS[wt] = k
+    return k(table, alpha_m)
+
+
+_BUILD_KERNELS = {}
+
+
+def _build_packed(main_trace, prep_trace, eq, height):
+    """Pack [main|prep|eq|geq] into one (n, Wt, 4) monty table."""
+    key = (int(main_trace.shape[1]), int(prep_trace.shape[1]))
+    k = _BUILD_KERNELS.get(key)
+    if k is None:
+        @jax.jit
+        def k(mt, pt, eq_, h):
+            n = mt.shape[0]
+            one_m = np.zeros(4, np.uint32)
+            one_m[0] = kb.to_monty_i(1)
+            geq = jnp.where(
+                (jnp.arange(n) >= h)[:, None],
+                jnp.broadcast_to(jnp.asarray(one_m), (n, 4)),
+                jnp.zeros((n, 4), jnp.uint32),
+            )
+            return jnp.concatenate(
+                [
+                    mle_ops.ext4_embed(mt),  # (n, W, 4)
+                    mle_ops.ext4_embed(pt),  # (n, Wp, 4)
+                    eq_[:, None, :],
+                    geq[:, None, :],
+                ],
+                axis=1,
+            )
+        _BUILD_KERNELS[key] = k
+    return k(main_trace, prep_trace, eq, height)
+
+
+_EQ_KERNEL = None
+_EQ_CACHE = {}
+
+
+def _build_eq(zeta_m):
+    """eq table for the zerocheck point (shared by every chip per prove)."""
+    global _EQ_KERNEL
+    if _EQ_KERNEL is None:
+        _EQ_KERNEL = jax.jit(mle_ops.partial_lagrange_ext)
+    key = np.asarray(zeta_m).tobytes()
+    hit = _EQ_CACHE.get(key)
+    if hit is None:
+        if len(_EQ_CACHE) > 2:
+            _EQ_CACHE.clear()
+        hit = _EQ_KERNEL(zeta_m)
+        _EQ_CACHE[key] = hit
+    return hit
+
+
+class DevZeroCheckPoly:
+    """Device zerocheck poly over the packed [main|prep|eq|geq] table.
+
+    Fixed-size buffer across rounds (live region shrinks into the front
+    half on each fold) so each chip needs exactly ONE round-kernel and
+    ONE fold-kernel compile for the whole sumcheck. Hands off to the
+    host ZeroCheckPoly below HOST_THRESH rows.
+    """
+
+    degree = MAX_CONSTRAINT_DEGREE + 1
+
+    def __init__(self, chip, table, n_live, alpha_c, adj_c, gkr_powers_c, pv_c):
+        from ..parallel import mesh as pm
+
+        self.chip = chip
+        self.table = table  # (n, Wt, 4) monty
+        self.n_live = n_live
+        self.alpha_c = alpha_c
+        self.adj_c = adj_c
+        self.gkr_powers_c = gkr_powers_c
+        self.pv_c = pv_c
+        self.host = False
+        tape = air_tape.trace_chip_tape(chip, n_pv=pv_c.shape[0])
+        apow = air_tape.alpha_powers(alpha_c, tape.n_constraints)
+        self._apow_m = jnp.asarray(_to_monty_np(apow))
+        self._gkr_m = jnp.asarray(_to_monty_np(gkr_powers_c))
+        self._adj_m = jnp.asarray(_to_monty_np(adj_c))
+        self._pv_m = jnp.asarray(_to_monty_np(pv_c))
+        mesh = pm.active_mesh()
+        self.mesh = mesh if (mesh and n_live >= 4 * pm.mesh_size(mesh)) else None
+        if self.mesh is not None:
+            self.table = jax.device_put(table, pm.row_sharding(self.mesh, 3))
+            self._kernel = _make_sharded_round_kernel(chip, self.degree + 1, self.mesh)
+        else:
+            self._kernel = _make_packed_round_kernel(chip, self.degree + 1)
+
+    @property
+    def num_variables(self):
+        return int(self.n_live).bit_length() - 1
+
+    def sum_values_device(self):
+        """(degree+2, 4) monty restricted sums as a device array."""
+        return self._kernel(
+            self.table,
+            jnp.uint32(self.n_live // 2),
+            self._apow_m,
+            self._gkr_m,
+            self._adj_m,
+            self._pv_m,
+        )
+
+    def coeffs_from_sums(self, ys) -> np.ndarray:
+        return interp_coeffs(list(ys))
+
+    def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
+        ys = _from_monty_np(self.sum_values_device().reshape(-1)).reshape(-1, 4)
+        return interp_coeffs(list(ys))
+
+    def fix_last_variable(self, alpha):
+        # Stay device-resident to the very last round: handing the tail to
+        # host numpy would fetch (HOST_THRESH x Wt x 16B) per chip over a
+        # ~15 MB/s link — far more than the 3ms masked full-buffer folds.
+        am = jnp.asarray(_to_monty_np(np.asarray(alpha, np.uint32)))
+        if self.mesh is not None:
+            from ..parallel import mesh as pm
+
+            nd = pm.mesh_size(self.mesh)
+            table = _fold_packed_sharded(self.table, am, self.mesh)
+            n_live = self.n_live // 2
+            if n_live < 2 * nd:
+                # every device is down to < 1 live pair: gather the tiny
+                # live remainder and finish the tail rounds on the host.
+                n = int(table.shape[0])
+                lg = n_live // nd
+                idx = np.concatenate(
+                    [d * (n // nd) + np.arange(lg) for d in range(nd)]
+                )
+                live = table[jnp.asarray(idx, jnp.int32)]
+                return self._to_host_poly(live, n_live)
+            poly = object.__new__(DevZeroCheckPoly)
+            poly.__dict__.update(self.__dict__)
+            poly.table = table
+            poly.n_live = n_live
+            return poly
+        table = _fold_packed(self.table, am)
+        poly = object.__new__(DevZeroCheckPoly)
+        poly.__dict__.update(self.__dict__)
+        poly.table = table
+        poly.n_live = self.n_live // 2
+        return poly
+
+    def _to_host_poly(self, live_table, n_live) -> "ZeroCheckPoly":
+        """Materialize the host-tail poly from the (n_live, Wt, 4) rows."""
+        wm, wp = self.chip.width, self.chip.preprocessed_width
+        live = hostmle.dev_to_host(live_table[:n_live])  # canonical
+        return ZeroCheckPoly(
+            self.chip,
+            live[:, wm + wp],          # eq
+            live[:, wm + wp + 1],      # geq (ext)
+            live[:, :wm],              # main (ext)
+            live[:, wm : wm + wp],     # prep (ext)
+            None, None, None, None,
+            alpha_c=self.alpha_c,
+            adj_c=self.adj_c,
+            gkr_powers_c=self.gkr_powers_c,
+            pv_c=self.pv_c,
+        )
+
+    def get_component_poly_evals(self) -> list:
+        """[preprocessed col evals..., main col evals...] at the final point."""
+        wm, wp = self.chip.width, self.chip.preprocessed_width
+        row = _from_monty_np(self.table[0].reshape(-1)).reshape(-1, 4)
+        return [row[wm + i] for i in range(wp)] + [row[i] for i in range(wm)]
+
+
 class ZeroCheckPoly:
     degree = MAX_CONSTRAINT_DEGREE + 1
 
@@ -441,16 +855,10 @@ def make_zerocheck_poly(
 
     if prep_trace is None or int(prep_trace.shape[1]) == 0:
         prep_trace = jnp.zeros((n, 0), jnp.uint32)
-    geq_mask = jnp.asarray(np.arange(n) >= height)
-    eq, geq, main_e, prep_e = _build_tables_kernel(
-        main_trace, prep_trace, jnp.asarray(_to_monty_np(zeta)), geq_mask
-    )
-    alpha_m = jnp.asarray(_to_monty_np(alpha))
-    adj_m = jnp.asarray(_to_monty_np(adj))
-    gkr_powers_m = jnp.asarray(_to_monty_np(np.stack(powers)))
-    pv_m = jnp.asarray(_to_monty_np(pv_arr))
-    return ZeroCheckPoly(
-        chip, eq, geq, main_e, prep_e, alpha_m, adj_m, gkr_powers_m, pv_m,
+    eq = _build_eq(jnp.asarray(_to_monty_np(zeta)))
+    table = _build_packed(main_trace, prep_trace, eq, jnp.uint32(height))
+    return DevZeroCheckPoly(
+        chip, table, n,
         alpha_c=np.asarray(alpha, np.uint32),
         adj_c=np.asarray(adj, np.uint32),
         gkr_powers_c=np.stack(powers),

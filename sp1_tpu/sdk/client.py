@@ -75,16 +75,29 @@ class CpuProver:
         self.shard_verifier = mm.ShardVerifier(self.machine, self.config)
 
     # -- Prover trait ------------------------------------------------------
-    def setup(self, program: np.ndarray, pc_base: int = 0):
-        """Returns (pk, vk) with the program ROM committed."""
-        # Preprocessed traces require an execution-independent decode.
-        res = None
+    def setup(self, program, pc_base: int = 0, memory_image=None, pc_start=None):
+        """Returns (pk, vk) with the program ROM committed.
+
+        `program` is either an instruction-word array or a loaded ELF
+        Program object (executor.elf) — the latter carries its data
+        segments (memory_image) and entry point (pc_start), which the
+        proof attests via vk.pc_start and the executor's initial memory.
+        """
+        if hasattr(program, "words"):  # executor.elf Program
+            pc_base = program.pc_base
+            memory_image = program.memory_image if memory_image is None else memory_image
+            pc_start = program.pc_start if pc_start is None else pc_start
+            program = program.words
+        if pc_start is None:
+            pc_start = pc_base
         rom_prep = self._preprocessed_for(program, pc_base)
         pk = self.shard_prover.setup(
-            pc_start=[pc_base, 0, 0], preprocessed_traces=rom_prep
+            pc_start=[pc_start, 0, 0], preprocessed_traces=rom_prep
         )
         pk.program = program
         pk.pc_base = pc_base
+        pk.memory_image = memory_image
+        pk.pc_start = pc_start
         return pk, pk.vk
 
     def _preprocessed_for(self, program, pc_base):
@@ -109,7 +122,13 @@ class CpuProver:
         """
         from ..prover import multi
 
-        res = native.execute(pk.program, inputs=stdin or [])
+        res = native.execute(
+            pk.program,
+            pc_base=pk.pc_base,
+            inputs=stdin or [],
+            memory=getattr(pk, "memory_image", None),
+            pc_start=getattr(pk, "pc_start", None),
+        )
         shard_inputs = multi.shard_inputs_of(
             res, pk.program, pk.pc_base, self.ws, self.mlrc
         )
@@ -119,6 +138,9 @@ class CpuProver:
             challenger = DuplexChallenger()
             pk.vk.observe_into(challenger)
             proofs.append(self.shard_prover.prove_shard(pk, traces, pv, challenger))
+        # public_values are the HALTING shard's padded PV vector (exit code,
+        # final pc/clk, global digest); earlier shards' PVs live on their
+        # shard proofs. Program-level outputs come from execute().output.
         return SP1ProofWithPublicValues(
             shard_proofs=proofs, public_values=proofs[-1].public_values
         )
