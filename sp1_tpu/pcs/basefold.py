@@ -246,10 +246,13 @@ def prove_trusted_evaluations(
     config: FriConfig,
     challenger: DuplexChallenger,
 ) -> BasefoldProof:
+    from ..utils import timing
+
     eval_point = np.asarray(eval_point, np.uint32)
     num_vars = eval_point.shape[0]
 
-    batch_grinding_witness = challenger.grind(BATCH_GRINDING_BITS)
+    with timing.span("bf_grind1"):
+        batch_grinding_witness = challenger.grind(BATCH_GRINDING_BITS)
 
     all_mles = [m for pd in prover_data for m in pd.mles]
     total_len = sum(int(m.shape[1]) for m in all_mles)
@@ -289,7 +292,9 @@ def prove_trusted_evaluations(
 
     challenger.observe(num_vars)
     host_mode = False
-    for _ in range(num_vars):
+    _bf_rounds_span = timing.span("bf_rounds")
+    _bf_rounds_span.__enter__()
+    for _bf_round in range(num_vars):
         if not host_mode and int(current_code.shape[0]) <= HOST_THRESH:
             current_code = hostmle.dev_to_host(current_code)
             current_mle = hostmle.dev_to_host(current_mle)
@@ -333,6 +338,7 @@ def prove_trusted_evaluations(
             current_mle = mle_ops.fold_ext(current_mle, beta_m)
         claim = E4.add(zero_val, E4.mul(beta, one_val))
 
+    _bf_rounds_span.__exit__(None, None, None)
     final_poly = (
         np.asarray(current_code[0], np.uint32)
         if host_mode
@@ -340,30 +346,34 @@ def prove_trusted_evaluations(
     )
     challenger.observe_slice(final_poly)
 
-    pow_witness = challenger.grind(config.proof_of_work_bits)
+    with timing.span("bf_grind2"):
+        pow_witness = challenger.grind(config.proof_of_work_bits)
     log_len = num_vars
     query_indices = [
         challenger.sample_bits(log_len + config.log_blowup)
         for _ in range(config.num_queries)
     ]
 
-    component_openings = []
-    for pd in prover_data:
-        values = merkle.compute_openings(pd.codewords, query_indices)
-        width = values.shape[1]
-        proof = merkle.open_at_indices(pd.tree, query_indices, width)
-        component_openings.append(MerkleOpeningAndProof(values=values, proof=proof))
+    with timing.span("bf_queries"):
+        component_openings = []
+        for pd in prover_data:
+            values = merkle.compute_openings(pd.codewords, query_indices)
+            width = values.shape[1]
+            proof = merkle.open_at_indices(pd.tree, query_indices, width)
+            component_openings.append(
+                MerkleOpeningAndProof(values=values, proof=proof)
+            )
 
-    query_openings = []
-    indices = list(query_indices)
-    for tree, leaves in fri_trees:
-        indices = [i >> 1 for i in indices]
-        if isinstance(leaves, np.ndarray):
-            values = leaves[np.asarray(indices, np.int64)]
-        else:
-            values = merkle.compute_openings([leaves], indices)
-        proof = merkle.open_at_indices(tree, indices, 8)
-        query_openings.append(MerkleOpeningAndProof(values=values, proof=proof))
+        query_openings = []
+        indices = list(query_indices)
+        for tree, leaves in fri_trees:
+            indices = [i >> 1 for i in indices]
+            if isinstance(leaves, np.ndarray):
+                values = leaves[np.asarray(indices, np.int64)]
+            else:
+                values = merkle.compute_openings([leaves], indices)
+            proof = merkle.open_at_indices(tree, indices, 8)
+            query_openings.append(MerkleOpeningAndProof(values=values, proof=proof))
 
     return BasefoldProof(
         univariate_messages=np.stack(univariate_messages),

@@ -416,6 +416,89 @@ def _interp_0_half_1(y0, yh, y1):
     return np.stack([y0, c1, c2])
 
 
+_BP_KERNELS = {}
+
+
+def _bp_round_kernel(nv1: int, B: int, C: int):
+    """Device kernel: one jagged-eval round's two restricted sums.
+
+    Runs the 4-state branching-program DP over all `B = 2C` batched
+    points (lambda = 0 and 1/2 stacked) in ONE dispatch with a fori_loop
+    over the nv1 layers, then weight-combines and segment-sums, so each
+    sumcheck round costs one dispatch + one small fetch instead of ~90
+    python-level vector ops on the host.
+    """
+    key = (nv1, B, C)
+    k = _BP_KERNELS.get(key)
+    if k is not None:
+        return k
+    group = _transition_group_matrix()  # (16, 16) 0/1, static
+    members = [
+        [i for i in range(16) if group[i, g]] for g in range(16)
+    ]
+
+    def tree_sum(x):  # field-sum axis 0 of monty array
+        while x.shape[0] > 1:
+            m = x.shape[0]
+            if m % 2:
+                x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+                m += 1
+            x = kb.add(x[: m // 2], x[m // 2:])
+        return x[0]
+
+    @jax.jit
+    def kernel(zr_stack, zi_stack, l_stack, r_stack, weights):
+        # *_stack: (nv1, B, 4) monty per-layer coordinates (layer index k
+        # runs the DP from layer nv1-1 down to 0); weights: (B, 4) monty.
+        one = jnp.zeros((B, 4), jnp.uint32).at[:, 0].set(kb.to_monty_i(1))
+        results = jnp.zeros((4, B, 4), jnp.uint32)
+        results = results.at[_SUCCESS_STATE].set(one)
+
+        def body(kk, results):
+            layer = nv1 - 1 - kk
+            pts = [
+                jnp.broadcast_to(
+                    jax.lax.dynamic_slice(s, (layer, 0), (1, 4)), (B, 4)
+                )
+                for s in (zr_stack, zi_stack)
+            ] + [
+                jax.lax.dynamic_slice(s, (layer, 0, 0), (1, B, 4))[0]
+                for s in (l_stack, r_stack)
+            ]
+            eq = None
+            for x in pts:
+                pair = jnp.stack([ext.ext4_sub(one, x), x], axis=1)  # (B,2,4)
+                if eq is None:
+                    eq = pair
+                else:
+                    kdim = eq.shape[1]
+                    eq = ext.ext4_mul(
+                        jnp.repeat(eq, 2, axis=1),
+                        jnp.tile(pair, (1, kdim, 1)),
+                    )
+            # eq: (B, 16, 4), entry i = row*8 + idx*4 + cur*2 + nxt
+            new_results = []
+            for mem in range(4):
+                acc = jnp.zeros((B, 4), jnp.uint32)
+                for out in range(4):
+                    mem_list = members[mem * 4 + out]
+                    if not mem_list:
+                        continue
+                    g = eq[:, mem_list[0]]
+                    for i in mem_list[1:]:
+                        g = kb.add(g, eq[:, i])
+                    acc = kb.add(acc, ext.ext4_mul(g, results[out]))
+                new_results.append(acc)
+            return jnp.stack(new_results)
+
+        results = jax.lax.fori_loop(0, nv1, body, results)
+        y = ext.ext4_mul(results[_INITIAL_STATE], weights)  # (B, 4)
+        return jnp.stack([tree_sum(y[:C]), tree_sum(y[C:])])
+
+    _BP_KERNELS[key] = kernel
+    return kernel
+
+
 def prove_jagged_eval(
     params: JaggedParams,
     z_row: np.ndarray,
@@ -445,40 +528,73 @@ def prove_jagged_eval(
     claim = expected_sum
     merged_e = np.stack([merged] + [np.zeros_like(merged)] * 3, axis=-1)  # (C,nv,4)
 
+    # Device round kernel: the 4-state DP over both lambda branches in one
+    # dispatch (see _bp_round_kernel). Layer stacks for z_row / z_trace are
+    # round-independent.
+    nv2 = num_vars // 2
+    nvb = bp.num_vars + 1
+    to_m = lambda x: jnp.asarray(((np.asarray(x, np.uint64) << 32) % kb.P).astype(np.uint32))
+
+    def _z_stack(z):
+        out = np.zeros((nvb, 4), np.uint32)
+        d = z.shape[0]
+        for layer in range(min(d, nvb)):
+            out[layer] = z[d - layer - 1]
+        return to_m(out)
+
+    zr_stack = _z_stack(bp.z_row)
+    zi_stack = _z_stack(bp.z_index)
+    kernel = _bp_round_kernel(nvb, 2 * C, C)
+
+    def _h_stacks(h_pts):
+        """(C, num_vars, 4) -> per-layer (nvb, C, 4) left/right stacks."""
+        left = h_pts[:, :nv2]
+        right = h_pts[:, nv2:]
+        lf = np.zeros((nvb, C, 4), np.uint32)
+        rt = np.zeros((nvb, C, 4), np.uint32)
+        dl, dr = left.shape[1], right.shape[1]
+        for layer in range(nvb):
+            if layer < dl:
+                lf[layer] = left[:, dl - layer - 1]
+            if layer < dr:
+                rt[layer] = right[:, dr - layer - 1]
+        return lf, rt
+
     for rnd in range(num_vars):
         # eval at lambda in {0, 1/2}: see reference `eval` in
         # sumcheck_sum_as_poly.rs — eq-part contribution and BP eval on the
         # point (prefix_bits..., lambda, rhos).
         split = num_vars - rnd - 1
-        y0 = np.zeros(4, np.uint32)
-        yh = np.zeros(4, np.uint32)
-        for lam_i, lam in enumerate((np.zeros(4, np.uint32), half)):
-            # eq_val per column
-            x_bit = merged[:, split]  # (C,)
-            if lam_i == 0:
-                eq_term = np.where(
+        x_bit = merged[:, split]  # (C,)
+        h_pts = np.zeros((C, num_vars, 4), np.uint32)
+        h_pts[:, :split] = merged_e[:, :split]
+        for j, r in enumerate(rhos):
+            h_pts[:, split + 1 + j] = r
+        # lambda = 0 branch
+        h_pts[:, split] = 0
+        lf0, rt0 = _h_stacks(h_pts)
+        w0 = E4.mul(
+            eq_vals,
+            E4.mul(
+                inter_eq,
+                np.where(
                     x_bit[:, None] == 0, one[None, :], np.zeros((1, 4), np.uint32)
-                ).astype(np.uint32)
-            else:
-                eq_term = np.broadcast_to(half, (C, 4))
-            eq_eval = E4.mul(inter_eq, eq_term)
-            # BP eval on h point = (merged[:, :split], lam, rhos...)
-            h_pts = np.zeros((C, num_vars, 4), np.uint32)
-            h_pts[:, :split] = merged_e[:, :split]
-            h_pts[:, split] = lam
-            for j, r in enumerate(rhos):
-                h_pts[:, split + 1 + j] = r
-            h_left = h_pts[:, : num_vars // 2]
-            h_right = h_pts[:, num_vars // 2 :]
-            h_eval = bp.eval(h_left, h_right)
-            term = E4.mul(E4.mul(eq_vals, h_eval), eq_eval)
-            tot = np.zeros(4, np.uint32)
-            for c in range(C):
-                tot = E4.add(tot, term[c])
-            if lam_i == 0:
-                y0 = tot
-            else:
-                yh = tot
+                ).astype(np.uint32),
+            ),
+        )
+        # lambda = 1/2 branch
+        h_pts[:, split] = half
+        lfh, rth = _h_stacks(h_pts)
+        wh = E4.mul(eq_vals, E4.mul(inter_eq, np.broadcast_to(half, (C, 4))))
+        sums = kernel(
+            zr_stack,
+            zi_stack,
+            to_m(np.concatenate([lf0, lfh], axis=1)),
+            to_m(np.concatenate([rt0, rth], axis=1)),
+            to_m(np.concatenate([w0, wh], axis=0)),
+        )
+        sums_c = np.asarray(kb.from_monty(sums.reshape(-1)), np.uint32).reshape(2, 4)
+        y0, yh = sums_c[0], sums_c[1]
         y1 = E4.sub(claim, y0)
         poly = _interp_0_half_1(y0, yh, y1)
         messages.append(poly)

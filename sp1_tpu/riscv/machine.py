@@ -372,6 +372,7 @@ def cpu_layout(ws: WordSpec, sel_names=None, fams=None) -> Cols:
         c.col("is_read")
         c.col("is_sha_extend")
         c.col("is_sha_compress")
+        c.col("is_keccak")
     c.col("rd_nonzero")
     c.col("rd_inv")
     c.col("rd_write_mult")
@@ -624,6 +625,7 @@ class CpuChip(Chip):
                 (is_read, 3),
                 (g("is_sha_extend"), 8),
                 (g("is_sha_compress"), 9),
+                (g("is_keccak"), 10),
             ]
             flag_sum = ops.zero()
             for flag, sid in ecall_flags:
@@ -1734,6 +1736,7 @@ class CpuChip(Chip):
         if has("is_sha_extend"):
             clk_next_terms.append((main_col(L["is_sha_extend"]), 48))
             clk_next_terms.append((main_col(L["is_sha_compress"]), 80))
+            clk_next_terms.append((main_col(L["is_keccak"]), 74))
         out.append(
             Interaction(
                 (
@@ -1746,7 +1749,8 @@ class CpuChip(Chip):
         )
         # precompile dispatch: (syscall id, clk, raw pointer limbs in a0)
         if has("is_sha_extend"):
-            for sid, flag in ((8, "is_sha_extend"), (9, "is_sha_compress")):
+            for sid, flag in ((8, "is_sha_extend"), (9, "is_sha_compress"),
+                              (10, "is_keccak")):
                 out.append(
                     Interaction(
                         tuple(
@@ -2499,6 +2503,7 @@ def build_machine(ws: WordSpec = WordSpec()) -> Machine:
 
 def _build_machine_uncached(ws: WordSpec) -> Machine:
     from .global_chip import GlobalChip
+    from .keccak import KeccakPermChip
     from .sha import ShaCompressChip, ShaExtendChip, ShaKChip
 
     return RiscvMachine(
@@ -2513,6 +2518,7 @@ def _build_machine_uncached(ws: WordSpec) -> Machine:
             ShaKChip(ws),
             ShaExtendChip(ws),
             ShaCompressChip(ws),
+            KeccakPermChip(ws),
             MemoryInitChip(ws),
             MemoryFinalChip(ws),
             MemoryGenesisChip(ws),

@@ -114,7 +114,7 @@ def set_global_pv(pv: list, traces: dict, ws: WordSpec) -> list:
 
 
 # clk window owned by each precompile ecall (rounds run at clk+1..clk+N)
-PX_WINDOW = {8: 48, 9: 80}
+PX_WINDOW = {8: 48, 9: 80, 10: 74}
 
 
 def segment_clk_end(events) -> int:
@@ -391,6 +391,10 @@ def px_row_ops(kind: int, step: int) -> tuple:
         return 4, True
     if kind == 9:  # sha compress: init/compress read, finalize writes
         return (1, False) if step < 72 else (0, True)
+    if kind == 10:  # keccak: 25 lane reads, 24 rounds, 25 lane writes
+        if step < 25:
+            return 1, False
+        return (0, False) if step < 49 else (0, True)
     raise ValueError(f"unknown precompile kind {kind}")
 
 
@@ -1205,6 +1209,8 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
         cpu[:n, L["is_sha_extend"]] = (is_ecall & (ev["b"] == 8)).astype(np.uint32)
     if "is_sha_compress" in L.names:
         cpu[:n, L["is_sha_compress"]] = (is_ecall & (ev["b"] == 9)).astype(np.uint32)
+    if "is_keccak" in L.names:
+        cpu[:n, L["is_keccak"]] = (is_ecall & (ev["b"] == 10)).astype(np.uint32)
 
     rd_arr = rom["rd"][pc_idx]
     rd_nonzero = (rd_arr != 0).astype(np.uint32)
@@ -1522,6 +1528,21 @@ def generate_traces(
         sha_trace, sha_rows, sha_range_lookups = generate_sha_extend_trace(
             sha_px, ws, _pad_pow2(len(sha_px), mlrc)
         )
+    from .keccak import generate_keccak_trace
+
+    keccak_px = _kind_px(10)
+    keccak_trace, keccak_rows, keccak_range_lookups = None, 0, []
+    if keccak_px is not None:
+        n_kr = (len(keccak_px) // 74) * 24
+        if n_kr > (1 << mlrc):
+            raise ValueError(
+                f"KeccakPerm rows {n_kr} exceed shard height 2^{mlrc}; "
+                "lower the event split threshold"
+            )
+        keccak_trace, keccak_rows, keccak_range_lookups = generate_keccak_trace(
+            keccak_px, ws, _pad_pow2(max(n_kr, 1), mlrc)
+        )
+
     shac_px = _kind_px(9)
     shac_trace, shac_rows, shac_range_lookups = None, 0, []
     sha_k_mult = np.zeros(64, np.uint32)
@@ -1540,7 +1561,8 @@ def generate_traces(
     prep_rng = np.zeros((rng_h, 1), np.uint32)
     prep_rng[: 1 << ws.limb_bits, 0] = np.arange(1 << ws.limb_bits)
     rng_mult = np.zeros((rng_h, 1), np.uint32)
-    for vals, mult in lookups + sha_range_lookups + shac_range_lookups:
+    for vals, mult in (lookups + sha_range_lookups + shac_range_lookups
+                       + keccak_range_lookups):
         rng_mult[:, 0] += np.bincount(
             vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
         )[:rng_h].astype(np.uint32)
@@ -1675,6 +1697,11 @@ def generate_traces(
         **(
             {"ShaCompress": (jnp.asarray(to_monty(shac_trace)), shac_rows)}
             if shac_rows
+            else {}
+        ),
+        **(
+            {"KeccakPerm": (jnp.asarray(to_monty(keccak_trace)), keccak_rows)}
+            if keccak_rows
             else {}
         ),
         "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
