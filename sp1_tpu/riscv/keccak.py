@@ -451,7 +451,7 @@ def generate_keccak_trace(px, ws: WordSpec, height: int):
         i0 = row
         onef = np.ones(1, np.uint32)
         for j in range(NUM_LANES):
-            prev = int(reads["r_prev_ts"][j])
+            prev = int(reads["r_prev_ts"][j, 0])
             tr[i0, L["r_prev_ts"].start + j] = prev
             diff = (parent * 8 + 8 * (READ_BASE + j)) - prev - 1
             for i2 in range(tsl):
