@@ -81,9 +81,9 @@ def child_main(mode: str):
     """The actual measurement (runs in a subprocess)."""
     import jax
 
-    if mode == "device":
-        jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    cache = ".jax_cache" if mode == "device" else ".jax_cache_cpu"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from sp1_tpu.executor import asm, native
     from sp1_tpu.iop.challenger import DuplexChallenger
@@ -165,8 +165,8 @@ def main():
         # Fallback at the proven small shape: guaranteed to finish fast.
         result = run_child(
             "host",
-            timeout=min(budget * 0.45, 300),
-            mlrc=int(os.environ.get("SP1_BENCH_HOST_MLRC", "12")),
+            timeout=min(budget * 0.3, 180),
+            mlrc=int(os.environ.get("SP1_BENCH_HOST_MLRC", "10")),
             limb_bits=int(os.environ.get("SP1_BENCH_HOST_LIMB_BITS", "8")),
         )
 

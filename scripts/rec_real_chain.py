@@ -21,11 +21,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-if os.environ.get("SP1_CHAIN_CPU") == "1":
+_cpu = os.environ.get("SP1_CHAIN_CPU") == "1"
+if _cpu:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    os.path.join(
+        os.path.dirname(__file__), "..", ".jax_cache_cpu" if _cpu else ".jax_cache"
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -79,13 +82,16 @@ def main():
     log(f"core: 2 shards proved+verified in {time.time()-t0:.1f}s")
 
     # ---- normalize: RecursionAir proof per core shard ---------------------
-    nprogram = rcompile.build_shard_verify_program(machine, config, core_proofs[0])
-    log(f"normalize program: {nprogram.counts() if hasattr(nprogram, 'counts') else 'compiled'}")
-    rp = RecursionProver(nprogram, fri=FriConfig.core())
-    log(f"normalize prover ready (mlrc={rp.config.max_log_row_count})")
-    nproofs = []
+    # The first and last shard carry different bookend chips, so their
+    # proofs have different SHAPES and each needs its own shape-specialized
+    # normalize program (the reference's shape system pads these to a
+    # canonical shape; we compose heterogeneously instead).
+    nproofs, nprovers = [], []
     for i, cp in enumerate(core_proofs):
         t0 = time.time()
+        nprogram = rcompile.build_shard_verify_program(machine, config, cp)
+        rp = RecursionProver(nprogram, fri=FriConfig.core())
+        log(f"normalize {i} prover ready (mlrc={rp.config.max_log_row_count})")
         stream = rcompile.shard_witness_stream(pk.vk, cp)
         np_i = rp.prove(stream)
         assert rp.verify(np_i), f"normalize {i} rejected"
@@ -94,14 +100,21 @@ def main():
         )
         log(f"normalize {i}: proved+verified in {time.time()-t0:.1f}s")
         nproofs.append(np_i)
+        nprovers.append(rp)
 
     # ---- compose: one proof verifying both normalize proofs ---------------
     t0 = time.time()
     cprogram = rcompose.build_compose_program(
-        rp.machine, rp.config, nproofs[0], num_children=2
+        None, None,
+        children=[
+            (rp.machine, rp.config, np_i)
+            for rp, np_i in zip(nprovers, nproofs)
+        ],
     )
     cprover = RecursionProver(cprogram, fri=FriConfig.core())
-    cstream = rcompose.compose_witness_stream(rp.vk, nproofs)
+    cstream = rcompose.compose_witness_stream(
+        None, nproofs, vks=[rp.vk for rp in nprovers]
+    )
     cproof = cprover.prove(cstream)
     assert cprover.verify(cproof), "compose rejected"
     assert check_shard(cprover.machine, cprover.config, cprover.vk, cproof)

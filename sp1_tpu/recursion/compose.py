@@ -45,22 +45,39 @@ def num_compose_pvs(rec_machine) -> int:
     return NUM_VK_PVS + rec_machine.num_pv_elts()
 
 
-def build_compose_program(rec_machine, rec_config, child_proof,
-                          num_children: int, rules: PvMergeRules | None = None):
-    """Compile the verifier for `num_children` proofs of child_proof's shape."""
+def build_compose_program(rec_machine, rec_config, child_proof=None,
+                          num_children: int | None = None,
+                          rules: PvMergeRules | None = None,
+                          children: list | None = None):
+    """Compile the verifier for N child recursion proofs.
+
+    Homogeneous form: `child_proof` + `num_children` — one witnessed vk
+    shared by every child (the reference's padded-shape normalize tree).
+    Heterogeneous form: `children` = [(machine, config, shape_proof)] —
+    each child gets its OWN witnessed vk and shape (needed until the
+    shape system pads first/last shards to a canonical normalize shape;
+    reference analog: crates/prover/src/shapes.rs + the vk merkle map).
+    All child-vk digests are committed so the parent binds every child
+    program.
+    """
     rules = rules or PvMergeRules()
-    sym = SymbolicBackend(num_pvs=num_compose_pvs(rec_machine))
+    if children is None:
+        children = [(rec_machine, rec_config, child_proof)] * num_children
+    homogeneous = all(c[0] is children[0][0] for c in children)
+    n_vk = 1 if homogeneous else len(children)
+    npv = children[0][0].num_pv_elts()
+    sym = SymbolicBackend(num_pvs=8 * n_vk + 3 + npv)
     wbk = LiftToWitness(sym)
-    vvk = lift_vk(wbk, _ShapeVk)
-    vproofs = [
-        lift_shard_proof(wbk, child_proof) for _ in range(num_children)
-    ]
-    for vproof in vproofs:
+    if homogeneous:
+        vvks = [lift_vk(wbk, _ShapeVk)] * len(children)
+    else:
+        vvks = [lift_vk(wbk, _ShapeVk) for _ in children]
+    vproofs = [lift_shard_proof(wbk, c[2]) for c in children]
+    for (mach, cfg, _), vvk, vproof in zip(children, vvks, vproofs):
         ch = VChallenger(sym)
         observe_vk(vvk, ch)
-        verify_shard(sym, rec_machine, rec_config, vvk, vproof, ch)
+        verify_shard(sym, mach, cfg, vvk, vproof, ch)
 
-    npv = rec_machine.num_pv_elts()
     last = set(rules.last)
     for i in rules.equal:
         for p in vproofs[1:]:
@@ -79,16 +96,25 @@ def build_compose_program(rec_machine, rec_config, child_proof,
         (vproofs[-1] if i in last else vproofs[0]).public_values[i]
         for i in range(npv)
     ]
-    sym.commit_public_values(
-        list(vvk.preprocessed_commit) + list(vvk.pc_start) + merged
-    )
+    committed = []
+    for vvk in (vvks[:1] if homogeneous else vvks):
+        committed += list(vvk.preprocessed_commit)
+    sym.commit_public_values(committed + list(vvks[0].pc_start) + merged)
     return sym.finalize()
 
 
-def compose_witness_stream(vk, proofs):
-    """Runtime witness blocks for a compose program, in stream order."""
+def compose_witness_stream(vk, proofs, vks: list | None = None):
+    """Runtime witness blocks for a compose program, in stream order.
+
+    Pass `vks` (one per child) for heterogeneous compose programs."""
     w = StreamWriter()
-    lift_vk(w, vk)
+    if vks is None:
+        lift_vk(w, vk)
+        for p in proofs:
+            lift_shard_proof(w, p)
+        return w.stream
+    for v in vks:
+        lift_vk(w, v)
     for p in proofs:
         lift_shard_proof(w, p)
     return w.stream
