@@ -94,7 +94,11 @@ class CompressTree:
             return []
         lv.emitted.add(group)
         if end - start == 1:
-            # Tail singleton: promote without a reduce task.
+            # Tail singleton: promote without a reduce task. A promoted
+            # leaf can reach a higher reduce alongside compose proofs of a
+            # different shape; compose handles that via its heterogeneous
+            # `children=` form (recursion/compose.py), unlike the
+            # reference which range-merges with arity [2,4] instead.
             return self._add_locked(level + 1, group, lv.slots[start])
         is_root = self.sizes[level + 1] == 1
         return [ReadyGroup(level, group, [lv.slots[i] for i in range(start, end)],
