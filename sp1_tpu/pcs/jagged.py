@@ -371,6 +371,18 @@ class HadamardPoly:
         am = jnp.asarray(_to_monty_np(alpha))
         return HadamardPoly(_fix_last(self.a, am), _fix_last(self.b, am))
 
+    def fix_last_variable_dev(self, am) -> "HadamardPoly":
+        """Device-challenger fold (monty device alpha, no host handoff)."""
+        poly = object.__new__(HadamardPoly)
+        poly.a = _fix_last(self.a, am)
+        poly.b = _fix_last(self.b, am)
+        poly.host = False
+        return poly
+
+    def component_evals_device(self):
+        """(2, 4) monty [a, b] evals at the final point."""
+        return jnp.stack([self.a[0], self.b[0]])
+
     def get_component_poly_evals(self):
         if self.host:
             return [np.asarray(self.a[0], np.uint32), np.asarray(self.b[0], np.uint32)]

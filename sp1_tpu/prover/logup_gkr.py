@@ -372,6 +372,16 @@ class LogupRoundPoly:
             return LogupRoundPoly(*tabs, self.lam_m, self.lam_c, host=True)
         return LogupRoundPoly(*tabs, self.lam_m, self.lam_c)
 
+    def fix_last_variable_dev(self, am) -> "LogupRoundPoly":
+        """Device-challenger fold (monty device alpha, no host handoff)."""
+        tabs = _fix_last_5(*self.tabs, am)
+        return LogupRoundPoly(*tabs, self.lam_m, self.lam_c)
+
+    def component_evals_device(self):
+        """(4, 4) monty [n0, d0, n1, d1] at the final point."""
+        _, n0, n1, d0, d1 = self.tabs
+        return jnp.stack([n0[0], d0[0], n1[0], d1[0]])
+
     def get_component_poly_evals(self) -> list:
         # [n0, d0, n1, d1] at the final point
         _, n0, n1, d0, d1 = self.tabs

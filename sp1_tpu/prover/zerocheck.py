@@ -624,6 +624,50 @@ class DevZeroCheckPoly:
         poly.n_live = self.n_live // 2
         return poly
 
+    def fix_last_variable_dev(self, am) -> "DevZeroCheckPoly":
+        """Device-challenger fold: alpha arrives as a (4,) monty device
+        array and the poly NEVER hands off to the host (iop.dsumcheck)."""
+        if self.mesh is not None:
+            from ..parallel import mesh as pm
+
+            nd = pm.mesh_size(self.mesh)
+            table = _fold_packed_sharded(self.table, am, self.mesh)
+            n_live = self.n_live // 2
+            if n_live >= 2 * nd:
+                poly = object.__new__(DevZeroCheckPoly)
+                poly.__dict__.update(self.__dict__)
+                poly.table = table
+                poly.n_live = n_live
+                return poly
+            # gather the live remainder onto one device and continue there
+            n = int(table.shape[0])
+            lg = max(n_live // nd, 1)
+            idx = np.concatenate(
+                [d * (n // nd) + np.arange(lg) for d in range(nd)]
+            )[:n_live]
+            live = jax.device_put(
+                table[jnp.asarray(idx, jnp.int32)], jax.devices()[0]
+            )
+            poly = object.__new__(DevZeroCheckPoly)
+            poly.__dict__.update(self.__dict__)
+            poly.mesh = None
+            poly.table = live
+            poly.n_live = n_live
+            poly._kernel = _make_packed_round_kernel(self.chip, self.degree + 1)
+            return poly
+        table = _fold_packed(self.table, am)
+        poly = object.__new__(DevZeroCheckPoly)
+        poly.__dict__.update(self.__dict__)
+        poly.table = table
+        poly.n_live = self.n_live // 2
+        return poly
+
+    def component_evals_device(self):
+        """(Wp+W, 4) monty evals at the final point: prep cols then main."""
+        wm, wp = self.chip.width, self.chip.preprocessed_width
+        row = self.table[0]
+        return jnp.concatenate([row[wm : wm + wp], row[:wm]], axis=0)
+
     def _to_host_poly(self, live_table, n_live) -> "ZeroCheckPoly":
         """Materialize the host-tail poly from the (n_live, Wt, 4) rows."""
         wm, wp = self.chip.width, self.chip.preprocessed_width
@@ -816,10 +860,11 @@ def make_zerocheck_poly(
     alpha: np.ndarray,
     gkr_batch_challenge: np.ndarray,
     public_values: list,
+    force_device: bool = False,
 ) -> ZeroCheckPoly:
     n = int(main_trace.shape[0])
     mlrc = n.bit_length() - 1
-    host_small = n <= HOST_THRESH
+    host_small = n <= HOST_THRESH and not force_device
     adj = padded_row_adjustment_host(chip, public_values, alpha)
     # gkr powers: gkrc^1, gkrc^2, ... for main+prep columns
     w_total = chip.width + chip.preprocessed_width
