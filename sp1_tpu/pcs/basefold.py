@@ -239,6 +239,194 @@ def prove_untrusted_evaluations(
     )
 
 
+_pl_ext_jit = jax.jit(mle_ops.partial_lagrange_ext)
+_from_monty_jit = jax.jit(kb.from_monty)
+_to_monty_jit = jax.jit(kb.to_monty)
+
+
+@jax.jit
+def _bf_msg_kernel(claim_m, zero_m, inv_m):
+    """one_val = (claim - zero) * inv(last_coord) + zero; message canonical."""
+    one_m = ext.ext4_add(ext.ext4_mul(ext.ext4_sub(claim_m, zero_m), inv_m), zero_m)
+    return kb.from_monty(jnp.stack([zero_m, one_m])), one_m
+
+
+@jax.jit
+def _bf_claim_kernel(zero_m, one_m, beta_c):
+    beta_m = kb.to_monty(beta_c)
+    return ext.ext4_add(zero_m, ext.ext4_mul(beta_m, one_m)), beta_m
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _rlc_claims_kernel(flat_claims_m, total_len: int, coeffs_m):
+    acc = jnp.zeros(4, jnp.uint32)
+    for j in range(total_len):
+        acc = kb.add(acc, ext.ext4_mul(flat_claims_m[j], coeffs_m[j]))
+    return acc
+
+
+def _prove_trusted_evaluations_dfs(
+    eval_point: np.ndarray,
+    evaluation_claims: list,
+    prover_data: list,
+    config: FriConfig,
+    challenger: DuplexChallenger,
+) -> BasefoldProof:
+    """Device-Fiat-Shamir BaseFold opening: every round (message, Merkle
+    commit, fold) enqueues asynchronously against the TraceChallenger;
+    the host syncs once to draw query indices and once to fetch the whole
+    proof. Transcript-identical to the host-orchestrated path below."""
+    from ..iop.dchallenger import TraceChallenger
+    from ..utils import timing
+    from ..utils.fetch import batch_fetch
+
+    eval_point = np.asarray(eval_point, np.uint32)
+    num_vars = eval_point.shape[0]
+    tch = TraceChallenger.from_host(challenger)
+
+    with timing.span("bf_grind1"):
+        batch_w = tch.grind(BATCH_GRINDING_BITS)
+
+    all_mles = [m for pd in prover_data for m in pd.mles]
+    total_len = sum(int(m.shape[1]) for m in all_mles)
+    num_batching_vars = max(total_len - 1, 0).bit_length() if total_len > 1 else 0
+    batching_point = tch.sample_ext_vec(num_batching_vars)
+    coeffs_m = _pl_ext_jit(_to_monty_jit(batching_point))[:total_len]
+
+    stacked = jnp.concatenate([jnp.asarray(m) for m in all_mles], axis=1)
+    current_mle = _batch_columns(stacked, coeffs_m, int(stacked.shape[0]))
+
+    flat_claims = np.concatenate(
+        [np.asarray(c, np.uint32).reshape(-1, 4) for rc in evaluation_claims for c in rc]
+    )
+    claim_m = _rlc_claims_kernel(
+        jnp.asarray(_to_monty_np(flat_claims)), total_len, coeffs_m
+    )
+
+    log_n = num_vars
+    current_code = ntt.rs_encode(current_mle, log_n, config.log_blowup)
+
+    # last-coordinate inverses are known on the host up front
+    inv_last_m = [
+        jnp.asarray(_to_monty_np(E4.inv(eval_point[num_vars - 1 - r])))
+        for r in range(num_vars)
+    ]
+
+    point_m = jnp.asarray(_to_monty_np(eval_point))
+    messages_h, root_handles, fri_trees = [], [], []
+    tch.observe(num_vars)
+    _bf_rounds_span = timing.span("bf_rounds")
+    _bf_rounds_span.__enter__()
+    for r in range(num_vars):
+        point_m = point_m[: num_vars - 1 - r]
+        if point_m.shape[0]:
+            zero_m = _fixed_at_zero_dev(current_mle, point_m)
+        else:
+            zero_m = current_mle[0]
+        msg_c, one_m = _bf_msg_kernel(claim_m, zero_m, inv_last_m[r])
+        messages_h.append(msg_c)
+        tch.observe_slice(msg_c.reshape(-1))
+
+        leaves = _pair_leaves(current_code)
+        tree = merkle.commit_tensors([leaves])
+        root_c = merkle.root_dev(tree)
+        root_handles.append(root_c)
+        fri_trees.append((tree, leaves))
+        tch.observe_digest(root_c)
+        beta = tch.sample_ext()
+        claim_m, beta_m = _bf_claim_kernel(zero_m, one_m, beta)
+
+        cur_log = int(current_code.shape[0]).bit_length() - 1
+        current_code = _fold_codeword(current_code, beta_m, cur_log)
+        current_mle = mle_ops.fold_ext(current_mle, beta_m)
+    _bf_rounds_span.__exit__(None, None, None)
+
+    final_poly_h = _from_monty_jit(current_code[0])
+    tch.observe_slice(final_poly_h)
+
+    with timing.span("bf_grind2"):
+        pow_w = tch.grind(config.proof_of_work_bits)
+
+    # one sync: challenger state home for query sampling
+    tch.to_host(challenger)
+    log_len = num_vars
+    query_indices = [
+        challenger.sample_bits(log_len + config.log_blowup)
+        for _ in range(config.num_queries)
+    ]
+
+    with timing.span("bf_queries"):
+        # enqueue every gather; fetch the whole proof in one transfer
+        comp_handles = []
+        for pd in prover_data:
+            comp_handles.append(
+                (
+                    merkle.gather_openings_dev(pd.codewords, query_indices),
+                    merkle.open_paths_dev(pd.tree, query_indices),
+                )
+            )
+        fri_handles = []
+        indices = list(query_indices)
+        for tree, leaves in fri_trees:
+            indices = [i >> 1 for i in indices]
+            fri_handles.append(
+                (
+                    merkle.gather_openings_dev([leaves], indices),
+                    merkle.open_paths_dev(tree, indices),
+                )
+            )
+
+        flat_handles = (
+            messages_h
+            + root_handles
+            + [final_poly_h, batch_w.reshape(1), pow_w.reshape(1)]
+            + [h for pair in comp_handles for h in pair]
+            + [h for pair in fri_handles for h in pair]
+        )
+        fetched = batch_fetch(flat_handles)
+
+    n = num_vars
+    msgs = fetched[:n]
+    roots = fetched[n : 2 * n]
+    final_poly = fetched[2 * n]
+    batch_grinding_witness = int(fetched[2 * n + 1][0])
+    pow_witness = int(fetched[2 * n + 2][0])
+    rest = fetched[2 * n + 3 :]
+    component_openings = []
+    for i, pd in enumerate(prover_data):
+        values, paths = rest[2 * i], rest[2 * i + 1]
+        component_openings.append(
+            MerkleOpeningAndProof(
+                values=values,
+                proof=merkle.MerkleProof(
+                    paths=paths, log_height=paths.shape[1], width=values.shape[1]
+                ),
+            )
+        )
+    rest = rest[2 * len(prover_data) :]
+    query_openings = []
+    for i in range(len(fri_trees)):
+        values, paths = rest[2 * i], rest[2 * i + 1]
+        query_openings.append(
+            MerkleOpeningAndProof(
+                values=values,
+                proof=merkle.MerkleProof(
+                    paths=paths, log_height=paths.shape[1], width=8
+                ),
+            )
+        )
+
+    return BasefoldProof(
+        univariate_messages=np.stack(msgs),
+        fri_commitments=list(roots),
+        component_openings=component_openings,
+        query_openings=query_openings,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+        batch_grinding_witness=batch_grinding_witness,
+    )
+
+
 def prove_trusted_evaluations(
     eval_point: np.ndarray,
     evaluation_claims: list,
@@ -246,10 +434,17 @@ def prove_trusted_evaluations(
     config: FriConfig,
     challenger: DuplexChallenger,
 ) -> BasefoldProof:
-    from ..utils import timing
+    from ..utils import dfs, timing
 
     eval_point = np.asarray(eval_point, np.uint32)
     num_vars = eval_point.shape[0]
+
+    if dfs.enabled() and not isinstance(
+        prover_data[0].mles[0], np.ndarray
+    ):
+        return _prove_trusted_evaluations_dfs(
+            eval_point, evaluation_claims, prover_data, config, challenger
+        )
 
     with timing.span("bf_grind1"):
         batch_grinding_witness = challenger.grind(BATCH_GRINDING_BITS)

@@ -322,11 +322,11 @@ class HadamardPoly:
 
     degree = 2
 
-    def __init__(self, a, b, host=False):
+    def __init__(self, a, b, host=False, force_device=False):
         self.a = a  # (2^n, 4) ext: monty jnp (device) or canonical np (host)
         self.b = b
         self.host = host
-        if not host and int(a.shape[0]) <= HOST_THRESH:
+        if not host and not force_device and int(a.shape[0]) <= HOST_THRESH:
             self.a = hostmle.dev_to_host(a)
             self.b = hostmle.dev_to_host(b)
             self.host = True
@@ -830,11 +830,15 @@ def prove_trusted_evaluations(
         max_log_row_count=config.max_log_row_count,
     )
 
+    from ..utils import dfs
+
+    use_dfs = dfs.enabled()
+
     # The jagged sumcheck: dense * J over log_m variables.
     with timing.span("jtable"):
         jag = partial_jagged_mle(params, z_row, z_col)
         dense = _dense_padded(prover_data, params.log_m)
-        poly = HadamardPoly(mle_ops.ext4_embed(dense), jag)
+        poly = HadamardPoly(mle_ops.ext4_embed(dense), jag, force_device=use_dfs)
 
     # claim = column-claims MLE evaluated at z_col
     padded = np.zeros((1 << num_col_vars, 4), np.uint32)
@@ -843,9 +847,16 @@ def prove_trusted_evaluations(
 
     lam_one = E4.one()
     with timing.span("jagged_sumcheck"):
-        sumcheck_proof, _ = sc.reduce_sumcheck_to_evaluation(
-            [poly], challenger, [claim], lam_one
-        )
+        if use_dfs and not poly.host:
+            from ..iop import dsumcheck as dsc
+
+            sumcheck_proof, _ = dsc.reduce_sumcheck_to_evaluation_device(
+                [poly], challenger, [claim], lam_one
+            )
+        else:
+            sumcheck_proof, _ = sc.reduce_sumcheck_to_evaluation(
+                [poly], challenger, [claim], lam_one
+            )
     final_point = sumcheck_proof.point
 
     # expected_eval = dense MLE evaluation at the final point.

@@ -197,6 +197,35 @@ def compute_openings(tensors: list, indices: list) -> np.ndarray:
     return np.asarray(vals, np.uint32)
 
 
+def root_dev(tree: MerkleTree):
+    """Root digest as a CANONICAL (8,) device array (no readback)."""
+    return kb.from_monty(jnp.asarray(tree.layers[-1][0]))
+
+
+def gather_openings_dev(tensors: list, indices: list):
+    """Device handle for the canonical (Q, total_width) opened rows."""
+    h = int(tensors[0].shape[0])
+    cat = jnp.concatenate([jnp.asarray(t).reshape(h, -1) for t in tensors], axis=1)
+    idx = jnp.asarray(np.asarray(indices, np.int32))
+    return kb.from_monty(cat[idx])
+
+
+def open_paths_dev(tree: MerkleTree, indices: list):
+    """Device handle for the canonical (Q, depth, 8) sibling paths."""
+    depth = len(tree.layers) - 1
+    idx = np.asarray(indices, np.int64)
+    if depth == 0:
+        return jnp.zeros((len(indices), 0, p2.DIGEST), jnp.uint32)
+    sib_rows = []
+    for lvl in range(depth):
+        sib = jnp.asarray((idx >> lvl) ^ 1, jnp.int32)
+        layer = tree.layers[lvl]
+        if isinstance(layer, np.ndarray):
+            layer = jnp.asarray(layer)
+        sib_rows.append(layer[sib])
+    return kb.from_monty(jnp.stack(sib_rows, axis=1))
+
+
 def verify_openings(
     root: np.ndarray,
     indices: list,

@@ -154,7 +154,7 @@ def _host_first_layer(chip, main, prep, h, alpha, betas, n_rows, scope="local"):
     return np.concatenate(nums, axis=0), np.concatenate(dens, axis=0)
 
 
-def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, scope="local"):
+def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, scope="local", force_device=False):
     """Build the leaf fraction tables.
 
     chips: list of Chip. traces: dict name -> (2^mlrc, W) monty jnp.
@@ -173,7 +173,7 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, 
     num_parts, den_parts = [], []
     one = np.zeros(4, np.uint32)
     one[0] = kb.to_monty_i(1)
-    host_small = n_rows <= HOST_THRESH
+    host_small = n_rows <= HOST_THRESH and not force_device
     for chip in chips:
         if not scoped_interactions(chip, scope):
             continue
@@ -471,6 +471,9 @@ def prove_logup_gkr(
     shared challenges (sampled after ALL shard commitments), no grinding,
     and the output cumulative sum is bound to the public-values digest.
     """
+    from ..utils import dfs
+
+    use_dfs = dfs.enabled()
     if scope == "local":
         beta_seed_dim = gkr_beta_seed_dim(machine, chips, scope)
         witness = challenger.grind(GKR_GRINDING_BITS)
@@ -484,7 +487,8 @@ def prove_logup_gkr(
 
     with timing.span("first_layer"):
         num, den, iv = materialize_first_layer(
-            chips, preprocessed, traces, heights, alpha, betas, scope
+            chips, preprocessed, traces, heights, alpha, betas, scope,
+            force_device=use_dfs,
         )
     mlrc = int(next(iter(traces.values())).shape[0]).bit_length() - 1
 
@@ -494,7 +498,7 @@ def prove_logup_gkr(
     layers = [(num, den, host)]
     with timing.span("layer_tree"):
         for _ in range(mlrc - 1):
-            if not host and int(num.shape[0]) // 2 <= HOST_THRESH:
+            if not host and not use_dfs and int(num.shape[0]) // 2 <= HOST_THRESH:
                 num = hostmle.dev_to_host(num)
                 den = hostmle.dev_to_host(den)
                 host = True
@@ -530,7 +534,7 @@ def prove_logup_gkr(
         lnum, lden, lhost = layers[layer_idx]
         lam = challenger.sample_ext()
         lam_m = jnp.asarray(_to_monty_np(lam))
-        if lhost or int(lnum.shape[0]) // 2 <= HOST_THRESH:
+        if lhost or (not use_dfs and int(lnum.shape[0]) // 2 <= HOST_THRESH):
             eq_c = mle_ops.host.partial_lagrange_ext(np.asarray(eval_point, np.uint32))
             ln = (
                 np.asarray(lnum, np.uint32)
@@ -553,9 +557,16 @@ def prove_logup_gkr(
                 eq, nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1], lam_m, lam
             )
         claim = E4.add(E4.mul(numerator_eval, lam), denominator_eval)
-        proof, comp_evals = sc.reduce_sumcheck_to_evaluation(
-            [poly], challenger, [claim], lam
-        )
+        if use_dfs and not poly.host:
+            from ..iop import dsumcheck as dsc
+
+            proof, comp_evals = dsc.reduce_sumcheck_to_evaluation_device(
+                [poly], challenger, [claim], lam
+            )
+        else:
+            proof, comp_evals = sc.reduce_sumcheck_to_evaluation(
+                [poly], challenger, [claim], lam
+            )
         n0, d0, n1, d1 = comp_evals[0]
         challenger.observe_slice(n0)
         challenger.observe_slice(n1)

@@ -268,6 +268,9 @@ class ShardProver:
         gkr2_batch_challenge = challenger.sample_ext() if g_chips else None
 
         # Zerocheck.
+        from ..utils import dfs
+
+        use_dfs = dfs.enabled()
         zeta = logup_proof.logup_evaluations.point
         polys, claims = [], []
         for chip in chips:
@@ -281,6 +284,7 @@ class ShardProver:
                 batching_challenge,
                 gkr_batch_challenge,
                 public_values,
+                force_device=use_dfs,
             )
             polys.append(poly)
             # claim: gkrc-batched openings (main then preprocessed)
@@ -314,6 +318,7 @@ class ShardProver:
                     batching_challenge,
                     gkr2_batch_challenge,
                     public_values,
+                    force_device=use_dfs,
                 )
                 polys.append(bpoly)
                 claim2 = np.zeros(4, np.uint32)
@@ -333,9 +338,18 @@ class ShardProver:
 
         lam = challenger.sample_ext()
         with timing.span("zerocheck"):
-            zerocheck_proof, component_evals = sc.reduce_sumcheck_to_evaluation(
-                polys, challenger, claims, lam
-            )
+            if use_dfs and not any(getattr(p, "host", False) for p in polys):
+                from ..iop import dsumcheck as dsc
+
+                zerocheck_proof, component_evals = (
+                    dsc.reduce_sumcheck_to_evaluation_device(
+                        polys, challenger, claims, lam
+                    )
+                )
+            else:
+                zerocheck_proof, component_evals = sc.reduce_sumcheck_to_evaluation(
+                    polys, challenger, claims, lam
+                )
         component_evals = component_evals[: len(chips)]
 
         challenger.observe(len(chips))
