@@ -94,6 +94,100 @@ struct VM {
     uint64_t syscall_counts[16] = {0};  // by syscall id (small ABI space)
 };
 
+// ---------------------------------------------------------------------------
+// 256-bit modular arithmetic for the curve / uint256 precompiles
+// (reference role: crates/curves/ bigint ops used by the executor's
+// syscall handlers, crates/core/executor/src/syscalls/precompiles/).
+// Little-endian uint64 limbs; generic shift-subtract reduction so any
+// modulus works (incl. the uint256 syscall's arbitrary m).
+// ---------------------------------------------------------------------------
+
+struct U256 { uint64_t w[4] = {0, 0, 0, 0}; };
+
+inline bool u256_is_zero(const U256& a) {
+    return !(a.w[0] | a.w[1] | a.w[2] | a.w[3]);
+}
+
+inline int u256_cmp(const U256& a, const U256& b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a.w[i] != b.w[i]) return a.w[i] < b.w[i] ? -1 : 1;
+    }
+    return 0;
+}
+
+inline U256 u256_sub(const U256& a, const U256& b) {  // assumes a >= b
+    U256 r; unsigned __int128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        unsigned __int128 d = (unsigned __int128)a.w[i] - b.w[i] - (uint64_t)borrow;
+        r.w[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    return r;
+}
+
+inline void u256_mul(const U256& a, const U256& b, uint64_t out[8]) {
+    for (int i = 0; i < 8; i++) out[i] = 0;
+    for (int i = 0; i < 4; i++) {
+        unsigned __int128 carry = 0;
+        for (int j = 0; j < 4; j++) {
+            unsigned __int128 cur = (unsigned __int128)a.w[i] * b.w[j] +
+                                    out[i + j] + (uint64_t)carry;
+            out[i + j] = (uint64_t)cur;
+            carry = cur >> 64;
+        }
+        out[i + 4] += (uint64_t)carry;
+    }
+}
+
+// 512-bit value mod 256-bit m via bitwise shift-subtract (m != 0).
+inline U256 u512_mod(const uint64_t v[8], const U256& m) {
+    U256 r;
+    for (int bit = 511; bit >= 0; bit--) {
+        // r = (r << 1) | v_bit; r < 2m always, so one conditional subtract
+        uint64_t top = r.w[3] >> 63;
+        for (int i = 3; i > 0; i--) r.w[i] = (r.w[i] << 1) | (r.w[i - 1] >> 63);
+        r.w[0] = (r.w[0] << 1) | ((v[bit / 64] >> (bit % 64)) & 1);
+        if (top || u256_cmp(r, m) >= 0) r = u256_sub(r, m);
+    }
+    return r;
+}
+
+inline U256 u256_modmul(const U256& a, const U256& b, const U256& m) {
+    uint64_t prod[8];
+    u256_mul(a, b, prod);
+    return u512_mod(prod, m);
+}
+
+inline U256 u256_modadd(const U256& a, const U256& b, const U256& m) {
+    // (a + b) mod m for a, b < m
+    U256 r; unsigned __int128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        unsigned __int128 s = (unsigned __int128)a.w[i] + b.w[i] + (uint64_t)carry;
+        r.w[i] = (uint64_t)s;
+        carry = s >> 64;
+    }
+    if (carry || u256_cmp(r, m) >= 0) r = u256_sub(r, m);
+    return r;
+}
+
+inline U256 u256_modsub(const U256& a, const U256& b, const U256& m) {
+    if (u256_cmp(a, b) >= 0) return u256_sub(a, b);
+    return u256_sub(m, u256_sub(b, a));
+}
+
+// a^(m-2) mod m — modular inverse for prime m (Fermat).
+inline U256 u256_modinv(const U256& a, const U256& m) {
+    U256 e = u256_sub(m, U256{{2, 0, 0, 0}});
+    U256 base = a, result;
+    result.w[0] = 1;
+    for (int bit = 0; bit < 256; bit++) {
+        if ((e.w[bit / 64] >> (bit % 64)) & 1)
+            result = u256_modmul(result, base, m);
+        base = u256_modmul(base, base, m);
+    }
+    return result;
+}
+
 inline int64_t sext(uint64_t v, int bits) {
     int shift = 64 - bits;
     return ((int64_t)(v << shift)) >> shift;
@@ -560,6 +654,142 @@ bool step(VM& vm) {
                     vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
+            } else if (id >= 11 && id <= 15) {
+                // Curve / uint256 precompiles (reference roles:
+                // syscalls/precompiles/{edwards/add.rs, weierstrass/add.rs,
+                // weierstrass/double.rs, uint256/mod.rs}).
+                // Single-pointer ABI (see sp1_tpu/riscv/curvechip.py):
+                // a0 -> contiguous cell buffer; result overwrites the head.
+                // One PxEvent per cell access: read j at clk+1+j (slot 0),
+                // write i at clk+1+NR+i (slot 4).
+                int n_read, n_write;
+                switch (id) {
+                    case 11: n_read = 16; n_write = 8; break;  // ed_add
+                    case 12: n_read = 16; n_write = 8; break;  // secp256k1_add
+                    case 13: n_read = 8;  n_write = 8; break;  // secp256k1_double
+                    case 14: n_read = 12; n_write = 4; break;  // uint256_mul
+                    default: n_read = 16; n_write = 8; break;  // bn254_add
+                }
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
+                    return false;
+                uint64_t in[16];
+                for (int j = 0; j < n_read; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id; px.step = (uint64_t)j; px.ptr = ptr;
+                    MemCell& mc = cell(vm, ptr + 8 * (uint64_t)j);
+                    px.r_addr[0] = ptr + 8 * (uint64_t)j;
+                    px.r_prev_ts[0] = mc.ts;
+                    px.r_val[0] = mc.value;
+                    mc.ts = rclk * 8;
+                    in[j] = mc.value;
+                    vm.px_events.push_back(px);
+                }
+                auto getu = [&](int cell4) {
+                    U256 v;
+                    for (int i = 0; i < 4; i++) v.w[i] = in[cell4 + i];
+                    return v;
+                };
+                uint64_t out[16] = {0};
+                if (id == 14) {
+                    // uint256_mul: x (cells 0..3) *= y (4..7) mod m (8..11);
+                    // m == 0 means 2^256. Trap when the AIR's 256-bit carry
+                    // would overflow (x*y >= m * 2^256).
+                    U256 x = getu(0), y = getu(4), m = getu(8);
+                    uint64_t prod[8];
+                    u256_mul(x, y, prod);
+                    U256 r;
+                    if (u256_is_zero(m)) {
+                        for (int i = 0; i < 4; i++) r.w[i] = prod[i];
+                    } else {
+                        r = u512_mod(prod, m);
+                        // carry = (x*y - r) / m must fit 256 bits:
+                        // equivalent to floor(x*y / m) < 2^256, i.e. the
+                        // high half of x*y must be < m.
+                        U256 hi;
+                        for (int i = 0; i < 4; i++) hi.w[i] = prod[i + 4];
+                        if (u256_cmp(hi, m) >= 0) return false;
+                    }
+                    for (int i = 0; i < 4; i++) out[i] = r.w[i];
+                } else {
+                    // curve ops: coordinates are 32-byte little-endian
+                    static const U256 P25519 = {{0xFFFFFFFFFFFFFFEDULL,
+                        0xFFFFFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFFFULL,
+                        0x7FFFFFFFFFFFFFFFULL}};
+                    static const U256 PSECP = {{0xFFFFFFFEFFFFFC2FULL,
+                        0xFFFFFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFFFULL,
+                        0xFFFFFFFFFFFFFFFFULL}};
+                    static const U256 PBN254 = {{0x3C208C16D87CFD47ULL,
+                        0x97816A916871CA8DULL, 0xB85045B68181585DULL,
+                        0x30644E72E131A029ULL}};
+                    static const U256 ED_D = {{0x75EB4DCA135978A3ULL,
+                        0x00700A4D4141D8ABULL, 0x8CC740797779E898ULL,
+                        0x52036CEE2B6FFE73ULL}};
+                    const U256& P = (id == 11) ? P25519
+                                  : (id == 15) ? PBN254 : PSECP;
+                    U256 x3, y3;
+                    if (id == 11) {
+                        // twisted-Edwards add (ed25519)
+                        U256 x1 = getu(0), y1 = getu(4), x2 = getu(8), y2 = getu(12);
+                        U256 x1y2 = u256_modmul(x1, y2, P);
+                        U256 x2y1 = u256_modmul(x2, y1, P);
+                        U256 y1y2 = u256_modmul(y1, y2, P);
+                        U256 x1x2 = u256_modmul(x1, x2, P);
+                        U256 f = u256_modmul(u256_modmul(x1, y1, P),
+                                             u256_modmul(x2, y2, P), P);
+                        U256 df = u256_modmul(ED_D, f, P);
+                        U256 one; one.w[0] = 1;
+                        U256 dp = u256_modadd(one, df, P);
+                        U256 dm = u256_modsub(one, df, P);
+                        x3 = u256_modmul(u256_modadd(x1y2, x2y1, P),
+                                         u256_modinv(dp, P), P);
+                        y3 = u256_modmul(u256_modadd(y1y2, x1x2, P),
+                                         u256_modinv(dm, P), P);
+                    } else if (id == 13) {
+                        // Weierstrass double (secp256k1, a = 0)
+                        U256 x = getu(0), y = getu(4);
+                        if (u256_is_zero(y)) return false;
+                        U256 xx = u256_modmul(x, x, P);
+                        U256 three; three.w[0] = 3;
+                        U256 num = u256_modmul(three, xx, P);
+                        U256 two; two.w[0] = 2;
+                        U256 den = u256_modmul(two, y, P);
+                        U256 s = u256_modmul(num, u256_modinv(den, P), P);
+                        U256 ss = u256_modmul(s, s, P);
+                        x3 = u256_modsub(u256_modsub(ss, x, P), x, P);
+                        U256 dx = u256_modsub(x, x3, P);
+                        y3 = u256_modsub(u256_modmul(s, dx, P), y, P);
+                    } else {
+                        // Weierstrass add, distinct points (secp256k1/bn254)
+                        U256 x1 = getu(0), y1 = getu(4), x2 = getu(8), y2 = getu(12);
+                        if (u256_cmp(x1, x2) == 0) return false;
+                        U256 num = u256_modsub(y2, y1, P);
+                        U256 den = u256_modsub(x2, x1, P);
+                        U256 s = u256_modmul(num, u256_modinv(den, P), P);
+                        U256 ss = u256_modmul(s, s, P);
+                        x3 = u256_modsub(u256_modsub(ss, x1, P), x2, P);
+                        U256 dx = u256_modsub(x1, x3, P);
+                        y3 = u256_modsub(u256_modmul(s, dx, P), y1, P);
+                    }
+                    for (int i = 0; i < 4; i++) out[i] = x3.w[i];
+                    for (int i = 0; i < 4; i++) out[i + 4] = y3.w[i];
+                }
+                for (int i = 0; i < n_write; i++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)(n_read + i);
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id;
+                    px.step = (uint64_t)(n_read + i); px.ptr = ptr;
+                    MemCell& wc = cell(vm, ptr + 8 * (uint64_t)i);
+                    px.w_addr = ptr + 8 * (uint64_t)i;
+                    px.w_prev_ts = wc.ts;
+                    px.w_prev_val = wc.value;
+                    wc.value = out[i];
+                    wc.ts = rclk * 8 + 4;
+                    px.w_val = out[i];
+                    vm.px_events.push_back(px);
+                }
+                vm.clk += (uint64_t)(n_read + n_write);
             }
             break;
         }

@@ -1,0 +1,834 @@
+"""Curve / uint256 precompile chips: one row per syscall.
+
+Reference roles:
+  crates/core/machine/src/syscall/precompiles/edwards/ed_add.rs
+  crates/core/machine/src/syscall/precompiles/weierstrass/weierstrass_add.rs
+  crates/core/machine/src/syscall/precompiles/weierstrass/weierstrass_double.rs
+  crates/core/machine/src/syscall/precompiles/uint256/air.rs
+  crates/core/executor/src/events/precompiles/ec.rs (event recording)
+
+TPU-native design: each syscall is ONE trace row. The guest's operand
+buffer is read cell-by-cell in the clk window after the ecall (read j at
+clk+1+j, write i at clk+1+NR+i — the Cpu chip's state chain skips the
+window), every read byte is witnessed as a u8 limb, and the curve
+formulas are proven with the emulated-field blocks of fieldops.py.
+
+ABI divergence from the reference (documented): SP1 passes two pointers
+(a0 = p, a1 = q); our Cpu ecall row reads only a7/a0, so these syscalls
+take a SINGLE pointer to a contiguous buffer [p || q] and write the
+result over p. Layouts (8-byte cells, little-endian):
+  ED_ADD / WEIERSTRASS ADD (16 cells): p.x[0..3] p.y[4..7] q.x[8..11] q.y[12..15]
+  WEIERSTRASS DOUBLE (8 cells):        p.x[0..3] p.y[4..7]
+  UINT256_MUL (12 cells):              x[0..3] y[4..7] m[8..11]  (m = 0 means 2^256)
+These chips require the production word model (limb_bits = 16).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..air.builder import (
+    KIND_MEMORY,
+    KIND_RANGE,
+    KIND_SYSCALL,
+    Affine,
+    Chip,
+    Interaction,
+    main_col,
+)
+from . import fieldops as fo
+from .fieldops import FieldLtBlock, FieldOpBlock, int_to_limbs, limbs_to_int
+from .machine import Cols, WordSpec, _aff
+
+SYSCALL_ED_ADD = 11
+SYSCALL_SECP256K1_ADD = 12
+SYSCALL_SECP256K1_DOUBLE = 13
+SYSCALL_UINT256_MUL = 14
+SYSCALL_BN254_ADD = 15
+# window length = reads + writes (virtual cycles consumed after the ecall)
+
+
+def _pcell_limbs(ws: WordSpec) -> list:
+    return [i for i in range(1, ws.num_limbs) if ws.limb_bits * i < 32]
+
+
+class CallChip(Chip):
+    """Shared machinery for one-row-per-call precompile chips.
+
+    Subclasses define: name, SYSCALL_ID, N_READ, N_WRITE (cell counts),
+    extra_layout(c), eval_body(f, g), write_limb_aff(cell, limb) and the
+    trace population hook populate_row(row, L, in_bytes) -> out_ints.
+    """
+
+    SYSCALL_ID = 0
+    N_READ = 0
+    N_WRITE = 0
+
+    def __init__(self, ws: WordSpec):
+        assert ws.limb_bits == 16, f"{self.name} requires the 16-bit word model"
+        self.ws = ws
+        self.layout = self._build_layout(ws)
+        self.width = self.layout.n
+        self.preprocessed_width = 0
+
+    @property
+    def window(self) -> int:
+        return self.N_READ + self.N_WRITE
+
+    def _build_layout(self, ws: WordSpec) -> Cols:
+        c = Cols()
+        nl, tsl = ws.num_limbs, ws.ts_limbs
+        c.col("is_real")
+        c.col("clk")
+        c.cols("ptr", nl)
+        c.cols("pcell", 1 + len(_pcell_limbs(ws)))
+        c.cols("inb", self.N_READ * 8)          # read bytes (u8 limbs)
+        c.cols("r_prev_ts", self.N_READ)
+        c.cols("tsd_r", self.N_READ * tsl)
+        c.cols("w_prev_ts", self.N_WRITE)
+        c.cols("tsd_w", self.N_WRITE * tsl)
+        c.cols("w_prev_val", self.N_WRITE * nl)
+        self.extra_layout(c)
+        return c
+
+    def extra_layout(self, c: Cols):
+        raise NotImplementedError
+
+    # -- affine helpers ------------------------------------------------------
+    def _cell_aff(self, cell: int) -> Affine:
+        """Unified memory-argument address of buffer cell (registers are
+        0..31; memory cell c is 32 + c — see keccak.py:_cell_aff)."""
+        ws, L = self.ws, self.layout
+        terms = [(main_col(L["pcell"].start), 1)]
+        for k, i in enumerate(_pcell_limbs(ws)):
+            terms.append(
+                (main_col(L["pcell"].start + 1 + k), 1 << (ws.limb_bits * i - 3))
+            )
+        return Affine(32 + cell, tuple(terms))
+
+    def _read_limb_aff(self, cell: int, limb: int) -> Affine:
+        """16-bit memory limb of read cell composed from its u8 limbs."""
+        L = self.layout
+        base = L["inb"].start + cell * 8 + limb * 2
+        return Affine(0, ((main_col(base), 1), (main_col(base + 1), 256)))
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        raise NotImplementedError
+
+    # -- constraints ---------------------------------------------------------
+    def eval(self, f):
+        ws, L = self.ws, self.layout
+        ops = f.ops
+        m = f.main
+        nl, tsl, lb = ws.num_limbs, ws.ts_limbs, ws.limb_bits
+
+        def g(name):
+            v = L[name]
+            if isinstance(v, slice):
+                return [m[i] for i in range(v.start, v.stop)]
+            return m[v]
+
+        one = ops.one()
+        is_real = g("is_real")
+        f.assert_bool(is_real)
+        clk = g("clk")
+
+        # pointer decode: cell-aligned, 32-bit (keccak.py:180-188)
+        ptr, pcell = g("ptr"), g("pcell")
+        f.assert_zero(ops.mul(is_real, ops.sub(ops.scale_base(pcell[0], 8), ptr[0])))
+        in_range = _pcell_limbs(ws)
+        for k, i in enumerate(in_range):
+            f.assert_zero(ops.mul(is_real, ops.sub(pcell[1 + k], ptr[i])))
+        for i in range(1, nl):
+            if i not in in_range:
+                f.assert_zero(ops.mul(is_real, ptr[i]))
+
+        # timestamp ordering: read j at (clk+1+j)*8, write i at
+        # (clk+1+N_READ+i)*8+4, each strictly after the previous access
+        r_prev_ts, tsd_r = g("r_prev_ts"), g("tsd_r")
+        for j in range(self.N_READ):
+            acc = ops.zero()
+            for i in range(tsl):
+                acc = ops.add(acc, ops.scale_base(tsd_r[j * tsl + i], 1 << (lb * i)))
+            new_ts = ops.add(ops.scale_base(clk, 8), ops.const(8 * (1 + j)))
+            f.assert_zero(
+                ops.mul(
+                    is_real,
+                    ops.sub(ops.sub(ops.sub(new_ts, r_prev_ts[j]), one), acc),
+                )
+            )
+        w_prev_ts, tsd_w = g("w_prev_ts"), g("tsd_w")
+        for j in range(self.N_WRITE):
+            acc = ops.zero()
+            for i in range(tsl):
+                acc = ops.add(acc, ops.scale_base(tsd_w[j * tsl + i], 1 << (lb * i)))
+            new_ts = ops.add(
+                ops.scale_base(clk, 8), ops.const(8 * (1 + self.N_READ + j) + 4)
+            )
+            f.assert_zero(
+                ops.mul(
+                    is_real,
+                    ops.sub(ops.sub(ops.sub(new_ts, w_prev_ts[j]), one), acc),
+                )
+            )
+
+        self.eval_body(f, g)
+
+    def eval_body(self, f, g):
+        raise NotImplementedError
+
+    # -- interactions --------------------------------------------------------
+    def _u8_sends(self, idx_range, mult) -> list:
+        """u8 range check as 256*x against the 2^16 Range table."""
+        return [
+            Interaction((Affine(0, ((main_col(i), 256),)),), mult, KIND_RANGE)
+            for i in idx_range
+        ]
+
+    def sends(self) -> list:
+        ws, L = self.ws, self.layout
+        nl, tsl = ws.num_limbs, ws.ts_limbs
+        is_real = _aff(L["is_real"])
+        out = []
+        # reads: bumped-ts state with the same (witnessed-byte) value
+        for j in range(self.N_READ):
+            ts = Affine(8 * (1 + j), ((main_col(L["clk"]), 8),))
+            vals = [self._cell_aff(j), ts]
+            vals += [self._read_limb_aff(j, i) for i in range(nl)]
+            out.append(Interaction(tuple(vals), is_real, KIND_MEMORY))
+        # writes: new value from the subclass's result columns
+        for j in range(self.N_WRITE):
+            ts = Affine(8 * (1 + self.N_READ + j) + 4, ((main_col(L["clk"]), 8),))
+            vals = [self._cell_aff(j), ts]
+            vals += [self.write_limb_aff(j, i) for i in range(nl)]
+            out.append(Interaction(tuple(vals), is_real, KIND_MEMORY))
+        # range checks: ts diffs (u16), pointer cell, read bytes (u8)
+        for k in range(self.N_READ * tsl):
+            out.append(Interaction((_aff(L["tsd_r"].start + k),), is_real, KIND_RANGE))
+        for k in range(self.N_WRITE * tsl):
+            out.append(Interaction((_aff(L["tsd_w"].start + k),), is_real, KIND_RANGE))
+        out.append(Interaction((_aff(L["pcell"].start),), is_real, KIND_RANGE))
+        out.extend(
+            self._u8_sends(range(L["inb"].start, L["inb"].stop), is_real)
+        )
+        out.extend(self.extra_sends(is_real))
+        return out
+
+    def extra_sends(self, is_real) -> list:
+        return []
+
+    def receives(self) -> list:
+        ws, L = self.ws, self.layout
+        nl = ws.num_limbs
+        is_real = _aff(L["is_real"])
+        out = []
+        # the Cpu ecall dispatch: (id, parent clk, raw pointer limbs)
+        sys_vals = [Affine.const(self.SYSCALL_ID), _aff(L["clk"])]
+        sys_vals += [_aff(L["ptr"].start + i) for i in range(nl)]
+        out.append(Interaction(tuple(sys_vals), is_real, KIND_SYSCALL))
+        # memory: previous states
+        for j in range(self.N_READ):
+            vals = [self._cell_aff(j), _aff(L["r_prev_ts"].start + j)]
+            vals += [self._read_limb_aff(j, i) for i in range(nl)]
+            out.append(Interaction(tuple(vals), is_real, KIND_MEMORY))
+        for j in range(self.N_WRITE):
+            vals = [self._cell_aff(j), _aff(L["w_prev_ts"].start + j)]
+            vals += [
+                _aff(L["w_prev_val"].start + j * nl + i) for i in range(nl)
+            ]
+            out.append(Interaction(tuple(vals), is_real, KIND_MEMORY))
+        return out
+
+    # -- trace generation ----------------------------------------------------
+    def generate_trace(self, px: np.ndarray, height: int):
+        """Build the trace from this chip's PxEvents (window-grouped).
+
+        px: structured array with one record per read/write step, kind ==
+        SYSCALL_ID, grouped in windows of N_READ + N_WRITE. Returns
+        (trace, n_rows, range_lookups)."""
+        ws, L = self.ws, self.layout
+        nl, tsl, lb = ws.num_limbs, ws.ts_limbs, ws.limb_bits
+        W = self.window
+        assert len(px) % W == 0, f"{self.name}: ragged event stream"
+        n = len(px) // W
+        tr = np.zeros((height, L.n), np.uint32)
+        lookups = []
+        mask = np.uint32((1 << lb) - 1)
+        for r in range(n):
+            evs = px[r * W : (r + 1) * W]
+            row64 = np.zeros(L.n, np.int64)
+            clk = int(evs[0]["clk"]) - 1  # parent ecall clk
+            ptr = int(evs[0]["ptr"])
+            row64[L["is_real"]] = 1
+            row64[L["clk"]] = clk
+            for i in range(nl):
+                row64[L["ptr"].start + i] = (ptr >> (lb * i)) & int(mask)
+            row64[L["pcell"].start] = (ptr & mask) >> 3
+            for k, i in enumerate(_pcell_limbs(ws)):
+                row64[L["pcell"].start + 1 + k] = (ptr >> (lb * i)) & int(mask)
+            in_bytes = np.zeros(self.N_READ * 8, np.int64)
+            for j in range(self.N_READ):
+                e = evs[j]
+                val = int(e["r_val"][0])
+                prev_ts = int(e["r_prev_ts"][0])
+                new_ts = (clk + 1 + j) * 8
+                for b in range(8):
+                    in_bytes[j * 8 + b] = (val >> (8 * b)) & 0xFF
+                row64[L["r_prev_ts"].start + j] = 0  # set below (ts limbs)
+                row64[L["r_prev_ts"].start + j] = prev_ts
+                d = new_ts - prev_ts - 1
+                for i in range(tsl):
+                    row64[L["tsd_r"].start + j * tsl + i] = (d >> (lb * i)) & int(mask)
+            row64[L["inb"]] = in_bytes
+            for j in range(self.N_WRITE):
+                e = evs[self.N_READ + j]
+                prev_ts = int(e["w_prev_ts"])
+                prev_val = int(e["w_prev_val"])
+                new_ts = (clk + 1 + self.N_READ + j) * 8 + 4
+                row64[L["w_prev_ts"].start + j] = prev_ts
+                d = new_ts - prev_ts - 1
+                for i in range(tsl):
+                    row64[L["tsd_w"].start + j * tsl + i] = (d >> (lb * i)) & int(mask)
+                for i in range(nl):
+                    row64[L["w_prev_val"].start + j * nl + i] = (
+                        prev_val >> (lb * i)
+                    ) & int(mask)
+            out_vals = self.populate_row(row64, L, in_bytes)
+            # consistency: the executor's written values must match ours
+            for j in range(self.N_WRITE):
+                assert int(evs[self.N_READ + j]["w_val"]) == out_vals[j], (
+                    f"{self.name}: executor/tracegen result mismatch at cell {j}"
+                )
+            tr[r] = row64.astype(np.uint32)
+        if n:
+            # range lookups, vectorized over real rows
+            real = tr[:n]
+            for sl, scale in ((L["tsd_r"], 1), (L["tsd_w"], 1)):
+                vals = real[:, sl].reshape(-1)
+                lookups.append((vals.astype(np.int64), np.ones_like(vals, np.int64)))
+            lookups.append(
+                (
+                    real[:, L["pcell"].start].astype(np.int64),
+                    np.ones(n, np.int64),
+                )
+            )
+            u8_slices = [L["inb"]] + self.u8_check_slices(L)
+            for sl in u8_slices:
+                vals = real[:, sl].reshape(-1).astype(np.int64) * 256
+                lookups.append((vals, np.ones_like(vals)))
+            for sl in self.u16_check_slices(L):
+                vals = real[:, sl].reshape(-1).astype(np.int64)
+                lookups.append((vals, np.ones_like(vals)))
+        return tr, n, lookups
+
+    def populate_row(self, row64: np.ndarray, L, in_bytes: np.ndarray) -> list:
+        """Fill subclass columns; return the N_WRITE written cell values."""
+        raise NotImplementedError
+
+    def u8_check_slices(self, L) -> list:
+        return []
+
+    def u16_check_slices(self, L) -> list:
+        return []
+
+
+class _BlockChip(CallChip):
+    """CallChip whose body is a sequence of FieldOp/FieldLt blocks; gives
+    uniform range-send/lookup wiring."""
+
+    def __init__(self, ws: WordSpec):
+        self.blocks: list = []
+        self.lt_blocks: list = []
+        super().__init__(ws)
+
+    def _add_block(self, c: Cols, name: str, fp) -> FieldOpBlock:
+        blk = FieldOpBlock(name, fp)
+        blk.alloc(c)
+        self.blocks.append(blk)
+        return blk
+
+    def _add_lt(self, c: Cols, name: str, fp) -> FieldLtBlock:
+        blk = FieldLtBlock(name, fp)
+        blk.alloc(c)
+        self.lt_blocks.append(blk)
+        return blk
+
+    def extra_sends(self, is_real) -> list:
+        out = []
+        for blk in self.blocks:
+            out.extend(blk.range_sends(self.layout, is_real))
+        for blk in self.lt_blocks:
+            out.extend(blk.range_sends(self.layout, is_real))
+        return out
+
+    def u8_check_slices(self, L) -> list:
+        out = []
+        for blk in self.blocks:
+            out.append(L[blk.name + "_r"])
+            out.append(L[blk.name + "_c"])
+        for blk in self.lt_blocks:
+            out.append(L[blk.name + "_d"])
+        return out
+
+    def u16_check_slices(self, L) -> list:
+        return [L[blk.name + "_w"] for blk in self.blocks]
+
+    def _res(self, g, blk: FieldOpBlock):
+        return g(blk.name + "_r")
+
+    def _write_aff_from(self, blocks_per_cell, cell: int, limb: int) -> Affine:
+        """Write limb of `cell` from the result u8 limbs of the block
+        covering it (4 cells per 32-byte coordinate)."""
+        blk, cell0 = blocks_per_cell[cell]
+        base = self.layout[blk.name + "_r"].start + (cell - cell0) * 8 + limb * 2
+        return Affine(0, ((main_col(base), 1), (main_col(base + 1), 256)))
+
+
+class EdAddChip(_BlockChip):
+    """ed25519 twisted-Edwards addition (ed_add.rs).
+
+    x3 = (x1 y2 + x2 y1) / (1 + d x1 x2 y1 y2)
+    y3 = (y1 y2 + x1 x2) / (1 - d x1 x2 y1 y2)
+    """
+
+    name = "EdAdd"
+    SYSCALL_ID = SYSCALL_ED_ADD
+    N_READ = 16
+    N_WRITE = 8
+    FP = fo.ED25519_FP
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.x3n = self._add_block(c, "x3n", fp)
+        self.y3n = self._add_block(c, "y3n", fp)
+        self.x1y1 = self._add_block(c, "x1y1", fp)
+        self.x2y2 = self._add_block(c, "x2y2", fp)
+        self.fblk = self._add_block(c, "fblk", fp)
+        self.dfblk = self._add_block(c, "dfblk", fp)
+        self.x3d = self._add_block(c, "x3d", fp)
+        self.y3d = self._add_block(c, "y3d", fp)
+        self.x3lt = self._add_lt(c, "x3lt", fp)
+        self.y3lt = self._add_lt(c, "y3lt", fp)
+
+    def _coord(self, g, idx: int) -> list:
+        """u8 limbs of input coordinate idx (x1=0, y1=1, x2=2, y2=3)."""
+        inb = g("inb")
+        return inb[idx * 32 : (idx + 1) * 32]
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        x1, y1 = self._coord(g, 0), self._coord(g, 1)
+        x2, y2 = self._coord(g, 2), self._coord(g, 3)
+        d_limbs = int_to_limbs(fo.ED25519_D, self.FP.nb)
+        self.x3n.eval_inner(f, g, gate, [x1, x2], [y2, y1])
+        self.y3n.eval_inner(f, g, gate, [y1, x1], [y2, x2])
+        self.x1y1.eval_mul(f, g, gate, x1, y1)
+        self.x2y2.eval_mul(f, g, gate, x2, y2)
+        self.fblk.eval_mul(
+            f, g, gate, self._res(g, self.x1y1), self._res(g, self.x2y2)
+        )
+        self.dfblk.eval_mul(f, g, gate, self._res(g, self.fblk), d_limbs)
+        self.x3d.eval_den(
+            f, g, gate, self._res(g, self.x3n), self._res(g, self.dfblk), True
+        )
+        self.y3d.eval_den(
+            f, g, gate, self._res(g, self.y3n), self._res(g, self.dfblk), False
+        )
+        self.x3lt.eval(f, g, gate, self._res(g, self.x3d))
+        self.y3lt.eval(f, g, gate, self._res(g, self.y3d))
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        per_cell = {c: (self.x3d, 0) for c in range(4)}
+        per_cell.update({c: (self.y3d, 4) for c in range(4, 8)})
+        return self._write_aff_from(per_cell, cell, limb)
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        x1 = limbs_to_int(in_bytes[0:32])
+        y1 = limbs_to_int(in_bytes[32:64])
+        x2 = limbs_to_int(in_bytes[64:96])
+        y2 = limbs_to_int(in_bytes[96:128])
+        d = fo.ED25519_D
+        x1_l, y1_l = int_to_limbs(x1, 32), int_to_limbs(y1, 32)
+        x2_l, y2_l = int_to_limbs(x2, 32), int_to_limbs(y2, 32)
+
+        def popm(blk, a, b, a_l, b_l):
+            full = a * b
+            r, carry = full % p, full // p
+            blk.populate(
+                row64, L, [(+1, a_l, b_l), (-1, int_to_limbs(r, 32))], r, carry
+            )
+            return r
+
+        x3num = (x1 * y2 + x2 * y1) % p
+        self.x3n.populate(
+            row64, L,
+            [(+1, x1_l, y2_l), (+1, x2_l, y1_l), (-1, int_to_limbs(x3num, 32))],
+            x3num, (x1 * y2 + x2 * y1) // p,
+        )
+        y3num = (y1 * y2 + x1 * x2) % p
+        self.y3n.populate(
+            row64, L,
+            [(+1, y1_l, y2_l), (+1, x1_l, x2_l), (-1, int_to_limbs(y3num, 32))],
+            y3num, (y1 * y2 + x1 * x2) // p,
+        )
+        a1 = popm(self.x1y1, x1, y1, x1_l, y1_l)
+        a2 = popm(self.x2y2, x2, y2, x2_l, y2_l)
+        fv = popm(self.fblk, a1, a2, int_to_limbs(a1, 32), int_to_limbs(a2, 32))
+        dfv = popm(self.dfblk, fv, d, int_to_limbs(fv, 32), int_to_limbs(d, 32))
+        x3 = x3num * pow((1 + dfv) % p, p - 2, p) % p
+        x3_l = int_to_limbs(x3, 32)
+        self.x3d.populate(
+            row64, L,
+            [(+1, int_to_limbs(dfv, 32), x3_l), (+1, x3_l),
+             (-1, int_to_limbs(x3num, 32))],
+            x3, (dfv * x3 + x3 - x3num) // p,
+        )
+        y3 = y3num * pow((1 - dfv) % p, p - 2, p) % p
+        y3_l = int_to_limbs(y3, 32)
+        self.y3d.populate(
+            row64, L,
+            [(+1, int_to_limbs(dfv, 32), y3_l), (+1, int_to_limbs(y3num, 32)),
+             (-1, y3_l)],
+            y3, (dfv * y3 + y3num - y3) // p,
+        )
+        self.x3lt.populate(row64, L, x3)
+        self.y3lt.populate(row64, L, y3)
+        out = []
+        for j in range(4):
+            out.append((x3 >> (64 * j)) & ((1 << 64) - 1))
+        for j in range(4):
+            out.append((y3 >> (64 * j)) & ((1 << 64) - 1))
+        return out
+
+
+class WeierstrassAddChip(_BlockChip):
+    """Short-Weierstrass distinct-point addition (weierstrass_add.rs).
+
+    s  = (y2 - y1) / (x2 - x1)
+    x3 = s^2 - x1 - x2,   y3 = s (x1 - x3) - y1
+    The executor must never call this with x1 == x2 (reference contract).
+    """
+
+    name = "WsAdd"
+    SYSCALL_ID = 0  # set per curve subclass
+    N_READ = 16
+    N_WRITE = 8
+    FP = None
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.sn = self._add_block(c, "sn", fp)     # y2 - y1
+        self.sd = self._add_block(c, "sd", fp)     # x2 - x1
+        self.s = self._add_block(c, "s", fp)       # sn / sd
+        self.ss = self._add_block(c, "ss", fp)     # s^2
+        self.x3b = self._add_block(c, "x3b", fp)   # ss - x1 - x2
+        self.dx = self._add_block(c, "dx", fp)     # x1 - x3
+        self.sdx = self._add_block(c, "sdx", fp)   # s * dx
+        self.y3b = self._add_block(c, "y3b", fp)   # sdx - y1
+        self.x3lt = self._add_lt(c, "x3lt", fp)
+        self.y3lt = self._add_lt(c, "y3lt", fp)
+
+    def _coord(self, g, idx: int) -> list:
+        inb = g("inb")
+        return inb[idx * 32 : (idx + 1) * 32]
+
+    def eval_body(self, f, g):
+        gate = g("is_real")
+        x1, y1 = self._coord(g, 0), self._coord(g, 1)
+        x2, y2 = self._coord(g, 2), self._coord(g, 3)
+        self.sn.eval_sub(f, g, gate, y2, y1)
+        self.sd.eval_sub(f, g, gate, x2, x1)
+        self.s.eval_div(f, g, gate, self._res(g, self.sn), self._res(g, self.sd))
+        sres = self._res(g, self.s)
+        self.ss.eval_mul(f, g, gate, sres, sres)
+        # x3: ss - x1 - x2 = x3  <=>  x1 + x2 + x3 = ss + carry-form; use
+        # sub twice via an intermediate? One block: treat as
+        # r = ss - (x1 + x2): b + r = a with b = x1+x2 (poly sum)
+        self.x3b.eval_sub2(f, g, gate, self._res(g, self.ss), x1, x2)
+        self.dx.eval_sub(f, g, gate, x1, self._res(g, self.x3b))
+        self.sdx.eval_mul(f, g, gate, sres, self._res(g, self.dx))
+        self.y3b.eval_sub(f, g, gate, self._res(g, self.sdx), y1)
+        self.x3lt.eval(f, g, gate, self._res(g, self.x3b))
+        self.y3lt.eval(f, g, gate, self._res(g, self.y3b))
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        per_cell = {c: (self.x3b, 0) for c in range(4)}
+        per_cell.update({c: (self.y3b, 4) for c in range(4, 8)})
+        return self._write_aff_from(per_cell, cell, limb)
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        x1 = limbs_to_int(in_bytes[0:32])
+        y1 = limbs_to_int(in_bytes[32:64])
+        x2 = limbs_to_int(in_bytes[64:96])
+        y2 = limbs_to_int(in_bytes[96:128])
+        nb = fp.nb
+
+        def L32(v):
+            return int_to_limbs(v, nb)
+
+        def pop_sub(blk, a, b):
+            r = (a - b) % p
+            carry = (b + r - a) // p
+            blk.populate(row64, L, [(+1, L32(b)), (+1, L32(r)), (-1, L32(a))], r, carry)
+            return r
+
+        sn = pop_sub(self.sn, y2, y1)
+        sd = pop_sub(self.sd, x2, x1)
+        s = sn * pow(sd, p - 2, p) % p
+        self.s.populate(
+            row64, L, [(+1, L32(s), L32(sd)), (-1, L32(sn))], s, (s * sd - sn) // p
+        )
+        ss = s * s % p
+        self.ss.populate(
+            row64, L, [(+1, L32(s), L32(s)), (-1, L32(ss))], ss, (s * s) // p
+        )
+        x3 = (ss - x1 - x2) % p
+        carry = (x1 + x2 + x3 - ss) // p
+        self.x3b.populate(
+            row64, L,
+            [(+1, L32(x1)), (+1, L32(x2)), (+1, L32(x3)), (-1, L32(ss))],
+            x3, carry,
+        )
+        dx = pop_sub(self.dx, x1, x3)
+        sdx = s * dx % p
+        self.sdx.populate(
+            row64, L, [(+1, L32(s), L32(dx)), (-1, L32(sdx))], sdx, (s * dx) // p
+        )
+        y3 = pop_sub(self.y3b, sdx, y1)
+        self.x3lt.populate(row64, L, x3)
+        self.y3lt.populate(row64, L, y3)
+        out = [(x3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+        out += [(y3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+        return out
+
+
+class WeierstrassDoubleChip(_BlockChip):
+    """Short-Weierstrass doubling (weierstrass_double.rs).
+
+    s  = (3 x^2 + a) / (2 y)
+    x3 = s^2 - 2x,   y3 = s (x - x3) - y
+    """
+
+    name = "WsDouble"
+    SYSCALL_ID = 0
+    N_READ = 8
+    N_WRITE = 8
+    FP = None
+    A = 0
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.xx = self._add_block(c, "xx", fp)     # 3 x^2 + a
+        self.s = self._add_block(c, "s", fp)       # xx / (2y)
+        self.ss = self._add_block(c, "ss", fp)     # s^2
+        self.x3b = self._add_block(c, "x3b", fp)   # ss - 2x
+        self.dx = self._add_block(c, "dx", fp)     # x - x3
+        self.sdx = self._add_block(c, "sdx", fp)   # s * dx
+        self.y3b = self._add_block(c, "y3b", fp)   # sdx - y
+        self.x3lt = self._add_lt(c, "x3lt", fp)
+        self.y3lt = self._add_lt(c, "y3lt", fp)
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        inb = g("inb")
+        x, y = inb[0:32], inb[32:64]
+        fp = self.FP
+        # xx = 3 x^2 + a: r + carry*m = 3*x*x + a
+        def build_xx(vb, r):
+            vb.add_prod(x, [fo_scale3(ops, l) for l in x])
+            # (3*x)*x via scaled copies — emitted by add_prod with scaled syms
+            vb.add_poly(int_to_limbs(self.A, fp.nb))
+            vb.add_poly(r, -1)
+
+        self.xx._vanish(f, g, gate, build_xx)
+        # s * (2y) = xx
+        y2 = [fo_scale2(ops, l) for l in y]
+        def build_s(vb, r):
+            vb.add_prod(r, y2)
+            vb.add_poly(self._res(g, self.xx), -1)
+
+        self.s._vanish(f, g, gate, build_s)
+        sres = self._res(g, self.s)
+        self.ss.eval_mul(f, g, gate, sres, sres)
+        self.x3b.eval_sub2(f, g, gate, self._res(g, self.ss), x, x)
+        self.dx.eval_sub(f, g, gate, x, self._res(g, self.x3b))
+        self.sdx.eval_mul(f, g, gate, sres, self._res(g, self.dx))
+        self.y3b.eval_sub(f, g, gate, self._res(g, self.sdx), y)
+        self.x3lt.eval(f, g, gate, self._res(g, self.x3b))
+        self.y3lt.eval(f, g, gate, self._res(g, self.y3b))
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        per_cell = {c: (self.x3b, 0) for c in range(4)}
+        per_cell.update({c: (self.y3b, 4) for c in range(4, 8)})
+        return self._write_aff_from(per_cell, cell, limb)
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        x = limbs_to_int(in_bytes[0:32])
+        y = limbs_to_int(in_bytes[32:64])
+        nb = fp.nb
+
+        def L32(v):
+            return int_to_limbs(v, nb)
+
+        xx = (3 * x * x + self.A) % p
+        carry = (3 * x * x + self.A) // p
+        x3_l = [3 * l for l in L32(x)]
+        self.xx.populate(
+            row64, L,
+            [(+1, L32(x), x3_l), (+1, L32(self.A)), (-1, L32(xx))], xx, carry,
+        )
+        s = xx * pow(2 * y % p, p - 2, p) % p
+        y2_l = [2 * l for l in L32(y)]
+        self.s.populate(
+            row64, L, [(+1, L32(s), y2_l), (-1, L32(xx))], s,
+            (s * 2 * y - xx) // p,
+        )
+        ss = s * s % p
+        self.ss.populate(
+            row64, L, [(+1, L32(s), L32(s)), (-1, L32(ss))], ss, (s * s) // p
+        )
+        x3 = (ss - 2 * x) % p
+        self.x3b.populate(
+            row64, L,
+            [(+1, L32(x)), (+1, L32(x)), (+1, L32(x3)), (-1, L32(ss))],
+            x3, (2 * x + x3 - ss) // p,
+        )
+        dx = (x - x3) % p
+        self.dx.populate(
+            row64, L, [(+1, L32(x3)), (+1, L32(dx)), (-1, L32(x))], dx,
+            (x3 + dx - x) // p,
+        )
+        sdx = s * dx % p
+        self.sdx.populate(
+            row64, L, [(+1, L32(s), L32(dx)), (-1, L32(sdx))], sdx, (s * dx) // p
+        )
+        y3 = (sdx - y) % p
+        self.y3b.populate(
+            row64, L, [(+1, L32(y)), (+1, L32(y3)), (-1, L32(sdx))], y3,
+            (y + y3 - sdx) // p,
+        )
+        self.x3lt.populate(row64, L, x3)
+        self.y3lt.populate(row64, L, y3)
+        out = [(x3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+        out += [(y3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+        return out
+
+
+def fo_scale2(ops, sym):
+    return ops.scale_base(sym, 2)
+
+
+def fo_scale3(ops, sym):
+    return ops.scale_base(sym, 3)
+
+
+class Secp256k1AddChip(WeierstrassAddChip):
+    name = "Secp256k1Add"
+    SYSCALL_ID = SYSCALL_SECP256K1_ADD
+    FP = fo.SECP256K1_FP
+
+
+class Secp256k1DoubleChip(WeierstrassDoubleChip):
+    name = "Secp256k1Double"
+    SYSCALL_ID = SYSCALL_SECP256K1_DOUBLE
+    FP = fo.SECP256K1_FP
+    A = fo.SECP256K1_A
+
+
+class Bn254AddChip(WeierstrassAddChip):
+    name = "Bn254Add"
+    SYSCALL_ID = SYSCALL_BN254_ADD
+    FP = fo.BN254_FP
+
+
+class Uint256MulChip(_BlockChip):
+    """uint256 modular multiplication: x = x * y mod m (uint256/air.rs).
+
+    Buffer: x (cells 0..3, written back), y (4..7), m (8..11); m == 0
+    means mod 2^256 (uint256_mul.rs convention).
+    """
+
+    name = "Uint256Mul"
+    SYSCALL_ID = SYSCALL_UINT256_MUL
+    N_READ = 12
+    N_WRITE = 4
+    FP = fo.UINT256
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.mul = self._add_block(c, "mul", fp)
+        c.col("m_is_zero")  # 1 iff the modulus operand is 0 (use 2^256)
+        c.col("m_inv")      # base-field inverse witness of sum(m bytes)
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        inb = g("inb")
+        x, y, m = inb[0:32], inb[32:64], inb[64:96]
+        mz = g("m_is_zero")
+        f.assert_bool(mz)
+        # m_is_zero <=> all m bytes are 0:
+        #   mz * m_i = 0 for all i               (mz = 1 forces m = 0)
+        #   gate * (s*inv + mz - 1) = 0          (m = 0 forces mz = 1)
+        # where s = sum(m bytes) < 2^13 < p so a base inverse exists.
+        s = ops.zero()
+        for l in m:
+            s = ops.add(s, l)
+            f.assert_zero(ops.mul(gate, ops.mul(mz, l)))
+        inv = g("m_inv")
+        f.assert_zero(
+            ops.mul(gate, ops.sub(ops.add(ops.mul(s, inv), mz), ops.one()))
+        )
+        # modulus poly: m bytes when mz=0, else 2^256 (handled as carry*2^256
+        # — with m=0 the carry term vanishes and the result is the low part;
+        # we constrain via a SELECTED modulus: m_sel_i = m_i + mz * (2^256)_i
+        msel = list(m)
+        two256 = int_to_limbs(1 << 256, 33)
+        # x*y = r + carry * m_sel: build manually (modulus is dynamic)
+        r, cr, w = self.mul.syms(g)
+        vb = fo.VanishingBuilder(ops, self.FP)
+        vb.add_prod(x, y)
+        vb.add_poly(r, -1)
+        vb.add_prod(cr, msel, sign=-1)
+        # mz branch: carry * 2^256 = shifted carry at limb 32
+        for i, cl in enumerate(cr):
+            vb.neg[32 + i].append(ops.mul(mz, cl))
+        vb.constrain(f, gate, w)
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        per_cell = {c: (self.mul, 0) for c in range(4)}
+        return self._write_aff_from(per_cell, cell, limb)
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        x = limbs_to_int(in_bytes[0:32])
+        y = limbs_to_int(in_bytes[32:64])
+        m = limbs_to_int(in_bytes[64:96])
+        modulus = m if m != 0 else (1 << 256)
+        r = (x * y) % modulus
+        carry = (x * y) // modulus
+        assert carry < (1 << 256), "uint256 carry overflow"
+        m_l33 = int_to_limbs(modulus, 33)
+        self.mul.populate(
+            row64, L,
+            [(+1, int_to_limbs(x, 32), int_to_limbs(y, 32)),
+             (-1, int_to_limbs(r, 32)),
+             (-1, int_to_limbs(carry, 32), m_l33)],
+            r, 0,
+        )
+        # the generic populate already subtracted carry*modulus via terms;
+        # overwrite the carry columns with the real carry limbs
+        row64[L["mul_c"]] = int_to_limbs(carry, 32)
+        row64[L["m_is_zero"]] = 1 if m == 0 else 0
+        if m != 0:
+            kp = (1 << 31) - (1 << 24) + 1
+            s = int(sum(in_bytes[64:96])) % kp
+            row64[L["m_inv"]] = pow(s, kp - 2, kp)
+        return [(r >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]

@@ -112,6 +112,28 @@ SEL_NAMES = [
     "mulh", "mulhu", "mulhsu",
 ]
 BITWISE_SELS = ("and", "or", "xor", "andi", "ori", "xori")
+
+# Precompile ecall dispatch registry: (Cpu flag column, syscall id,
+# clk-window length, limb16-only). The window is the number of virtual
+# cycles the precompile's reads/rounds/writes occupy after the ecall
+# (reference role: each syscall bumping the clock,
+# crates/core/executor/src/syscall_code.rs header comment).
+PRECOMPILE_FLAGS = [
+    ("is_sha_extend", 8, 48, False),
+    ("is_sha_compress", 9, 80, False),
+    ("is_keccak", 10, 74, False),
+    ("is_ed_add", 11, 24, True),
+    ("is_secp256k1_add", 12, 24, True),
+    ("is_secp256k1_double", 13, 16, True),
+    ("is_uint256_mul", 14, 16, True),
+    ("is_bn254_add", 15, 24, True),
+]
+
+
+def precompile_flags(ws) -> list:
+    """Registry rows available at this word model (curve/uint256 chips
+    require limb_bits=16; see curvechip.py)."""
+    return [r for r in PRECOMPILE_FLAGS if not r[3] or ws.limb_bits == 16]
 CIMM_SELS = ("addi", "andi", "ori", "xori", "muli", "ld", "slti", "sltiu", "srli", "srai",
              "lb", "lbu", "lh", "lhu", "lw", "lwu", "addiw",
              "slliw", "srliw", "sraiw")
@@ -370,9 +392,8 @@ def cpu_layout(ws: WordSpec, sel_names=None, fams=None) -> Cols:
     if "ecall" in fams:
         c.col("is_halt")
         c.col("is_read")
-        c.col("is_sha_extend")
-        c.col("is_sha_compress")
-        c.col("is_keccak")
+        for flag, _sid, _win, _l16 in precompile_flags(ws):
+            c.col(flag)
     c.col("rd_nonzero")
     c.col("rd_inv")
     c.col("rd_write_mult")
@@ -620,12 +641,8 @@ class CpuChip(Chip):
             # READ (a7==3); exactly one must be set on ecall rows, which
             # makes any other syscall id unprovable.
             is_halt, is_read = g("is_halt"), g("is_read")
-            ecall_flags = [
-                (is_halt, 0),
-                (is_read, 3),
-                (g("is_sha_extend"), 8),
-                (g("is_sha_compress"), 9),
-                (g("is_keccak"), 10),
+            ecall_flags = [(is_halt, 0), (is_read, 3)] + [
+                (g(flag), sid) for flag, sid, _w, _l in precompile_flags(ws)
             ]
             flag_sum = ops.zero()
             for flag, sid in ecall_flags:
@@ -1734,9 +1751,8 @@ class CpuChip(Chip):
         # window (sha extend: +48, sha compress: +80).
         clk_next_terms = [(main_col(L["clk"]), 1)]
         if has("is_sha_extend"):
-            clk_next_terms.append((main_col(L["is_sha_extend"]), 48))
-            clk_next_terms.append((main_col(L["is_sha_compress"]), 80))
-            clk_next_terms.append((main_col(L["is_keccak"]), 74))
+            for flag, _sid, win, _l in precompile_flags(self.ws):
+                clk_next_terms.append((main_col(L[flag]), win))
         out.append(
             Interaction(
                 (
@@ -1749,8 +1765,7 @@ class CpuChip(Chip):
         )
         # precompile dispatch: (syscall id, clk, raw pointer limbs in a0)
         if has("is_sha_extend"):
-            for sid, flag in ((8, "is_sha_extend"), (9, "is_sha_compress"),
-                              (10, "is_keccak")):
+            for flag, sid, _win, _l in precompile_flags(self.ws):
                 out.append(
                     Interaction(
                         tuple(
@@ -2492,19 +2507,66 @@ class RiscvMachine(Machine):
 _MACHINE_CACHE = {}
 
 
-def build_machine(ws: WordSpec = WordSpec()) -> Machine:
-    """Cached per WordSpec so chip jit kernels compile once per process."""
-    if ws in _MACHINE_CACHE:
-        return _MACHINE_CACHE[ws]
-    m = _build_machine_uncached(ws)
-    _MACHINE_CACHE[ws] = m
+# Optional curve/uint256 chip clusters selectable via the machine shape
+# (reference role: MachineShape cluster selection,
+# crates/hypercube/src/machine.rs:10-42 — a shape names the chips a shard
+# carries; the Cpu ecall flag structure makes a syscall whose table chip
+# is absent unprovable, so shapes are sound as long as the core chips
+# are always present). Syscall id -> shape name.
+SHAPE_SYSCALLS = {
+    11: "ed25519",
+    12: "secp256k1_add",
+    13: "secp256k1_double",
+    14: "uint256",
+    15: "bn254_add",
+}
+
+
+def shape_of_syscalls(syscall_ids) -> frozenset:
+    """The minimal machine shape covering a set of executed syscall ids."""
+    return frozenset(
+        SHAPE_SYSCALLS[i] for i in syscall_ids if i in SHAPE_SYSCALLS
+    )
+
+
+def build_machine(ws: WordSpec = WordSpec(), shape: frozenset = frozenset()) -> Machine:
+    """Cached per (WordSpec, shape) so chip jit kernels compile once per
+    process. `shape` names the optional precompile chips to include."""
+    shape = frozenset(shape)
+    key = (ws, shape)
+    if key in _MACHINE_CACHE:
+        return _MACHINE_CACHE[key]
+    m = _build_machine_uncached(ws, shape)
+    _MACHINE_CACHE[key] = m
     return m
 
 
-def _build_machine_uncached(ws: WordSpec) -> Machine:
+def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
     from .global_chip import GlobalChip
     from .keccak import KeccakPermChip
     from .sha import ShaCompressChip, ShaExtendChip, ShaKChip
+
+    optional = []
+    if shape:
+        from .curvechip import (
+            Bn254AddChip,
+            EdAddChip,
+            Secp256k1AddChip,
+            Secp256k1DoubleChip,
+            Uint256MulChip,
+        )
+
+        by_name = {
+            "ed25519": EdAddChip,
+            "secp256k1_add": Secp256k1AddChip,
+            "secp256k1_double": Secp256k1DoubleChip,
+            "uint256": Uint256MulChip,
+            "bn254_add": Bn254AddChip,
+        }
+        unknown = shape - set(by_name)
+        if unknown:
+            raise ValueError(f"unknown shape entries: {sorted(unknown)}")
+        optional = [by_name[n](ws) for n in sorted(shape)]
 
     return RiscvMachine(
         [
@@ -2519,6 +2581,9 @@ def _build_machine_uncached(ws: WordSpec) -> Machine:
             ShaExtendChip(ws),
             ShaCompressChip(ws),
             KeccakPermChip(ws),
+        ]
+        + optional
+        + [
             MemoryInitChip(ws),
             MemoryFinalChip(ws),
             MemoryGenesisChip(ws),

@@ -395,7 +395,22 @@ def px_row_ops(kind: int, step: int) -> tuple:
         if step < 25:
             return 1, False
         return (0, False) if step < 49 else (0, True)
+    if kind in (11, 12, 13, 14, 15):
+        # curve/uint256 calls: N_READ single-read steps then write steps
+        # (curvechip.py CallChip window layout)
+        n_read = {11: 16, 12: 16, 13: 8, 14: 12, 15: 16}[kind]
+        return (1, False) if step < n_read else (0, True)
     raise ValueError(f"unknown precompile kind {kind}")
+
+
+def shape_of_px(px_events) -> frozenset:
+    """Machine shape (optional precompile chips) needed by an execution's
+    precompile events (machine.shape_of_syscalls)."""
+    from .machine import shape_of_syscalls
+
+    if px_events is None or len(px_events) == 0:
+        return frozenset()
+    return shape_of_syscalls({int(k) for k in np.unique(px_events["kind"])})
 
 
 def px_events_of_segment(px_events, events):
@@ -1205,12 +1220,11 @@ def _fill_cpu_class(ev, pc_idx, op, rom, ws: WordSpec, L, height: int):
         cpu[:n, L["is_halt"]] = (is_ecall & (ev["b"] == 0)).astype(np.uint32)
     if "is_read" in L.names:
         cpu[:n, L["is_read"]] = (is_ecall & (ev["b"] == 3)).astype(np.uint32)
-    if "is_sha_extend" in L.names:
-        cpu[:n, L["is_sha_extend"]] = (is_ecall & (ev["b"] == 8)).astype(np.uint32)
-    if "is_sha_compress" in L.names:
-        cpu[:n, L["is_sha_compress"]] = (is_ecall & (ev["b"] == 9)).astype(np.uint32)
-    if "is_keccak" in L.names:
-        cpu[:n, L["is_keccak"]] = (is_ecall & (ev["b"] == 10)).astype(np.uint32)
+    from .machine import PRECOMPILE_FLAGS
+
+    for flag, sid, _win, _l16 in PRECOMPILE_FLAGS:
+        if flag in L.names:
+            cpu[:n, L[flag]] = (is_ecall & (ev["b"] == sid)).astype(np.uint32)
 
     rd_arr = rom["rd"][pc_idx]
     rd_nonzero = (rd_arr != 0).astype(np.uint32)
@@ -1556,13 +1570,43 @@ def generate_traces(
             generate_sha_compress_trace(shac_px, ws, _pad_pow2(len(shac_px), mlrc))
         )
 
+    # --- Curve / uint256 precompile chips (shape-gated, limb16 only) ------
+    curve_traces = {}
+    curve_range_lookups = []
+    if ws.limb_bits == 16:
+        from .curvechip import (
+            Bn254AddChip,
+            EdAddChip,
+            Secp256k1AddChip,
+            Secp256k1DoubleChip,
+            Uint256MulChip,
+        )
+
+        for cls in (EdAddChip, Secp256k1AddChip, Secp256k1DoubleChip,
+                    Uint256MulChip, Bn254AddChip):
+            cpx = _kind_px(cls.SYSCALL_ID)
+            if cpx is None:
+                continue
+            chip = cls(ws)
+            n_rows = len(cpx) // chip.window
+            if n_rows > (1 << mlrc):
+                raise ValueError(
+                    f"{cls.name} rows {n_rows} exceed shard height 2^{mlrc}; "
+                    "lower the event split threshold"
+                )
+            ctr, crows, clook = chip.generate_trace(
+                cpx, _pad_pow2(max(n_rows, 1), mlrc)
+            )
+            curve_traces[cls.name] = (ctr, crows)
+            curve_range_lookups.extend(clook)
+
     # --- Range table (preprocessed) + multiplicity ------------------------
     rng_h = _pad_pow2(1 << ws.limb_bits, mlrc)
     prep_rng = np.zeros((rng_h, 1), np.uint32)
     prep_rng[: 1 << ws.limb_bits, 0] = np.arange(1 << ws.limb_bits)
     rng_mult = np.zeros((rng_h, 1), np.uint32)
     for vals, mult in (lookups + sha_range_lookups + shac_range_lookups
-                       + keccak_range_lookups):
+                       + keccak_range_lookups + curve_range_lookups):
         rng_mult[:, 0] += np.bincount(
             vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
         )[:rng_h].astype(np.uint32)
@@ -1704,6 +1748,10 @@ def generate_traces(
             if keccak_rows
             else {}
         ),
+        **{
+            name: (jnp.asarray(to_monty(tr)), rows)
+            for name, (tr, rows) in curve_traces.items()
+        },
         "Range": (jnp.asarray(to_monty(rng_mult)), 1 << ws.limb_bits),
         "Byte": (jnp.asarray(to_monty(byte_mult)), 1 << ws.limb_bits),
         "ShaK": (jnp.asarray(to_monty(shak_main)), 64),

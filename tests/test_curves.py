@@ -1,0 +1,238 @@
+"""Curve / uint256 precompiles: executor semantics, AIR constraints and
+lookup balance at the production word model (reference behavior:
+crates/core/machine/src/syscall/precompiles/{edwards,weierstrass,uint256}).
+
+Full prove+verify of a curve guest runs in the slow tier
+(test_slow_e2e.py); here every constraint and interaction is exercised
+through the debug oracle in seconds, like test_limb16.py.
+"""
+
+import numpy as np
+import pytest
+
+from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
+from sp1_tpu.executor import asm, native
+from sp1_tpu.prover import machine as mm
+from sp1_tpu.prover.lookup_debug import check_balance
+from sp1_tpu.riscv import fieldops as fo
+from sp1_tpu.riscv import tracegen
+from sp1_tpu.riscv.machine import WordSpec, build_machine
+
+WS = WordSpec(limb_bits=16)
+MLRC = 16
+
+P25519 = fo.ED25519_FP.modulus
+PSECP = fo.SECP256K1_FP.modulus
+PBN = fo.BN254_FP.modulus
+
+ED_G = (
+    15112221349535400772501151409588531511454012693041857206046113283949847762202,
+    46316835694926478169428394003475163141307993866256225615783033603165251855960,
+)
+SECP_G = (
+    0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+)
+BN_G = (1, 2)
+
+
+def ed_add(p1, p2):
+    x1, y1 = p1
+    x2, y2 = p2
+    p, d = P25519, fo.ED25519_D
+    f = x1 * x2 % p * y1 % p * y2 % p * d % p
+    x3 = (x1 * y2 + x2 * y1) * pow(1 + f, p - 2, p) % p
+    y3 = (y1 * y2 + x1 * x2) * pow(1 - f, p - 2, p) % p
+    return x3, y3
+
+
+def ws_add(p1, p2, p):
+    x1, y1 = p1
+    x2, y2 = p2
+    s = (y2 - y1) * pow(x2 - x1, p - 2, p) % p
+    x3 = (s * s - x1 - x2) % p
+    return x3, (s * (x1 - x3) - y1) % p
+
+
+def ws_double(pt, p, a=0):
+    x, y = pt
+    s = (3 * x * x + a) * pow(2 * y, p - 2, p) % p
+    x3 = (s * s - 2 * x) % p
+    return x3, (s * (x - x3) - y) % p
+
+
+def on_ed_curve(pt):
+    x, y = pt
+    p = P25519
+    return (-x * x + y * y - 1 - fo.ED25519_D * x * x % p * y % p * y) % p == 0
+
+
+def on_ws_curve(pt, p, a, b):
+    x, y = pt
+    return (y * y - x * x * x - a * x - b) % p == 0
+
+
+def dwords(v: int, n: int = 4) -> list:
+    return [(v >> (64 * i)) & ((1 << 64) - 1) for i in range(n)]
+
+
+def guest(sid: int, n_read: int, n_write: int) -> str:
+    """Read n_read dwords into a buffer at 1024, invoke syscall sid on
+    it, halt with the checksum (mod-2^64 sum) of the written cells."""
+    return f"""
+    li s0, 1024
+    li t0, {n_read}
+    mv s1, s0
+fill:
+    li a7, 3
+    ecall
+    sd a0, 0(s1)
+    addi s1, s1, 8
+    addi t0, t0, -1
+    bne t0, zero, fill
+    li a7, {sid}
+    mv a0, s0
+    ecall
+    li t0, {n_write}
+    mv s1, s0
+    li s2, 0
+acc:
+    ld a0, 0(s1)
+    add s2, s2, a0
+    addi s1, s1, 8
+    addi t0, t0, -1
+    bne t0, zero, acc
+    mv a0, s2
+    li a7, 0
+    ecall
+"""
+
+
+def run_and_check(sid, n_read, n_write, inputs, expect_out, shape):
+    prog = asm.assemble(guest(sid, n_read, n_write))
+    res = native.execute(prog, inputs=inputs)
+    checksum = sum(expect_out) % (1 << 64)
+    assert res.exit_code == checksum, "executor result mismatch"
+    machine = build_machine(WS, shape)
+    traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+    pv = tracegen.make_public_values(res, 0, WS, traces=traces)
+    pv = pv + [0] * (machine.max_num_pvs - len(pv))
+    violations = mm.debug_constraints(
+        machine,
+        machine.chips,
+        {n: t for n, (t, _) in prep.items()},
+        {n: t for n, (t, _) in traces.items()},
+        {n: h for n, (_, h) in traces.items()},
+        pv,
+    )
+    assert violations == [], f"constraint violations: {violations[:5]}"
+    imbal = check_balance(
+        machine.chips,
+        {n: t for n, (t, _) in prep.items()},
+        {n: t for n, (t, _) in traces.items()},
+        {n: h for n, (_, h) in traces.items()},
+    )
+    real = {k: v for k, v in imbal.items()
+            if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
+    assert real == {}, f"lookup imbalance: {dict(list(real.items())[:5])}"
+    return res
+
+
+class TestEd25519:
+    def test_ed_add(self):
+        g2 = ed_add(ED_G, ED_G)
+        assert on_ed_curve(g2)
+        g3 = ed_add(g2, ED_G)
+        assert on_ed_curve(g3)
+        inputs = (dwords(g2[0]) + dwords(g2[1]) + dwords(ED_G[0])
+                  + dwords(ED_G[1]))
+        out = dwords(g3[0]) + dwords(g3[1])
+        run_and_check(11, 16, 8, inputs, out, frozenset({"ed25519"}))
+
+
+class TestSecp256k1:
+    def test_double(self):
+        g2 = ws_double(SECP_G, PSECP)
+        assert on_ws_curve(g2, PSECP, 0, 7)
+        inputs = dwords(SECP_G[0]) + dwords(SECP_G[1])
+        out = dwords(g2[0]) + dwords(g2[1])
+        run_and_check(13, 8, 8, inputs, out, frozenset({"secp256k1_double"}))
+
+    def test_add(self):
+        g2 = ws_double(SECP_G, PSECP)
+        g3 = ws_add(SECP_G, g2, PSECP)
+        assert on_ws_curve(g3, PSECP, 0, 7)
+        inputs = (dwords(SECP_G[0]) + dwords(SECP_G[1]) + dwords(g2[0])
+                  + dwords(g2[1]))
+        out = dwords(g3[0]) + dwords(g3[1])
+        run_and_check(12, 16, 8, inputs, out, frozenset({"secp256k1_add"}))
+
+
+class TestBn254:
+    def test_add(self):
+        g2 = ws_double(BN_G, PBN)
+        g3 = ws_add(BN_G, g2, PBN)
+        assert on_ws_curve(g3, PBN, 0, 3)
+        inputs = (dwords(BN_G[0]) + dwords(BN_G[1]) + dwords(g2[0])
+                  + dwords(g2[1]))
+        out = dwords(g3[0]) + dwords(g3[1])
+        run_and_check(15, 16, 8, inputs, out, frozenset({"bn254_add"}))
+
+
+class TestUint256:
+    def test_mul_mod_m(self):
+        x = 0xDEADBEEF_12345678_9ABCDEF0_FEDCBA98_76543210_0F1E2D3C_4B5A6978_8796A5B4
+        y = 0x12345678_9ABCDEF0_0F0F0F0F_F0F0F0F0_AAAAAAAA_55555555_01234567_89ABCDEF
+        m = PSECP
+        r = x * y % m
+        inputs = dwords(x) + dwords(y) + dwords(m)
+        run_and_check(14, 12, 4, inputs, dwords(r), frozenset({"uint256"}))
+
+    def test_mul_mod_2_256(self):
+        x = (1 << 256) - 12345
+        y = (1 << 255) + 977
+        r = x * y % (1 << 256)
+        inputs = dwords(x) + dwords(y) + dwords(0)
+        run_and_check(14, 12, 4, inputs, dwords(r), frozenset({"uint256"}))
+
+    def test_executor_traps_carry_overflow(self):
+        # m = 1 with large x, y: the 256-bit carry would overflow; the
+        # executor must trap instead of producing an unprovable record
+        prog = asm.assemble(guest(14, 12, 4))
+        x = (1 << 256) - 1
+        inputs = dwords(x) + dwords(x) + dwords(1)
+        with pytest.raises(RuntimeError):
+            native.execute(prog, inputs=inputs)
+
+
+class TestShape:
+    def test_shape_of_px(self):
+        prog = asm.assemble(guest(13, 8, 8))
+        inputs = dwords(SECP_G[0]) + dwords(SECP_G[1])
+        res = native.execute(prog, inputs=inputs)
+        assert tracegen.shape_of_px(res.px_events) == frozenset(
+            {"secp256k1_double"}
+        )
+
+    def test_unknown_shape_rejected(self):
+        with pytest.raises(ValueError):
+            build_machine(WS, frozenset({"nope"}))
+
+    def test_syscall_without_chip_unbalanced(self):
+        """A shard whose machine lacks the precompile chip must show a
+        lookup imbalance (this is what makes shapes sound)."""
+        prog = asm.assemble(guest(13, 8, 8))
+        inputs = dwords(SECP_G[0]) + dwords(SECP_G[1])
+        res = native.execute(prog, inputs=inputs)
+        machine = build_machine(WS)  # no secp256k1_double chip
+        traces, prep = tracegen.generate_traces(res, prog, 0, WS, MLRC)
+        traces.pop("Secp256k1Double", None)
+        imbal = check_balance(
+            machine.chips,
+            {n: t for n, (t, _) in prep.items()},
+            {n: t for n, (t, _) in traces.items()},
+            {n: h for n, (_, h) in traces.items()},
+        )
+        real = {k: v for k, v in imbal.items()
+                if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
+        assert real, "missing chip must unbalance the syscall lookup"
