@@ -26,6 +26,9 @@ from ..ops.poseidon2 import DIGEST, RATE, WIDTH, hostp2, permute_ints
 
 
 class DuplexChallenger:
+    # the device TraceChallenger (iop/dchallenger.py) can mirror this
+    # transcript on-device; outer-field challengers cannot
+    device_traceable = True
     def __init__(self):
         self.state = np.zeros(WIDTH, dtype=np.uint32)
         self.input_buffer: list[int] = []

@@ -41,6 +41,19 @@ def _permute_canonical(state):
     return kb.from_monty(permute(kb.to_monty(state)))
 
 
+def _unshard(x):
+    """Pin a (possibly mesh-replicated) array to one device: shard_map'd
+    prover kernels emit arrays committed to the whole mesh, which cannot
+    mix with the challenger's single-device state inside one jit."""
+    try:
+        dset = x.sharding.device_set
+    except AttributeError:
+        return x
+    if len(dset) > 1:
+        return jax.device_put(x, jax.devices()[0])
+    return x
+
+
 @lru_cache(maxsize=None)
 def _duplex_fn(nbuf: int):
     """state' = permute(buf || state[nbuf:]) for a static buffer length."""
@@ -77,7 +90,7 @@ def _absorb_fn(nbuf: int, n: int):
 
 
 @lru_cache(maxsize=None)
-def _grind_fn(nbuf: int, bits: int, log_batch: int = 20):
+def _grind_fn(nbuf: int, bits: int, log_batch: int = 16):
     """Device grind: first witness w (scanning 0,1,2,...) such that
     observing w and sampling `bits` low bits gives zero.
 
@@ -177,6 +190,8 @@ class TraceChallenger:
         self._out_left = 0
         if isinstance(value, (int, np.integer)):
             value = jnp.uint32(int(value) % kb.P)
+        else:
+            value = _unshard(value)
         self._segs.append((value.reshape(1), 1))
         self._nbuf += 1
         if self._nbuf == RATE:
@@ -186,6 +201,8 @@ class TraceChallenger:
         """values: (n,) canonical jnp array (static length) or numpy."""
         if isinstance(values, np.ndarray) or np.isscalar(values):
             values = jnp.asarray(np.asarray(values, np.uint32).reshape(-1))
+        else:
+            values = _unshard(values)
         values = values.reshape(-1)
         n = int(values.shape[0])
         if n == 0:

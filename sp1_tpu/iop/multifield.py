@@ -25,6 +25,8 @@ WIDTH = bn254.WIDTH
 class MultiField32Challenger:
     """Host transcript over BN254 (canonical ints / uint32 KoalaBear)."""
 
+    device_traceable = False
+
     def __init__(self):
         self.state = [0] * WIDTH
         self.input_buffer: list[int] = []   # KoalaBear canonical
@@ -48,6 +50,22 @@ class MultiField32Challenger:
         (reference: observe_commitment / split_32)."""
         for f in _split_32(int(value) % bn254.P, NUM_F_ELMS):
             self.observe(f)
+
+    def observe_digest(self, digest):
+        """DuplexChallenger-call-compat: Bn254 int digests go through
+        observe_commitment; KoalaBear digest arrays through observe_slice."""
+        if isinstance(digest, (int, np.integer)):
+            self.observe_commitment(int(digest))
+        else:
+            self.observe_slice(np.asarray(digest).reshape(-1))
+
+    def observe_ext(self, coeffs):
+        self.observe_slice(np.asarray(coeffs).reshape(-1))
+
+    def observe_variable_length_slice(self, values):
+        values = np.asarray(values).reshape(-1)
+        self.observe(int(values.shape[0]))
+        self.observe_slice(values)
 
     # -- sponge --------------------------------------------------------------
     def duplexing(self):
@@ -90,14 +108,17 @@ class MultiField32Challenger:
         return self.sample_bits(bits) == 0
 
     def grind(self, bits: int) -> int:
-        w = 0
-        while True:
-            c = _copy(self)
-            if c.check_witness(bits, w):
-                self.observe(w)
-                assert self.sample_bits(bits) == 0
-                return w
-            w += 1
+        try:
+            from ..ops import outer_hash as oh
+
+            w = oh.grind(self.state, self.input_buffer, bits)
+        except Exception:  # no native toolchain: pure-python scan
+            w = 0
+            while not _copy(self).check_witness(bits, w):
+                w += 1
+        self.observe(w)
+        assert self.sample_bits(bits) == 0
+        return w
 
 
 def _copy(ch: MultiField32Challenger) -> MultiField32Challenger:

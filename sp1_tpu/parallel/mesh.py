@@ -64,6 +64,17 @@ def row_sharding(mesh, ndim: int):
     return NamedSharding(mesh, P("d", *([None] * (ndim - 1))))
 
 
+def replicate(x, mesh):
+    """Commit a small array to the mesh fully replicated, so it can enter
+    shard_map'd kernels alongside mesh-sharded tables (a device-0
+    committed array — e.g. a TraceChallenger sample — cannot)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import jax as _jax
+
+    return _jax.device_put(x, NamedSharding(mesh, P()))
+
+
 def psum_mod(x, axis: str, n_devices: int):
     """Modular allreduce: log2(n) XOR-butterfly ppermute + monty adds.
 

@@ -74,6 +74,13 @@ class FriConfig:
     def shrink() -> "FriConfig":
         return FriConfig(3, unique_decoding_queries(3, 22), 22)
 
+    @staticmethod
+    def wrap() -> "FriConfig":
+        """Outer-context (BN254) stage parameters — same schedule as
+        shrink (crates/primitives/src/fri_params.rs:36-42 WRAP_LOG_BLOWUP
+        = 3, SP1_SHRINK_WRAP_POW_BITS = 22)."""
+        return FriConfig(3, unique_decoding_queries(3, 22), 22)
+
 
 # ---------------------------------------------------------------------------
 # Commit
@@ -87,12 +94,20 @@ class BasefoldProverData:
     mles: list  # jnp (2^n, W_i) monty (original data)
 
 
-def commit_mles(mles: list, config: FriConfig) -> tuple[np.ndarray, BasefoldProverData]:
-    """Commit a round of base-field MLEs [(2^n, W_i) monty jnp]."""
+def commit_mles(mles: list, config: FriConfig, tcs=None) -> tuple:
+    """Commit a round of base-field MLEs [(2^n, W_i) monty jnp].
+
+    With an outer `tcs` (pcs/outer_merkle.OuterTcs) the codewords are
+    fetched to the host and committed through the BN254 Poseidon2 tree
+    (wrap context); prover data then holds canonical numpy codewords."""
     h = int(mles[0].shape[0])
     log_h = h.bit_length() - 1
     assert h == 1 << log_h
     codewords = [ntt.rs_encode(m, log_h, config.log_blowup) for m in mles]
+    if tcs is not None and getattr(tcs, "host_only", False):
+        cw = [hostmle.dev_to_host(c) for c in codewords]
+        tree = tcs.commit_tensors_host(cw)
+        return tree.root, BasefoldProverData(codewords=cw, tree=tree, mles=mles)
     tree = merkle.commit_tensors(codewords)
     return tree.root, BasefoldProverData(codewords=codewords, tree=tree, mles=mles)
 
@@ -224,6 +239,7 @@ def prove_untrusted_evaluations(
     prover_data: list,
     config: FriConfig,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> BasefoldProof:
     """Prove MLE evaluation claims at `eval_point` for committed rounds.
 
@@ -235,7 +251,7 @@ def prove_untrusted_evaluations(
         for mle_eval in round_claims:
             challenger.observe_slice(np.asarray(mle_eval, np.uint32).reshape(-1))
     return prove_trusted_evaluations(
-        eval_point, evaluation_claims, prover_data, config, challenger
+        eval_point, evaluation_claims, prover_data, config, challenger, tcs=tcs
     )
 
 
@@ -433,13 +449,15 @@ def prove_trusted_evaluations(
     prover_data: list,
     config: FriConfig,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> BasefoldProof:
     from ..utils import dfs, timing
 
     eval_point = np.asarray(eval_point, np.uint32)
     num_vars = eval_point.shape[0]
+    outer = tcs is not None and getattr(tcs, "host_only", False)
 
-    if dfs.enabled() and not isinstance(
+    if not outer and dfs.enabled() and not isinstance(
         prover_data[0].mles[0], np.ndarray
     ):
         return _prove_trusted_evaluations_dfs(
@@ -490,7 +508,7 @@ def prove_trusted_evaluations(
     _bf_rounds_span = timing.span("bf_rounds")
     _bf_rounds_span.__enter__()
     for _bf_round in range(num_vars):
-        if not host_mode and int(current_code.shape[0]) <= HOST_THRESH:
+        if not host_mode and (outer or int(current_code.shape[0]) <= HOST_THRESH):
             current_code = hostmle.dev_to_host(current_code)
             current_mle = hostmle.dev_to_host(current_mle)
             host_mode = True
@@ -513,7 +531,7 @@ def prove_trusted_evaluations(
 
         if host_mode:
             leaves = current_code.reshape(-1, 8)
-            tree = merkle.commit_tensors_host(leaves)
+            tree = (tcs.commit_tensors_host if outer else merkle.commit_tensors_host)(leaves)
         else:
             leaves = _pair_leaves(current_code)
             tree = merkle.commit_tensors([leaves])
@@ -551,10 +569,12 @@ def prove_trusted_evaluations(
 
     with timing.span("bf_queries"):
         component_openings = []
+        _open = tcs.open_at_indices if outer else merkle.open_at_indices
+        _gather = tcs.compute_openings if outer else merkle.compute_openings
         for pd in prover_data:
-            values = merkle.compute_openings(pd.codewords, query_indices)
+            values = _gather(pd.codewords, query_indices)
             width = values.shape[1]
-            proof = merkle.open_at_indices(pd.tree, query_indices, width)
+            proof = _open(pd.tree, query_indices, width)
             component_openings.append(
                 MerkleOpeningAndProof(values=values, proof=proof)
             )
@@ -567,7 +587,7 @@ def prove_trusted_evaluations(
                 values = leaves[np.asarray(indices, np.int64)]
             else:
                 values = merkle.compute_openings([leaves], indices)
-            proof = merkle.open_at_indices(tree, indices, 8)
+            proof = _open(tree, indices, 8)
             query_openings.append(MerkleOpeningAndProof(values=values, proof=proof))
 
     return BasefoldProof(
@@ -616,12 +636,14 @@ def verify_untrusted_evaluations(
     proof: BasefoldProof,
     config: FriConfig,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> bool:
     for round_claims in evaluation_claims:
         for mle_eval in round_claims:
             challenger.observe_slice(np.asarray(mle_eval, np.uint32).reshape(-1))
     return verify_mle_evaluations(
-        commitments, eval_point, evaluation_claims, proof, config, challenger
+        commitments, eval_point, evaluation_claims, proof, config, challenger,
+        tcs=tcs,
     )
 
 
@@ -632,6 +654,7 @@ def verify_mle_evaluations(
     proof: BasefoldProof,
     config: FriConfig,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> bool:
     """Reference: slop/crates/basefold/src/verifier.rs:122."""
     point = np.asarray(eval_point, np.uint32)
@@ -721,9 +744,10 @@ def verify_mle_evaluations(
                 batch_evals[q] = E4.add(batch_evals[q], term)
         batch_idx += total_columns
 
+    _vo = tcs.verify_openings if (tcs is not None and getattr(tcs, "host_only", False)) else merkle.verify_openings
     for commit, opening in zip(commitments, proof.component_openings):
         width = opening.values.shape[1]
-        if not merkle.verify_openings(
+        if not _vo(
             commit,
             query_indices,
             opening.values,
@@ -741,6 +765,7 @@ def verify_mle_evaluations(
         proof.query_openings,
         betas,
         config,
+        tcs=tcs,
     ):
         return False
 
@@ -759,6 +784,7 @@ def _verify_queries(
     query_openings: list,
     betas: list,
     config: FriConfig,
+    tcs=None,
 ) -> bool:
     """Reference: slop/crates/basefold/src/verifier.rs:308 verify_queries."""
     from ..field.domain import reverse_bits
@@ -800,7 +826,8 @@ def _verify_queries(
             folded[q] = E4.add(evals[0], E4.mul(bmx, slope))
             idxs[q] = index >> 1
             xs_scalar[q] = np.uint32(x * x % kb.P)
-        if not merkle.verify_openings(
+        _vo = tcs.verify_openings if (tcs is not None and getattr(tcs, "host_only", False)) else merkle.verify_openings
+        if not _vo(
             commitment, idxs, values, 8, round_idx, opening.proof
         ):
             return False

@@ -233,13 +233,19 @@ class JaggedParams:
 
 
 def metadata_hash_commit(
-    inner_commit: np.ndarray, row_counts: list, column_counts: list
-) -> np.ndarray:
+    inner_commit, row_counts: list, column_counts: list
+):
     """compress(inner_commit, hash(len || row_counts || column_counts)).
 
-    Reference: slop/crates/jagged/src/prover.rs:141.
+    Reference: slop/crates/jagged/src/prover.rs:141. Bn254 int inner
+    commitments (wrap context) route through the outer hash/compressor.
     """
     items = [len(column_counts)] + list(row_counts) + list(column_counts)
+    if isinstance(inner_commit, (int, np.integer)):
+        from . import outer_merkle as om
+
+        h = om.hash_row(np.asarray(items, np.uint32))
+        return om.compress(int(inner_commit), h)
     data = _to_monty_np(np.asarray(items, np.uint32))
     h = np.asarray(p2.hash_rows(jnp.asarray(data)), np.uint32)
     left = jnp.asarray(_to_monty_np(np.asarray(inner_commit, np.uint32)))
@@ -742,8 +748,8 @@ class JaggedConfig:
 
 
 def commit_multilinears(
-    padded_mles: list, heights: list, config: JaggedConfig
-) -> tuple[np.ndarray, JaggedProverData]:
+    padded_mles: list, heights: list, config: JaggedConfig, tcs=None
+) -> tuple:
     """Commit tables.
 
     padded_mles: [(2^max_log_row_count, W_i) monty jnp] — rows beyond
@@ -760,7 +766,7 @@ def commit_multilinears(
         if h > 0:
             parts.append(jnp.asarray(m)[:h].T.reshape(-1))
     flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    commitment, stacked_data = _stacked_commit_flat(flat, config)
+    commitment, stacked_data = _stacked_commit_flat(flat, config, tcs=tcs)
     num_added_vals = stacked_data.num_added_vals
     num_added_cols = max(-(-num_added_vals // (1 << mlrc)), 1)
     row_counts.append(1 << mlrc)
@@ -777,7 +783,7 @@ def commit_multilinears(
     )
 
 
-def _stacked_commit_flat(flat, config: JaggedConfig):
+def _stacked_commit_flat(flat, config: JaggedConfig, tcs=None):
     """Stacked commit of a pre-flattened column-major vector."""
     sh = 1 << config.log_stacking_height
     total = int(flat.shape[0])
@@ -787,7 +793,7 @@ def _stacked_commit_flat(flat, config: JaggedConfig):
     mat = flat.reshape(-1, sh).T
     from . import basefold as bf
 
-    commit, bf_data = bf.commit_mles([mat], config.fri)
+    commit, bf_data = bf.commit_mles([mat], config.fri, tcs=tcs)
     return commit, StackedProverData(
         basefold_data=bf_data, stacked_matrix=mat, num_added_vals=padded - total
     )
@@ -808,6 +814,7 @@ def prove_trusted_evaluations(
     prover_data: list,
     config: JaggedConfig,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> JaggedPcsProof:
     """Reference: slop/crates/jagged/src/prover.rs:162."""
     total_cols = sum(
@@ -832,7 +839,7 @@ def prove_trusted_evaluations(
 
     from ..utils import dfs
 
-    use_dfs = dfs.enabled()
+    use_dfs = dfs.enabled() and not (tcs is not None and getattr(tcs, "host_only", False))
 
     # The jagged sumcheck: dense * J over log_m variables.
     with timing.span("jtable"):
@@ -884,6 +891,7 @@ def prove_trusted_evaluations(
             config.fri,
             config.log_stacking_height,
             challenger,
+            tcs=tcs,
         )
 
     return JaggedPcsProof(
@@ -921,6 +929,7 @@ def verify_trusted_evaluations(
     proof: JaggedPcsProof,
     config: JaggedConfig,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> bool:
     """Reference: slop/crates/jagged/src/verifier.rs:110."""
     rc_cc = proof.row_counts_and_column_counts
@@ -970,7 +979,10 @@ def verify_trusted_evaluations(
         column_counts, row_counts, commitments, proof.merkle_tree_commitments
     ):
         expected = metadata_hash_commit(original, rnd_rc, rnd_cc)
-        if not np.array_equal(expected, np.asarray(modified, np.uint32)):
+        if isinstance(expected, (int, np.integer)):
+            if int(expected) != int(modified):
+                return False
+        elif not np.array_equal(expected, np.asarray(modified, np.uint32)):
             return False
 
     # Round areas and padding-table shape checks.
@@ -1058,4 +1070,5 @@ def verify_trusted_evaluations(
         config.fri,
         config.log_stacking_height,
         challenger,
+        tcs=tcs,
     )

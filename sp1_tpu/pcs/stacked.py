@@ -66,12 +66,13 @@ def interleave(mles: list, log_stacking_height: int):
 
 
 def commit_multilinears(
-    mles: list, config: FriConfig, log_stacking_height: int
+    mles: list, config: FriConfig, log_stacking_height: int, tcs=None
 ) -> tuple[np.ndarray, StackedProverData]:
     mat, num_added = interleave(mles, log_stacking_height)
     from ..parallel import mesh as pm
 
-    mesh = pm.active_mesh()
+    outer = tcs is not None and getattr(tcs, "host_only", False)
+    mesh = pm.active_mesh() if not outer else None
     if mesh is not None and int(mat.shape[1]) % pm.mesh_size(mesh) == 0:
         # Column-shard the stacked matrix over the mesh: the RS encode's
         # NTT butterflies run along rows and vectorize over columns, so
@@ -80,7 +81,7 @@ def commit_multilinears(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mat = jax.device_put(mat, NamedSharding(mesh, P(None, "d")))
-    commit, bf_data = basefold.commit_mles([mat], config)
+    commit, bf_data = basefold.commit_mles([mat], config, tcs=tcs)
     return commit, StackedProverData(
         basefold_data=bf_data, stacked_matrix=mat, num_added_vals=num_added
     )
@@ -100,6 +101,7 @@ def prove_trusted_evaluation(
     config: FriConfig,
     log_stacking_height: int,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> StackedProof:
     """eval_point: (n, 4) canonical with n >= lsh; rounds of StackedProverData."""
     from ..ops import hostmle
@@ -127,6 +129,7 @@ def prove_trusted_evaluation(
         [pd.basefold_data for pd in prover_data],
         config,
         challenger,
+        tcs=tcs,
     )
     return StackedProof(basefold_proof=bf_proof, batch_evaluations=batch_evaluations)
 
@@ -140,6 +143,7 @@ def verify_trusted_evaluation(
     config: FriConfig,
     log_stacking_height: int,
     challenger: DuplexChallenger,
+    tcs=None,
 ) -> bool:
     """Reference: slop/crates/stacked/src/verifier.rs:39."""
     n = point.shape[0]
@@ -173,6 +177,7 @@ def verify_trusted_evaluation(
         proof.basefold_proof,
         config,
         challenger,
+        tcs=tcs,
     )
 
 

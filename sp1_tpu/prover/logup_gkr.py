@@ -313,6 +313,192 @@ def _interp4(ys: list) -> np.ndarray:
     return np.stack(coeffs)
 
 
+_GKR_SUMS_KERNEL = None
+_GKR_SHARDED_KERNELS = {}
+
+
+@jax.jit
+def _build_gkr_table(eq, num, den):
+    """Pack a layer into the (m, 5, 4) [eq, n0, n1, d0, d1] table."""
+    nv = num.reshape(-1, 2, 4)
+    dv = den.reshape(-1, 2, 4)
+    return jnp.stack([eq, nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1]], axis=1)
+
+
+def _gkr_local_sums(table, n_pairs_live, lam_m):
+    """Masked restricted sums over the packed (n, 5, 4) [eq,n0,n1,d0,d1]
+    table: fixed shape across ALL rounds of a layer's sumcheck (live
+    pairs shrink into the front), so one compile serves every round —
+    the GKR analog of zerocheck._make_local_sums_fn."""
+    from .zerocheck import _tree_sum_mod
+
+    n = table.shape[0]
+    n2 = n // 2
+    pairs = table.reshape(n2, 2, 5, 4)
+    blk = min(2048, max(n2, 1))
+    n_blocks = max(n2 // blk, 1)
+
+    def body(i, sums):
+        p = jax.lax.dynamic_slice(pairs, (i * blk, 0, 0, 0), (blk, 2, 5, 4))
+        lo, hi = p[:, 0], p[:, 1]
+        diff = kb.sub(hi, lo)
+        xs = [lo, hi]
+        cur = hi
+        for _ in range(2):  # degree 3 -> X points 0..3
+            cur = kb.add(cur, diff)
+            xs.append(cur)
+        flat = jnp.stack(xs).reshape(4 * blk, 5, 4)
+        eq_x = flat[:, 0]
+        n0_x, n1_x, d0_x, d1_x = flat[:, 1], flat[:, 2], flat[:, 3], flat[:, 4]
+        inner = ext.ext4_add(
+            ext.ext4_mul(
+                ext.ext4_add(
+                    ext.ext4_mul(n0_x, d1_x), ext.ext4_mul(n1_x, d0_x)
+                ),
+                jnp.broadcast_to(lam_m, n0_x.shape),
+            ),
+            ext.ext4_mul(d0_x, d1_x),
+        )
+        total = ext.ext4_mul(eq_x, inner)
+        mask = (i * blk + jnp.arange(blk)) < n_pairs_live
+        t = total.reshape(4, blk, 4)
+        t = jnp.where(mask[None, :, None], t, 0)
+        part = _tree_sum_mod(t.transpose(1, 0, 2))
+        return kb.add(sums, part)
+
+    init = jnp.zeros((4, 4), jnp.uint32)
+    if n_blocks == 1:
+        return body(0, init)
+    return jax.lax.fori_loop(0, n_blocks, body, init)
+
+
+def _gkr_packed_kernel():
+    global _GKR_SUMS_KERNEL
+    if _GKR_SUMS_KERNEL is None:
+        _GKR_SUMS_KERNEL = jax.jit(_gkr_local_sums)
+    return _GKR_SUMS_KERNEL
+
+
+def _gkr_sharded_kernel(mesh):
+    """shard_map'd GKR restricted sums: each device sums its row block's
+    live pairs, partials reduce with the modular ICI butterfly."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as pm
+
+    nd = pm.mesh_size(mesh)
+    key = (nd, id(mesh))
+    k = _GKR_SHARDED_KERNELS.get(key)
+    if k is None:
+        def per_device(table, n_pairs_live, lam_m):
+            part = _gkr_local_sums(table, n_pairs_live // nd, lam_m)
+            return pm.psum_mod(part, "d", nd)
+
+        k = jax.jit(
+            pm.shard_map_fn(
+                per_device,
+                mesh,
+                in_specs=(P("d", None, None), P(), P(None)),
+                out_specs=P(None, None),
+            )
+        )
+        _GKR_SHARDED_KERNELS[key] = k
+    return k
+
+
+class PackedLogupRoundPoly:
+    """Fixed-shape GKR round poly: (n, 5, 4) packed [eq, n0, n1, d0, d1]
+    with live-pair masking. One sums + one fold compile per layer size
+    (vs one per ROUND for LogupRoundPoly's shrinking tables), and row
+    sharding over the active prover mesh (SURVEY §2.8.7)."""
+
+    degree = 3
+    host = False
+
+    def __init__(self, table, n_live, lam_m, lam_c=None):
+        from ..parallel import mesh as pm
+
+        self.table = table  # (n, 5, 4) monty device
+        self.n_live = n_live
+        self.lam_m = lam_m
+        self.lam_c = lam_c
+        mesh = pm.active_mesh()
+        self.mesh = mesh if (mesh and n_live >= 4 * pm.mesh_size(mesh)) else None
+        if self.mesh is not None:
+            self.table = jax.device_put(table, pm.row_sharding(self.mesh, 3))
+            self._kernel = _gkr_sharded_kernel(self.mesh)
+        else:
+            self._kernel = _gkr_packed_kernel()
+
+    @property
+    def num_variables(self):
+        return int(self.n_live).bit_length() - 1
+
+    def sum_values_device(self):
+        return self._kernel(self.table, jnp.uint32(self.n_live // 2), self.lam_m)
+
+    def coeffs_from_sums(self, ys) -> np.ndarray:
+        return _interp4(list(ys))
+
+    def sum_as_poly_in_last_variable(self, claim=None) -> np.ndarray:
+        sums = _from_monty_np(self.sum_values_device().reshape(-1)).reshape(-1, 4)
+        return _interp4(list(sums))
+
+    def _folded(self, am):
+        """(table', n_live', mesh') after one fold, handling the sharded
+        tail gather exactly like zerocheck.DevZeroCheckPoly."""
+        from .zerocheck import _fold_packed, _fold_packed_sharded
+
+        if self.mesh is not None:
+            from ..parallel import mesh as pm
+
+            nd = pm.mesh_size(self.mesh)
+            am = pm.replicate(am, self.mesh)
+            table = _fold_packed_sharded(self.table, am, self.mesh)
+            n_live = self.n_live // 2
+            if n_live >= 2 * nd:
+                return table, n_live, self.mesh
+            n = int(table.shape[0])
+            lg = max(n_live // nd, 1)
+            idx = np.concatenate(
+                [d * (n // nd) + np.arange(lg) for d in range(nd)]
+            )[:n_live]
+            live = jax.device_put(
+                table[jnp.asarray(idx, jnp.int32)], jax.devices()[0]
+            )
+            return live, n_live, None
+        return _fold_packed(self.table, am), self.n_live // 2, None
+
+    def _clone(self, table, n_live, mesh):
+        poly = object.__new__(PackedLogupRoundPoly)
+        poly.__dict__.update(self.__dict__)
+        poly.table = table
+        poly.n_live = n_live
+        poly.mesh = mesh
+        poly._kernel = (
+            _gkr_sharded_kernel(mesh) if mesh is not None else _gkr_packed_kernel()
+        )
+        return poly
+
+    def fix_last_variable(self, alpha) -> "PackedLogupRoundPoly":
+        am = jnp.asarray(_to_monty_np(np.asarray(alpha, np.uint32)))
+        return self._clone(*self._folded(am))
+
+    def fix_last_variable_dev(self, am) -> "PackedLogupRoundPoly":
+        return self._clone(*self._folded(am))
+
+    def component_evals_device(self):
+        """(4, 4) monty [n0, d0, n1, d1] at the final point."""
+        row = self.table[0]
+        return jnp.stack([row[1], row[3], row[2], row[4]])
+
+    def get_component_poly_evals(self) -> list:
+        row = _from_monty_np(
+            np.asarray(self.table[0], np.uint32).reshape(-1)
+        ).reshape(5, 4)
+        return [row[1], row[3], row[2], row[4]]
+
+
 class LogupRoundPoly:
     """Sumcheck poly for one GKR round (degree 3)."""
 
@@ -473,7 +659,7 @@ def prove_logup_gkr(
     """
     from ..utils import dfs
 
-    use_dfs = dfs.enabled()
+    use_dfs = dfs.enabled() and getattr(challenger, "device_traceable", False)
     if scope == "local":
         beta_seed_dim = gkr_beta_seed_dim(machine, chips, scope)
         witness = challenger.grind(GKR_GRINDING_BITS)
@@ -551,11 +737,8 @@ def prove_logup_gkr(
             )
         else:
             eq = _pl_jit(jnp.asarray(_to_monty_np(eval_point)))
-            nv = lnum.reshape(-1, 2, 4)
-            dv = lden.reshape(-1, 2, 4)
-            poly = LogupRoundPoly(
-                eq, nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1], lam_m, lam
-            )
+            table = _build_gkr_table(eq, lnum, lden)
+            poly = PackedLogupRoundPoly(table, int(table.shape[0]), lam_m, lam)
         claim = E4.add(E4.mul(numerator_eval, lam), denominator_eval)
         if use_dfs and not poly.host:
             from ..iop import dsumcheck as dsc

@@ -152,9 +152,12 @@ class _BindingChip:
 
 
 class ShardProver:
-    def __init__(self, machine: Machine, config: JaggedConfig):
+    def __init__(self, machine: Machine, config: JaggedConfig, tcs=None):
         self.machine = machine
         self.config = config
+        # Optional outer tensor-commitment scheme (wrap stage: BN254
+        # Poseidon2 Merkle + MultiField32 transcript; pcs/outer_merkle.py)
+        self.tcs = tcs
 
     # -- setup --------------------------------------------------------------
     def setup(self, pc_start=None, preprocessed_traces: dict | None = None) -> ProvingKey:
@@ -171,12 +174,16 @@ class ShardProver:
                 names.append(chip.name)
         if prep_mles:
             heights = [prep_heights[n] for n in names]
-            commit, data = jagged.commit_multilinears(prep_mles, heights, self.config)
+            commit, data = jagged.commit_multilinears(
+                prep_mles, heights, self.config, tcs=self.tcs
+            )
         else:
             # Commit a single dummy zero table so the preprocessed round exists
             # (the reference machine always has preprocessed chips).
             dummy = jnp.zeros((1 << mlrc, 1), jnp.uint32)
-            commit, data = jagged.commit_multilinears([dummy], [1], self.config)
+            commit, data = jagged.commit_multilinears(
+                [dummy], [1], self.config, tcs=self.tcs
+            )
             prep_heights["__dummy__"] = 1
         vk = MachineVerifyingKey(
             pc_start=np.asarray(pc_start if pc_start is not None else [0, 0, 0], np.uint32),
@@ -217,7 +224,7 @@ class ShardProver:
         main_heights = [heights[c.name] for c in chips]
         with timing.span("commit"):
             main_commit, main_data = jagged.commit_multilinears(
-                main_mles, main_heights, self.config
+                main_mles, main_heights, self.config, tcs=self.tcs
             )
         challenger.observe_digest(main_commit)
         challenger.observe(len(chips))
@@ -270,7 +277,7 @@ class ShardProver:
         # Zerocheck.
         from ..utils import dfs
 
-        use_dfs = dfs.enabled()
+        use_dfs = dfs.enabled() and getattr(challenger, "device_traceable", False)
         zeta = logup_proof.logup_evaluations.point
         polys, claims = [], []
         for chip in chips:
@@ -382,6 +389,7 @@ class ShardProver:
                 [pk.preprocessed_data, main_data],
                 self.config,
                 challenger,
+                tcs=self.tcs,
             )
 
         return ShardProof(
@@ -396,9 +404,10 @@ class ShardProver:
 
 
 class ShardVerifier:
-    def __init__(self, machine: Machine, config: JaggedConfig):
+    def __init__(self, machine: Machine, config: JaggedConfig, tcs=None):
         self.machine = machine
         self.config = config
+        self.tcs = tcs
 
     def verify_shard(
         self,
@@ -527,6 +536,7 @@ class ShardVerifier:
             proof.evaluation_proof,
             self.config,
             challenger,
+            tcs=self.tcs,
         )
 
     def _verify_zerocheck(self, chips, proof, public_values, challenger) -> bool:

@@ -631,6 +631,7 @@ class DevZeroCheckPoly:
             from ..parallel import mesh as pm
 
             nd = pm.mesh_size(self.mesh)
+            am = pm.replicate(am, self.mesh)
             table = _fold_packed_sharded(self.table, am, self.mesh)
             n_live = self.n_live // 2
             if n_live >= 2 * nd:

@@ -57,7 +57,8 @@ class CpuProver:
     test shapes.
     """
 
-    def __init__(self, word_spec=None, max_log_row_count=16, config=None):
+    def __init__(self, word_spec=None, max_log_row_count=16, config=None,
+                 shape=frozenset()):
         self.ws = word_spec or WordSpec(limb_bits=16)
         if max_log_row_count < self.ws.limb_bits:
             raise ValueError(
@@ -70,7 +71,11 @@ class CpuProver:
             log_stacking_height=min(21, max_log_row_count + 3),
             max_log_row_count=max_log_row_count,
         )
-        self.machine = build_machine(self.ws)
+        # `shape` selects the optional precompile chip cluster (reference
+        # role: MachineShape, crates/hypercube/src/machine.rs). The vk is
+        # shape-specific: verification fails under a different shape.
+        self.shape = frozenset(shape)
+        self.machine = build_machine(self.ws, self.shape)
         self.shard_prover = mm.ShardProver(self.machine, self.config)
         self.shard_verifier = mm.ShardVerifier(self.machine, self.config)
 
@@ -129,6 +134,13 @@ class CpuProver:
             memory=getattr(pk, "memory_image", None),
             pc_start=getattr(pk, "pc_start", None),
         )
+        needed = tracegen.shape_of_px(getattr(res, "px_events", None))
+        if not needed <= self.shape:
+            raise ValueError(
+                f"execution uses precompiles {sorted(needed - self.shape)} "
+                f"not in this prover's machine shape {sorted(self.shape)}; "
+                "build the client with shape={...}"
+            )
         shard_inputs = multi.shard_inputs_of(
             res, pk.program, pk.pc_base, self.ws, self.mlrc
         )

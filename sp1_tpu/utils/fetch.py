@@ -13,9 +13,16 @@ import jax.numpy as jnp
 
 
 def batch_fetch(arrays: list) -> list:
-    """Fetch a list of uint32 device arrays as numpy in one transfer."""
+    """Fetch a list of uint32 device arrays as numpy in one transfer.
+
+    Handles may be committed to different device sets (e.g. mesh-
+    replicated shard_map outputs next to single-device challenger
+    values); everything is pinned to one device before the concat."""
     if not arrays:
         return []
+    from ..iop.dchallenger import _unshard
+
+    arrays = [_unshard(a) for a in arrays]
     shapes = [tuple(a.shape) for a in arrays]
     sizes = [int(np.prod(s)) if s else 1 for s in shapes]
     flat = jnp.concatenate([jnp.asarray(a).reshape(-1) for a in arrays])

@@ -139,3 +139,37 @@ def test_limb16_production_prove():
     vch = DuplexChallenger()
     pk.vk.observe_into(vch)
     assert verifier.verify_shard(pk.vk, proof, vch)
+
+
+def test_curve_precompile_prove():
+    """prove+verify a secp256k1-double guest via the SDK with a curve
+    machine shape (reference behavior:
+    crates/core/machine/src/syscall/precompiles/weierstrass/)."""
+    from sp1_tpu.sdk.client import ProverClient
+    from test_curves import SECP_G, PSECP, dwords, guest, ws_double
+
+    client = ProverClient.builder().cpu(
+        shape=frozenset({"secp256k1_double"})
+    ).build()
+    prog = asm.assemble(guest(13, 8, 8))
+    pk, vk = client.setup(prog)
+    g2 = ws_double(SECP_G, PSECP)
+    stdin = dwords(SECP_G[0]) + dwords(SECP_G[1])
+    proof = client.prove(pk, stdin=stdin)
+    assert client.verify(proof, vk)
+    # the halting shard's exit code is the checksum of 2G
+    checksum = sum(dwords(g2[0]) + dwords(g2[1])) % (1 << 64)
+    from sp1_tpu.riscv.machine import PV_EXIT_CODE
+
+    nl = client.ws.num_limbs
+    ec = 0
+    for i in range(nl):
+        ec |= int(proof.public_values[PV_EXIT_CODE + i]) << (
+            client.ws.limb_bits * i
+        )
+    assert ec == checksum
+    # a prover without the chip must refuse the execution
+    bare = ProverClient.builder().cpu().build()
+    pk2, _ = bare.setup(prog)
+    with pytest.raises(ValueError):
+        bare.prove(pk2, stdin=stdin)
