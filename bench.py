@@ -21,8 +21,13 @@ Both children print their result JSON on stdout and a per-stage time
 split on stderr (commit/gkr/zerocheck/opening — reference:
 sp1-gpu/crates/perf/src/report.rs:54-73 kHz split).
 
-Env knobs: SP1_BENCH_BUDGET (secs, default 540), SP1_BENCH_MLRC
-(log2 shard rows, default 12 host / 14 device), SP1_BENCH_LIMB_BITS
+The host child additionally proves a keccak-permute and a sha-extend
+workload (small shapes) so the final JSON carries a multi-workload
+"workloads" report with executor MHz per workload (reference CSV schema:
+sp1-gpu/crates/perf/README.md suite runs).
+
+Env knobs: SP1_BENCH_BUDGET (secs, default 2000), SP1_BENCH_MLRC
+(log2 shard rows, default 12 host / 16 device), SP1_BENCH_LIMB_BITS
 (default 16), SP1_BENCH_DEVICE_ONLY / SP1_BENCH_HOST_ONLY.
 """
 
@@ -77,6 +82,53 @@ def run_child(mode: str, timeout: float, mlrc: int, limb_bits: int):
     return None
 
 
+KECCAK_LOOP = """
+    li a7, 3
+    ecall            # a0 = iteration count
+    mv s2, a0
+    li s0, 1024
+    li t0, 25
+    mv s1, s0
+fill:
+    sd t0, 0(s1)
+    addi s1, s1, 8
+    addi t0, t0, -1
+    bne t0, zero, fill
+kloop:
+    li a7, 10
+    mv a0, s0
+    ecall            # KECCAK_PERMUTE(state @ s0)
+    addi s2, s2, -1
+    bne s2, zero, kloop
+    ld a0, 0(s0)
+    li a7, 0
+    ecall
+"""
+
+SHA_LOOP = """
+    li a7, 3
+    ecall            # a0 = iteration count
+    mv s2, a0
+    li s0, 1024
+    li t0, 16
+    mv s1, s0
+fill:
+    sd t0, 0(s1)
+    addi s1, s1, 8
+    addi t0, t0, -1
+    bne t0, zero, fill
+sloop:
+    li a7, 8
+    mv a0, s0
+    ecall            # SHA_EXTEND(w @ s0)
+    addi s2, s2, -1
+    bne s2, zero, sloop
+    ld a0, 0(s0)
+    li a7, 0
+    ecall
+"""
+
+
 def child_main(mode: str):
     """The actual measurement (runs in a subprocess)."""
     import jax
@@ -107,6 +159,35 @@ def child_main(mode: str):
         print(f"[{time.time() - t_begin:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
     t_begin = time.time()
+
+    def prove_workload(name, src_asm, inputs):
+        """Prove one workload shard; returns its kHz + executor MHz."""
+        prog_w = asm.assemble(src_asm)
+        t_ex = time.time()
+        res_w = native.execute(prog_w, inputs=inputs)
+        ex_secs = max(time.time() - t_ex, 1e-9)
+        traces_w, prep_w = tracegen.generate_traces(res_w, prog_w, 0, ws, mlrc)
+        machine_w = build_machine(ws)
+        prover_w = mm.ShardProver(machine_w, config)
+        pk_w = prover_w.setup(preprocessed_traces=prep_w)
+        pv_w = tracegen.make_public_values(res_w, 0, ws, traces=traces_w)
+        ch_w = DuplexChallenger()
+        pk_w.vk.observe_into(ch_w)
+        t0_w = time.time()
+        proof_w = prover_w.prove_shard(pk_w, traces_w, pv_w, ch_w)
+        dt_w = time.time() - t0_w
+        verifier_w = mm.ShardVerifier(machine_w, config)
+        vch_w = DuplexChallenger()
+        pk_w.vk.observe_into(vch_w)
+        assert verifier_w.verify_shard(pk_w.vk, proof_w, vch_w), f"{name} reject"
+        progress(f"workload {name}: {res_w.cycles} cycles in {dt_w:.1f}s")
+        return {
+            "cycles": int(res_w.cycles),
+            "prove_secs": round(dt_w, 3),
+            "khz": round(res_w.cycles / dt_w / 1e3, 4),
+            "executor_mhz": round(res_w.cycles / ex_secs / 1e6, 3),
+        }
+
     prog = asm.assemble(asm.FIBONACCI)
     # fibonacci loop is 6 cycles/iteration + 9 fixed; fill the shard
     n_iters = ((1 << mlrc) - 9) // 6
@@ -143,12 +224,28 @@ def child_main(mode: str):
     assert verifier.verify_shard(pk.vk, proof, vch), "proof failed to verify"
 
     khz = res.cycles / prove_secs / 1e3
-    print(json.dumps({
+    out = {
         "metric": "core_prover_throughput",
         "value": round(khz, 4),
         "unit": "kHz",
         "vs_baseline": round(khz / BASELINE_KHZ, 6),
-    }))
+        "workloads": {
+            "fibonacci": {"cycles": int(res.cycles),
+                          "prove_secs": round(prove_secs, 3),
+                          "khz": round(khz, 4)},
+        },
+    }
+    if mode == "host":
+        # multi-workload suite: keccak + sha-extend shards (host shapes)
+        n_kec = max(((1 << mlrc) // 24) // 4, 1)
+        out["workloads"]["keccak"] = prove_workload(
+            "keccak", KECCAK_LOOP, [n_kec]
+        )
+        n_sha = max(((1 << mlrc) // 48) // 4, 1)
+        out["workloads"]["sha_extend"] = prove_workload(
+            "sha_extend", SHA_LOOP, [n_sha]
+        )
+    print(json.dumps(out))
 
 
 def main():
@@ -162,7 +259,7 @@ def main():
     # RETRACING of the ~50 prover kernels (~700s on this 4-core host) is
     # paid per process even with a fully warm .jax_cache; the timed prove
     # itself is ~41s.
-    budget = float(os.environ.get("SP1_BENCH_BUDGET", "1200"))
+    budget = float(os.environ.get("SP1_BENCH_BUDGET", "2000"))
     t_start = time.time()
     result = None
 
@@ -186,6 +283,12 @@ def main():
                 limb_bits=int(os.environ.get("SP1_BENCH_LIMB_BITS", "16")),
             )
             if dev is not None:
+                if result is not None and "workloads" in result:
+                    # keep the host suite's extra workloads alongside the
+                    # device-measured primary metric
+                    wl = dict(result["workloads"])
+                    wl.update(dev.get("workloads", {}))
+                    dev["workloads"] = wl
                 result = dev
 
     if result is None:

@@ -129,7 +129,25 @@ def main():
     assert sprover.verify(sproof), "shrink rejected"
     assert check_shard(sprover.machine, sprover.config, sprover.vk, sproof)
     log(f"shrink: proved+verified in {time.time()-t0:.1f}s")
-    log("REAL-MACHINE RECURSION CHAIN OK (core x2 -> normalize x2 -> compose -> shrink)")
+
+    # ---- wrap: prove the shrink verifier over the BN254 outer context ----
+    from sp1_tpu.recursion import gnark as rgnark
+    from sp1_tpu.recursion import wrap as rwrap
+
+    t0 = time.time()
+    wprogram = rwrap.build_wrap_program(sprover.machine, sprover.config, sproof)
+    wprover = rwrap.WrapProver(wprogram)  # FriConfig.wrap()
+    wstream = rwrap.wrap_witness_stream(sprover.vk, sproof)
+    wproof = wprover.prove(wstream)
+    assert wprover.verify(wproof), "wrap rejected"
+    log(f"wrap: proved+verified in {time.time()-t0:.1f}s "
+        f"(outer commitment = Bn254 0x{int(wproof.main_commitment):x})")
+    rgnark.write_gnark_artifacts(
+        wprogram, wstream, "/tmp/wrap_constraints.json", "/tmp/wrap_witness.json"
+    )
+    log("gnark artifacts: /tmp/wrap_constraints.json /tmp/wrap_witness.json")
+    log("REAL-MACHINE RECURSION CHAIN OK "
+        "(core x2 -> normalize x2 -> compose -> shrink -> wrap)")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,23 @@ from .executor import execute
 from .machine import build_recursion_machine
 
 
+def build_wrap_program(rec_machine, rec_config, shrink_proof):
+    """Compile the single-child verifier program for the shrink proof
+    (crates/recursion/circuit/src/machine/wrap.rs: the wrap circuit is
+    the shard verifier of the shrink shard)."""
+    from .compose import build_compose_program
+
+    return build_compose_program(
+        rec_machine, rec_config, shrink_proof, num_children=1
+    )
+
+
+def wrap_witness_stream(shrink_vk, shrink_proof):
+    from .compose import compose_witness_stream
+
+    return compose_witness_stream(shrink_vk, [shrink_proof])
+
+
 def wrap_config(program, fri: FriConfig | None = None,
                 mlrc: int | None = None) -> JaggedConfig:
     mlrc = mlrc if mlrc is not None else tracegen.min_mlrc(program)

@@ -24,6 +24,8 @@ from sp1_tpu.parallel.worker import (
     WorkerPool,
 )
 
+pytestmark = pytest.mark.medium
+
 
 class TestLevelSizes:
     def test_shapes(self):

@@ -18,6 +18,8 @@ from sp1_tpu.riscv import fieldops as fo
 from sp1_tpu.riscv import tracegen
 from sp1_tpu.riscv.machine import WordSpec, build_machine
 
+pytestmark = pytest.mark.medium
+
 WS = WordSpec(limb_bits=16)
 MLRC = 16
 

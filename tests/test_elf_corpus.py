@@ -17,6 +17,8 @@ from scripts.build_elf_corpus import (
 )
 from sp1_tpu.executor import elf
 
+pytestmark = pytest.mark.medium
+
 ELFS = os.path.join(os.path.dirname(__file__), "elfs")
 
 

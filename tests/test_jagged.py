@@ -1,6 +1,8 @@
 """Jagged PCS tests: branching program indicator, jagged eval sumcheck,
 and full commit/prove/verify roundtrip with heterogeneous table heights."""
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -11,6 +13,8 @@ from sp1_tpu.iop.challenger import DuplexChallenger
 from sp1_tpu.ops import mle as mle_ops
 from sp1_tpu.pcs import jagged
 from sp1_tpu.pcs.basefold import FriConfig
+
+pytestmark = pytest.mark.medium
 
 RNG = np.random.default_rng(23)
 E4 = ext.npext4

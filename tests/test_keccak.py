@@ -16,6 +16,8 @@ from sp1_tpu.riscv.keccak import RC, RHO, PI_DST
 from sp1_tpu.riscv.machine import WordSpec, build_machine
 from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
+pytestmark = pytest.mark.medium
+
 WS = WordSpec(limb_bits=8)
 MLRC = 9
 CONFIG = JaggedConfig(

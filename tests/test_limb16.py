@@ -18,6 +18,8 @@ from sp1_tpu.riscv import tracegen
 from sp1_tpu.riscv.machine import WordSpec, build_machine
 from sp1_tpu.air.builder import KIND_GLOBAL_ACC, KIND_STATE
 
+pytestmark = pytest.mark.medium
+
 WS = WordSpec(limb_bits=16)
 MLRC = 16
 

@@ -75,6 +75,7 @@ class TestMeshProve:
         pk.vk.observe_into(vch)
         assert verifier.verify_shard(pk.vk, meshed, vch)
 
+    @pytest.mark.medium
     def test_mesh_dfs_prove_matches_host_transcript(self, monkeypatch):
         """Device-Fiat-Shamir + mesh: forcing SP1_TPU_DEVICE_FS=1 routes
         the GKR layer sumchecks through the packed fixed-shape poly
@@ -100,6 +101,7 @@ class TestMeshProve:
         pk.vk.observe_into(vch)
         assert verifier.verify_shard(pk.vk, meshed, vch)
 
+    @pytest.mark.medium
     def test_mesh_sizes_2_and_4(self):
         """Smaller meshes give the same transcript too."""
         ws = WordSpec(limb_bits=8)

@@ -18,6 +18,8 @@ from sp1_tpu.verifier import check_shard
 
 import test_machine as tmach
 
+pytestmark = pytest.mark.medium
+
 
 @pytest.fixture(scope="module")
 def core_proof():

@@ -22,6 +22,8 @@ from sp1_tpu.recursion.prove import RecursionProver
 from sp1_tpu.verifier import check_shard
 from sp1_tpu.verifier.backend import P, poseidon2_permute_ints
 
+pytestmark = pytest.mark.medium
+
 
 def build_program():
     """A program touching every instruction class, with 4 public values."""

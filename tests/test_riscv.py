@@ -12,6 +12,8 @@ from sp1_tpu.prover import machine as mm
 from sp1_tpu.riscv import tracegen
 from sp1_tpu.riscv.machine import WordSpec, build_machine
 
+pytestmark = pytest.mark.medium
+
 WS = WordSpec(limb_bits=8)
 MLRC = 8
 CONFIG = JaggedConfig(

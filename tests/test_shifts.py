@@ -11,6 +11,8 @@ from sp1_tpu.prover.lookup_debug import check_balance
 from sp1_tpu.riscv import tracegen
 from sp1_tpu.riscv.machine import WordSpec, build_machine
 
+pytestmark = pytest.mark.medium
+
 WS = WordSpec(limb_bits=8)
 MLRC = 9
 CONFIG = JaggedConfig(

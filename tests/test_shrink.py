@@ -18,6 +18,8 @@ from sp1_tpu.recursion.prove import RecursionProver
 from sp1_tpu.verifier import check_shard
 from test_recursion_air import FRI, build_program, make_stream
 
+pytestmark = pytest.mark.medium
+
 SHRINK_FRI = FriConfig(log_blowup=3, num_queries=4, proof_of_work_bits=2)
 
 

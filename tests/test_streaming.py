@@ -2,9 +2,13 @@
 crates/core/jit/src/shm.rs trace ring, crates/core/executor/src/report.rs).
 """
 
+import pytest
+
 import numpy as np
 
 from sp1_tpu.executor import asm, native
+
+pytestmark = pytest.mark.medium
 
 
 class TestStreamingVM:

@@ -25,6 +25,8 @@ from sp1_tpu.riscv import tracegen
 from sp1_tpu.riscv.machine import WordSpec, build_machine
 from sp1_tpu.verifier import check_program, check_shard
 
+pytestmark = pytest.mark.medium
+
 WS = WordSpec(limb_bits=8)
 MLRC = 8
 CONFIG = JaggedConfig(

@@ -1,5 +1,7 @@
 """Distribution layer tests: task queue, retries, controller fan-out."""
 
+import pytest
+
 import threading
 
 from sp1_tpu.parallel.worker import (
@@ -11,6 +13,8 @@ from sp1_tpu.parallel.worker import (
     TaskType,
     WorkerPool,
 )
+
+pytestmark = pytest.mark.medium
 
 
 class TestWorkerPool:
