@@ -48,7 +48,8 @@ def num_compose_pvs(rec_machine) -> int:
 def build_compose_program(rec_machine, rec_config, child_proof=None,
                           num_children: int | None = None,
                           rules: PvMergeRules | None = None,
-                          children: list | None = None):
+                          children: list | None = None,
+                          vk_map_root=None, vk_map_depth: int | None = None):
     """Compile the verifier for N child recursion proofs.
 
     Homogeneous form: `child_proof` + `num_children` — one witnessed vk
@@ -58,7 +59,10 @@ def build_compose_program(rec_machine, rec_config, child_proof=None,
     shape system pads first/last shards to a canonical normalize shape;
     reference analog: crates/prover/src/shapes.rs + the vk merkle map).
     All child-vk digests are committed so the parent binds every child
-    program.
+    program. With `vk_map_root` (+ depth), each child vk must instead
+    prove MEMBERSHIP in the committed vk merkle tree (recursion/vkmap.py;
+    reference: crates/prover/src/shapes.rs vk_map) and the program
+    commits the root — soundness against arbitrary self-chosen vks.
     """
     rules = rules or PvMergeRules()
     if children is None:
@@ -77,6 +81,16 @@ def build_compose_program(rec_machine, rec_config, child_proof=None,
         ch = VChallenger(sym)
         observe_vk(vvk, ch)
         verify_shard(sym, mach, cfg, vvk, vproof, ch)
+
+    if vk_map_root is not None:
+        from . import vkmap
+
+        assert vk_map_depth is not None
+        for vvk in (vvks[:1] if homogeneous else vvks):
+            digest = vkmap.circuit_vk_digest(sym, vvk)
+            vkmap.circuit_verify_membership(
+                sym, digest, vk_map_depth, list(vk_map_root)
+            )
 
     last = set(rules.last)
     for i in rules.equal:
@@ -97,24 +111,37 @@ def build_compose_program(rec_machine, rec_config, child_proof=None,
         for i in range(npv)
     ]
     committed = []
-    for vvk in (vvks[:1] if homogeneous else vvks):
-        committed += list(vvk.preprocessed_commit)
+    if vk_map_root is not None:
+        committed += [sym.felt(int(r)) for r in vk_map_root]
+    else:
+        for vvk in (vvks[:1] if homogeneous else vvks):
+            committed += list(vvk.preprocessed_commit)
     sym.commit_public_values(committed + list(vvks[0].pc_start) + merged)
     return sym.finalize()
 
 
-def compose_witness_stream(vk, proofs, vks: list | None = None):
+def compose_witness_stream(vk, proofs, vks: list | None = None,
+                           vk_map=None, vk_indices: list | None = None):
     """Runtime witness blocks for a compose program, in stream order.
 
-    Pass `vks` (one per child) for heterogeneous compose programs."""
+    Pass `vks` (one per child) for heterogeneous compose programs.
+    With `vk_map` (+ per-child leaf `vk_indices`), the membership
+    (bits, path) blocks are appended in circuit order."""
     w = StreamWriter()
     if vks is None:
         lift_vk(w, vk)
         for p in proofs:
             lift_shard_proof(w, p)
-        return w.stream
-    for v in vks:
-        lift_vk(w, v)
-    for p in proofs:
-        lift_shard_proof(w, p)
+        vk_list = [vk]
+    else:
+        for v in vks:
+            lift_vk(w, v)
+        for p in proofs:
+            lift_shard_proof(w, p)
+        vk_list = vks
+    if vk_map is not None:
+        from . import vkmap as _vkmap
+
+        for idx in vk_indices if vk_indices is not None else [0] * len(vk_list):
+            _vkmap.membership_witness(w, vk_map, idx)
     return w.stream
