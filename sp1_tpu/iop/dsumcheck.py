@@ -153,6 +153,140 @@ def kb_from_monty_host(x: np.ndarray) -> np.ndarray:
     return from_monty_host(np.asarray(x, np.uint32))
 
 
+def _interp_rlc_body(sums, lam_m, vinv, n_polys: int, npts: int):
+    """Inlinable body of _interp_rlc_fn (shared with the fused step)."""
+    coeffs = kb.mul(sums[:, None, :, :], vinv[None, :, :, None])  # (P,K,X,4)
+    acc = coeffs[:, :, 0]
+    for x in range(1, npts):
+        acc = kb.add(acc, coeffs[:, :, x])
+    coeffs_m = acc  # (n_polys, npts, 4)
+    rlc = coeffs_m[0]
+    for p in range(1, n_polys):
+        rlc = kb.add(
+            ext.ext4_mul(rlc, jnp.broadcast_to(lam_m, rlc.shape)), coeffs_m[p]
+        )
+    return coeffs_m, kb.from_monty(rlc)
+
+
+_FUSED_STEPS = {}
+
+
+def _fused_step(key, sums_fns, fold_fn, npts: int, nbuf: int):
+    """One-dispatch-per-round sumcheck step: restricted sums for every
+    poly, message interpolation, the TraceChallenger absorb + duplex +
+    4-felt sample, and all fold kernels — fused into a single jit so a
+    round costs ONE device dispatch instead of ~2*n_polys + 6 (the
+    dominant cost on the remote-tunnel TPU path).
+
+    The sponge phase arithmetic is STATIC (nbuf in the cache key): each
+    round absorbs npts*4 felts and samples 4, mirroring observe_slice +
+    sample_ext of dchallenger.TraceChallenger bit for bit."""
+    from .dchallenger import RATE, _permute_canonical
+
+    cached = _FUSED_STEPS.get(key)
+    if cached is not None:
+        return cached
+    n_polys = len(sums_fns)
+    msg_len = npts * 4
+    vinv = jnp.asarray(_vinv_monty(npts))
+
+    def absorb(state, buf, vec):
+        total = nbuf + vec.shape[0]
+        nchunks = total // RATE
+        vals = jnp.concatenate([buf, vec]) if nbuf else vec
+        for c in range(nchunks):
+            chunk = vals[c * RATE : (c + 1) * RATE]
+            state = jnp.concatenate([chunk, state[RATE:]])
+            state = _permute_canonical(state)
+        return state, vals[nchunks * RATE :]
+
+    nbuf2 = (nbuf + msg_len) % RATE
+    landed = (nbuf + msg_len) >= RATE and nbuf2 == 0
+
+    @jax.jit
+    def step(state, buf, lam_m, live_pairs, tables, auxes):
+        sums = jnp.stack(
+            [sums_fns[i](tables[i], live_pairs, *auxes[i])
+             for i in range(n_polys)]
+        )
+        coeffs_m, msg_c = _interp_rlc_body(sums, lam_m, vinv, n_polys, npts)
+        state2, leftover = absorb(state, buf, msg_c.reshape(-1))
+        if landed:
+            state3 = state2  # output buffer exactly refilled: no duplex
+        else:
+            state3 = _permute_canonical(
+                jnp.concatenate([leftover, state2[nbuf2:]])
+            )
+        alpha4 = jnp.stack(
+            [state3[RATE - 1 - k] for k in range(4)]
+        )  # sample_ext pop order
+        am = kb.to_monty(alpha4)
+        tables2 = [fold_fn(t, am) for t in tables]
+        return state3, msg_c, coeffs_m, alpha4, tables2
+
+    _FUSED_STEPS[key] = step
+    return step
+
+
+def _device_sumcheck_fused(polys, parts, tch, claims, lam) -> DeferredSumcheck:
+    from .dchallenger import RATE
+
+    num_vars = polys[0].num_variables
+    npts = polys[0].degree + 1
+    lam_m = jnp.asarray(_to_monty_np(np.asarray(lam, np.uint32)))
+    sums_fns = tuple(pt[0] for pt in parts)
+    fold_fn = parts[0][1]
+    tables = [pt[2] for pt in parts]
+    auxes = tuple(pt[3] for pt in parts)
+    clones = [pt[4] for pt in parts]
+
+    messages, alphas = [], []
+    last_coeffs = None
+    n_live = 1 << num_vars
+    for _ in range(num_vars):
+        # Compact the packed buffers when the live prefix drops to a
+        # quarter of the allocation: the masked full-buffer scheme would
+        # otherwise pay leaf-size work EVERY round (8x the optimal
+        # shrinking-table total). 4x steps keep the fused-step compile
+        # count at ~log4(n) shapes while staying within 1.35x of optimal.
+        n_alloc = int(tables[0].shape[0])
+        if n_live * 4 <= n_alloc and n_live >= 512:
+            tables = [t[:n_live] for t in tables]
+        nbuf = tch._nbuf
+        key = (
+            tuple(id(f) for f in sums_fns),
+            tuple(tuple(t.shape) for t in tables),
+            npts,
+            nbuf,
+        )
+        step = _fused_step(key, sums_fns, fold_fn, npts, nbuf)
+        state3, msg_c, coeffs_m, alpha4, tables = step(
+            tch.state, tch._buf_array(), lam_m, jnp.uint32(n_live // 2),
+            tables, auxes,
+        )
+        # mirror observe_slice + sample_ext bookkeeping on the challenger
+        tch.state = state3
+        tch._segs = []
+        tch._nbuf = 0
+        tch._out_left = RATE - 4
+        messages.append(msg_c)
+        alphas.insert(0, alpha4)
+        last_coeffs = coeffs_m
+        n_live //= 2
+
+    comp = [
+        clone(t).component_evals_device() for clone, t in zip(clones, tables)
+    ]
+    return DeferredSumcheck(
+        messages=messages,
+        alphas=alphas,
+        last_coeffs=last_coeffs,
+        component_evals=comp,
+        claims=[np.asarray(c, np.uint32) for c in claims],
+        lam=np.asarray(lam, np.uint32),
+    )
+
+
 def device_sumcheck(
     polys: list,
     tch: TraceChallenger,
@@ -166,6 +300,9 @@ def device_sumcheck(
     assert polys
     num_vars = polys[0].num_variables
     assert all(p.num_variables == num_vars for p in polys)
+    parts = [getattr(p, "fused_parts", lambda: None)() for p in polys]
+    if parts and all(pt is not None for pt in parts):
+        return _device_sumcheck_fused(polys, parts, tch, claims, lam)
     npts = polys[0].degree + 1  # sample points X = 0..degree
     lam_m = jnp.asarray(_to_monty_np(np.asarray(lam, np.uint32)))
     interp = _interp_rlc_fn(len(polys), npts)

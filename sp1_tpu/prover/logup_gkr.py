@@ -492,6 +492,23 @@ class PackedLogupRoundPoly:
         row = self.table[0]
         return jnp.stack([row[1], row[3], row[2], row[4]])
 
+    def fused_parts(self):
+        """Fused-driver protocol (iop/dsumcheck.py); None when sharded."""
+        if self.mesh is not None:
+            return None
+        from .zerocheck import _fold_packed_body
+
+        def clone(table):
+            return self._clone(table, 1, None)
+
+        return (
+            _gkr_local_sums,
+            _fold_packed_body,
+            self.table,
+            (self.lam_m,),
+            clone,
+        )
+
     def get_component_poly_evals(self) -> list:
         row = _from_monty_np(
             np.asarray(self.table[0], np.uint32).reshape(-1)

@@ -464,21 +464,26 @@ def _fold_packed_sharded(table, alpha_m, mesh):
 _FOLD_KERNELS = {}
 
 
+def _fold_packed_body(t, am):
+    """Inlinable fold of a packed (n, W, 4) table's live pairs into its
+    first half; dead tail zeroed (shared by the jitted kernel below and
+    the fused round step in iop/dsumcheck.py)."""
+    v = t.reshape(t.shape[0] // 2, 2, t.shape[1], 4)
+    lo, hi = v[:, 0], v[:, 1]
+    diff = ext.ext4_sub(hi, lo)
+    folded = ext.ext4_add(
+        lo, ext.ext4_mul(diff, jnp.broadcast_to(am, diff.shape))
+    )
+    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=0)
+
+
 def _fold_packed(table, alpha_m):
     """Fold the packed table's live pairs into its first half (fixed shape:
     one compile per table shape). Dead tail is zeroed."""
     wt = int(table.shape[1])
     k = _FOLD_KERNELS.get(wt)
     if k is None:
-        @jax.jit
-        def k(t, am):
-            v = t.reshape(t.shape[0] // 2, 2, t.shape[1], 4)
-            lo, hi = v[:, 0], v[:, 1]
-            diff = ext.ext4_sub(hi, lo)
-            folded = ext.ext4_add(
-                lo, ext.ext4_mul(diff, jnp.broadcast_to(am, diff.shape))
-            )
-            return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=0)
+        k = jax.jit(_fold_packed_body)
         _FOLD_KERNELS[wt] = k
     return k(table, alpha_m)
 
@@ -668,6 +673,28 @@ class DevZeroCheckPoly:
         wm, wp = self.chip.width, self.chip.preprocessed_width
         row = self.table[0]
         return jnp.concatenate([row[wm : wm + wp], row[:wm]], axis=0)
+
+    def fused_parts(self):
+        """(sums_fn, fold_fn, table, aux, set_table) for the one-dispatch-
+        per-round fused driver (iop/dsumcheck.py). None when sharded."""
+        if self.mesh is not None or self.host:
+            return None
+        sums_fn = _make_local_sums_fn(self.chip, self.degree + 1)
+
+        def clone(table):
+            poly = object.__new__(DevZeroCheckPoly)
+            poly.__dict__.update(self.__dict__)
+            poly.table = table
+            poly.n_live = 1
+            return poly
+
+        return (
+            sums_fn,
+            _fold_packed_body,
+            self.table,
+            (self._apow_m, self._gkr_m, self._adj_m, self._pv_m),
+            clone,
+        )
 
     def _to_host_poly(self, live_table, n_live) -> "ZeroCheckPoly":
         """Materialize the host-tail poly from the (n_live, Wt, 4) rows."""
