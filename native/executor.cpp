@@ -91,7 +91,7 @@ struct VM {
     std::vector<uint64_t> input_queue; // words read via read syscall
     size_t input_pos = 0;
     uint64_t op_counts[OP_CLASS_COUNT] = {0};
-    uint64_t syscall_counts[16] = {0};  // by syscall id (small ABI space)
+    uint64_t syscall_counts[32] = {0};  // by syscall id (small ABI space)
 };
 
 // ---------------------------------------------------------------------------
@@ -175,9 +175,7 @@ inline U256 u256_modsub(const U256& a, const U256& b, const U256& m) {
     return u256_sub(m, u256_sub(b, a));
 }
 
-// a^(m-2) mod m — modular inverse for prime m (Fermat).
-inline U256 u256_modinv(const U256& a, const U256& m) {
-    U256 e = u256_sub(m, U256{{2, 0, 0, 0}});
+inline U256 u256_modpow(const U256& a, const U256& e, const U256& m) {
     U256 base = a, result;
     result.w[0] = 1;
     for (int bit = 0; bit < 256; bit++) {
@@ -186,6 +184,31 @@ inline U256 u256_modinv(const U256& a, const U256& m) {
         base = u256_modmul(base, base, m);
     }
     return result;
+}
+
+// a^(m-2) mod m — modular inverse for prime m (Fermat).
+inline U256 u256_modinv(const U256& a, const U256& m) {
+    return u256_modpow(a, u256_sub(m, U256{{2, 0, 0, 0}}), m);
+}
+
+inline U256 u256_shr(const U256& a, int k) {  // k < 64
+    U256 r;
+    for (int i = 0; i < 4; i++) {
+        r.w[i] = a.w[i] >> k;
+        if (i < 3 && k) r.w[i] |= a.w[i + 1] << (64 - k);
+    }
+    return r;
+}
+
+inline U256 u256_add_small(const U256& a, uint64_t v) {
+    U256 r = a;
+    unsigned __int128 s = (unsigned __int128)r.w[0] + v;
+    r.w[0] = (uint64_t)s;
+    for (int i = 1; i < 4 && (s >> 64); i++) {
+        s = (unsigned __int128)r.w[i] + 1;
+        r.w[i] = (uint64_t)s;
+    }
+    return r;
 }
 
 inline int64_t sext(uint64_t v, int bits) {
@@ -462,7 +485,7 @@ bool step(VM& vm) {
             ev.rs1_prev_ts = vm.reg_ts[17]; b = read_reg(17, 1);
             ev.rs2_prev_ts = vm.reg_ts[10]; c = read_reg(10, 2);
             uint64_t id = b;
-            if (id < 16) vm.syscall_counts[id]++;
+            if (id < 32) vm.syscall_counts[id]++;
             if (id == 0) {
                 vm.halted = true;
                 vm.exit_code = c;
@@ -654,7 +677,7 @@ bool step(VM& vm) {
                     vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
-            } else if (id >= 11 && id <= 15) {
+            } else if (id >= 11 && id <= 17) {
                 // Curve / uint256 precompiles (reference roles:
                 // syscalls/precompiles/{edwards/add.rs, weierstrass/add.rs,
                 // weierstrass/double.rs, uint256/mod.rs}).
@@ -668,6 +691,8 @@ bool step(VM& vm) {
                     case 12: n_read = 16; n_write = 8; break;  // secp256k1_add
                     case 13: n_read = 8;  n_write = 8; break;  // secp256k1_double
                     case 14: n_read = 12; n_write = 4; break;  // uint256_mul
+                    case 16: n_read = 5;  n_write = 4; break;  // ed_decompress
+                    case 17: n_read = 5;  n_write = 4; break;  // secp256k1_decompress
                     default: n_read = 16; n_write = 8; break;  // bn254_add
                 }
                 uint64_t ptr = c;
@@ -726,10 +751,54 @@ bool step(VM& vm) {
                     static const U256 ED_D = {{0x75EB4DCA135978A3ULL,
                         0x00700A4D4141D8ABULL, 0x8CC740797779E898ULL,
                         0x52036CEE2B6FFE73ULL}};
-                    const U256& P = (id == 11) ? P25519
+                    const U256& P = (id == 11 || id == 16) ? P25519
                                   : (id == 15) ? PBN254 : PSECP;
                     U256 x3, y3;
-                    if (id == 11) {
+                    if (id == 16) {
+                        // ed25519 decompress: cells [sign, y(4)] -> x(4)
+                        // x^2 = (y^2-1)/(d y^2+1); base root has lsb 0
+                        uint64_t sign = in[0];
+                        if (sign > 1) return false;
+                        U256 y;
+                        for (int i = 0; i < 4; i++) y.w[i] = in[1 + i];
+                        U256 yy = u256_modmul(y, y, P);
+                        U256 one; one.w[0] = 1;
+                        U256 u = u256_modsub(yy, one, P);
+                        U256 v = u256_modadd(u256_modmul(ED_D, yy, P), one, P);
+                        U256 w = u256_modmul(u, u256_modinv(v, P), P);
+                        // x = w^((p+3)/8); if x^2 != w, x *= 2^((p-1)/4)
+                        U256 e = u256_shr(u256_add_small(P, 3), 3);
+                        U256 x = u256_modpow(w, e, P);
+                        if (u256_cmp(u256_modmul(x, x, P), w) != 0) {
+                            U256 e2 = u256_shr(u256_sub(P, one), 2);
+                            U256 two; two.w[0] = 2;
+                            x = u256_modmul(x, u256_modpow(two, e2, P), P);
+                        }
+                        if (u256_cmp(u256_modmul(x, x, P), w) != 0)
+                            return false;  // not on curve
+                        if (x.w[0] & 1) x = u256_sub(P, x);
+                        if (sign && !u256_is_zero(x)) x = u256_sub(P, x);
+                        for (int i = 0; i < 4; i++) out[i] = x.w[i];
+                        x3 = x; y3 = x;  // unused beyond out[]
+                    } else if (id == 17) {
+                        // secp256k1 decompress: cells [sign, x(4)] -> y(4)
+                        uint64_t sign = in[0];
+                        if (sign > 1) return false;
+                        U256 x;
+                        for (int i = 0; i < 4; i++) x.w[i] = in[1 + i];
+                        U256 xx = u256_modmul(x, x, P);
+                        U256 seven; seven.w[0] = 7;
+                        U256 rhs = u256_modadd(u256_modmul(xx, x, P), seven, P);
+                        U256 one; one.w[0] = 1;
+                        U256 e = u256_shr(u256_add_small(P, 1), 2);  // (p+1)/4
+                        U256 y = u256_modpow(rhs, e, P);
+                        if (u256_cmp(u256_modmul(y, y, P), rhs) != 0)
+                            return false;  // x not on curve
+                        if (y.w[0] & 1) y = u256_sub(P, y);
+                        if (sign && !u256_is_zero(y)) y = u256_sub(P, y);
+                        for (int i = 0; i < 4; i++) out[i] = y.w[i];
+                        x3 = y; y3 = y;
+                    } else if (id == 11) {
                         // twisted-Edwards add (ed25519)
                         U256 x1 = getu(0), y1 = getu(4), x2 = getu(8), y2 = getu(12);
                         U256 x1y2 = u256_modmul(x1, y2, P);
@@ -879,7 +948,7 @@ uint64_t ex_report_len() { return OP_CLASS_COUNT + 16; }
 void ex_report(void* h, uint64_t* out) {
     VM* vm = (VM*)h;
     memcpy(out, vm->op_counts, OP_CLASS_COUNT * sizeof(uint64_t));
-    memcpy(out + OP_CLASS_COUNT, vm->syscall_counts, 16 * sizeof(uint64_t));
+    memcpy(out + OP_CLASS_COUNT, vm->syscall_counts, 32 * sizeof(uint64_t));
 }
 
 uint64_t ex_num_events(void* h) { return ((VM*)h)->events.size(); }

@@ -832,3 +832,257 @@ class Uint256MulChip(_BlockChip):
             s = int(sum(in_bytes[64:96])) % kp
             row64[L["m_inv"]] = pow(s, kp - 2, kp)
         return [(r >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+
+
+class EdDecompressChip(_BlockChip):
+    """ed25519 point decompression (ed_decompress.rs).
+
+    x^2 = (y^2 - 1) / (d y^2 + 1); the witnessed root is negated when the
+    sign cell requests the other representative.
+
+    ABI (single-pointer, cells): 0 = sign (0/1), 1..4 = y; x written to
+    cells 5..8. The executor picks the root with lsb 0 as the base
+    representative; sign = 1 selects p - x.
+    """
+
+    name = "EdDecompress"
+    SYSCALL_ID = 16
+    N_READ = 5
+    N_WRITE = 4
+    FP = fo.ED25519_FP
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.yy = self._add_block(c, "yy", fp)      # y^2
+        self.vblk = self._add_block(c, "vblk", fp)  # d*y^2 + 1
+        self.wblk = self._add_block(c, "wblk", fp)  # (y^2 - 1) / v
+        self.xx = self._add_block(c, "xx", fp)      # x^2 (must equal w)
+        self.negx = self._add_block(c, "negx", fp)  # p - x  (0 - x)
+        self.xlt = self._add_lt(c, "xlt", fp)
+        c.cols("xroot", fp.nb)   # witnessed base root
+        c.cols("xout", fp.nb)    # sign-selected output
+        self._extra_u8 = ["xroot", "xout"]
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        inb = g("inb")
+        sign = inb[0]          # low byte of the sign cell
+        y = inb[8:40]          # cells 1..4
+        fp = self.FP
+        f.assert_zero(ops.mul(gate, ops.mul(sign, ops.sub(sign, ops.one()))))
+        for b in inb[1:8]:     # rest of the sign cell must be zero
+            f.assert_zero(ops.mul(gate, b))
+        x = g("xroot")
+        self.yy.eval_mul(f, g, gate, y, y)
+        d_limbs = int_to_limbs(fo.ED25519_D, fp.nb)
+        one_l = int_to_limbs(1, fp.nb)
+        self.vblk.eval_mul(f, g, gate, d_limbs, self._res(g, self.yy), c=one_l)
+        # w * v = y^2 - 1  <=>  w*v + 1 = y^2: div form with a = yy - 1
+        # handled as: w*v - (yy - 1) = carry*p  ==  w*v + 1 - yy = carry*p
+        r, cr, w_ = self.wblk.syms(g)
+        vb = fo.VanishingBuilder(ops, fp)
+        vb.add_prod(r, self._res(g, self.vblk))
+        vb.add_poly(one_l)
+        vb.add_poly(self._res(g, self.yy), -1)
+        vb.add_prod(cr, fp.modulus_limbs, sign=-1)
+        vb.constrain(f, gate, w_)
+        # x^2 = w (limb equality of the two reduced results)
+        self.xx.eval_mul(f, g, gate, x, x)
+        for a, b in zip(self._res(g, self.xx), self._res(g, self.wblk)):
+            f.assert_zero(ops.mul(gate, ops.sub(a, b)))
+        # negx = 0 - x:  x + negx = carry*p
+        rn, crn, wn = self.negx.syms(g)
+        vbn = fo.VanishingBuilder(ops, fp)
+        vbn.add_poly(x)
+        vbn.add_poly(rn)
+        vbn.add_prod(crn, fp.modulus_limbs, sign=-1)
+        vbn.constrain(f, gate, wn)
+        # xout = (1-s)*x + s*negx, per limb (degree 2 + gate)
+        xout = g("xout")
+        for i in range(fp.nb):
+            sel = ops.add(
+                ops.mul(ops.sub(ops.one(), sign), x[i]),
+                ops.mul(sign, rn[i]),
+            )
+            f.assert_zero(ops.mul(gate, ops.sub(xout[i], sel)))
+        self.xlt.eval(f, g, gate, xout)
+
+    def u8_check_slices(self, L) -> list:
+        return super().u8_check_slices(L) + [L["xroot"], L["xout"]]
+
+    def extra_sends(self, is_real) -> list:
+        out = super().extra_sends(is_real)
+        out.extend(
+            self._u8_sends(
+                list(range(self.layout["xroot"].start, self.layout["xroot"].stop))
+                + list(range(self.layout["xout"].start, self.layout["xout"].stop)),
+                is_real,
+            )
+        )
+        return out
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        base = self.layout["xout"].start + cell * 8 + limb * 2
+        return Affine(0, ((main_col(base), 1), (main_col(base + 1), 256)))
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        sign = int(in_bytes[0])
+        y = limbs_to_int(in_bytes[8:40])
+        d = fo.ED25519_D
+        nb = fp.nb
+
+        def L32(v):
+            return int_to_limbs(v, nb)
+
+        yy = y * y % p
+        self.yy.populate(
+            row64, L, [(+1, L32(y), L32(y)), (-1, L32(yy))], yy, (y * y) // p
+        )
+        v = (d * yy + 1) % p
+        self.vblk.populate(
+            row64, L,
+            [(+1, L32(d), L32(yy)), (+1, L32(1)), (-1, L32(v))],
+            v, (d * yy + 1) // p,
+        )
+        w = (yy - 1) * pow(v, p - 2, p) % p
+        self.wblk.populate(
+            row64, L,
+            [(+1, L32(w), L32(v)), (+1, L32(1)), (-1, L32(yy))],
+            w, (w * v + 1 - yy) // p,
+        )
+        # base root with lsb 0 (executor convention)
+        x = pow(w, (p + 3) // 8, p)
+        if x * x % p != w:
+            x = x * pow(2, (p - 1) // 4, p) % p
+        assert x * x % p == w, "not a square (invalid compressed point)"
+        if x & 1:
+            x = p - x
+        self.xx.populate(
+            row64, L, [(+1, L32(x), L32(x)), (-1, L32(w))], w, (x * x) // p
+        )
+        negx = (p - x) % p
+        self.negx.populate(
+            row64, L, [(+1, L32(x)), (+1, L32(negx)), (-1, L32(0))],
+            negx, (x + negx) // p,
+        )
+        xout = negx if sign else x
+        row64[L["xroot"]] = L32(x)
+        row64[L["xout"]] = L32(xout)
+        self.xlt.populate(row64, L, xout)
+        return [(xout >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+
+
+class Secp256k1DecompressChip(_BlockChip):
+    """secp256k1 point decompression (weierstrass decompress.rs).
+
+    y^2 = x^3 + 7; the witnessed root's parity is selected by the sign
+    cell. ABI (cells): 0 = sign (0/1 = desired y parity via select of
+    +-root), 1..4 = x; y written to cells 5..8.
+    """
+
+    name = "Secp256k1Decompress"
+    SYSCALL_ID = 17
+    N_READ = 5
+    N_WRITE = 4
+    FP = fo.SECP256K1_FP
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.xx = self._add_block(c, "xx", fp)      # x^2
+        self.rhs = self._add_block(c, "rhs", fp)    # x^3 + 7
+        self.yy = self._add_block(c, "yy", fp)      # y^2 (must equal rhs)
+        self.negy = self._add_block(c, "negy", fp)  # p - y
+        self.ylt = self._add_lt(c, "ylt", fp)
+        c.cols("yroot", fp.nb)
+        c.cols("yout", fp.nb)
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        inb = g("inb")
+        sign = inb[0]
+        x = inb[8:40]
+        fp = self.FP
+        f.assert_zero(ops.mul(gate, ops.mul(sign, ops.sub(sign, ops.one()))))
+        for b in inb[1:8]:
+            f.assert_zero(ops.mul(gate, b))
+        y = g("yroot")
+        self.xx.eval_mul(f, g, gate, x, x)
+        b_l = int_to_limbs(fo.SECP256K1_B, fp.nb)
+        self.rhs.eval_mul(f, g, gate, self._res(g, self.xx), x, c=b_l)
+        self.yy.eval_mul(f, g, gate, y, y)
+        for a, b in zip(self._res(g, self.yy), self._res(g, self.rhs)):
+            f.assert_zero(ops.mul(gate, ops.sub(a, b)))
+        rn, crn, wn = self.negy.syms(g)
+        vbn = fo.VanishingBuilder(ops, fp)
+        vbn.add_poly(y)
+        vbn.add_poly(rn)
+        vbn.add_prod(crn, fp.modulus_limbs, sign=-1)
+        vbn.constrain(f, gate, wn)
+        yout = g("yout")
+        for i in range(fp.nb):
+            sel = ops.add(
+                ops.mul(ops.sub(ops.one(), sign), y[i]),
+                ops.mul(sign, rn[i]),
+            )
+            f.assert_zero(ops.mul(gate, ops.sub(yout[i], sel)))
+        self.ylt.eval(f, g, gate, yout)
+
+    def u8_check_slices(self, L) -> list:
+        return super().u8_check_slices(L) + [L["yroot"], L["yout"]]
+
+    def extra_sends(self, is_real) -> list:
+        out = super().extra_sends(is_real)
+        out.extend(
+            self._u8_sends(
+                list(range(self.layout["yroot"].start, self.layout["yroot"].stop))
+                + list(range(self.layout["yout"].start, self.layout["yout"].stop)),
+                is_real,
+            )
+        )
+        return out
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        base = self.layout["yout"].start + cell * 8 + limb * 2
+        return Affine(0, ((main_col(base), 1), (main_col(base + 1), 256)))
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        sign = int(in_bytes[0])
+        x = limbs_to_int(in_bytes[8:40])
+        nb = fp.nb
+
+        def L32(v):
+            return int_to_limbs(v, nb)
+
+        xx = x * x % p
+        self.xx.populate(
+            row64, L, [(+1, L32(x), L32(x)), (-1, L32(xx))], xx, (x * x) // p
+        )
+        rhs = (xx * x + fo.SECP256K1_B) % p
+        self.rhs.populate(
+            row64, L,
+            [(+1, L32(xx), L32(x)), (+1, L32(fo.SECP256K1_B)), (-1, L32(rhs))],
+            rhs, (xx * x + fo.SECP256K1_B) // p,
+        )
+        y = pow(rhs, (p + 1) // 4, p)  # p = 3 mod 4
+        assert y * y % p == rhs, "not a square (invalid x)"
+        if y & 1:
+            y = p - y
+        self.yy.populate(
+            row64, L, [(+1, L32(y), L32(y)), (-1, L32(rhs))], rhs, (y * y) // p
+        )
+        negy = (p - y) % p
+        self.negy.populate(
+            row64, L, [(+1, L32(y)), (+1, L32(negy)), (-1, L32(0))],
+            negy, (y + negy) // p,
+        )
+        yout = negy if sign else y
+        row64[L["yroot"]] = L32(y)
+        row64[L["yout"]] = L32(yout)
+        self.ylt.populate(row64, L, yout)
+        return [(yout >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]

@@ -127,6 +127,8 @@ PRECOMPILE_FLAGS = [
     ("is_secp256k1_double", 13, 16, True),
     ("is_uint256_mul", 14, 16, True),
     ("is_bn254_add", 15, 24, True),
+    ("is_ed_decompress", 16, 9, True),
+    ("is_secp256k1_decompress", 17, 9, True),
 ]
 
 
@@ -2519,6 +2521,8 @@ SHAPE_SYSCALLS = {
     13: "secp256k1_double",
     14: "uint256",
     15: "bn254_add",
+    16: "ed25519_decompress",
+    17: "secp256k1_decompress",
 }
 
 
@@ -2556,12 +2560,16 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
             Uint256MulChip,
         )
 
+        from .curvechip import EdDecompressChip, Secp256k1DecompressChip
+
         by_name = {
             "ed25519": EdAddChip,
             "secp256k1_add": Secp256k1AddChip,
             "secp256k1_double": Secp256k1DoubleChip,
             "uint256": Uint256MulChip,
             "bn254_add": Bn254AddChip,
+            "ed25519_decompress": EdDecompressChip,
+            "secp256k1_decompress": Secp256k1DecompressChip,
         }
         unknown = shape - set(by_name)
         if unknown:

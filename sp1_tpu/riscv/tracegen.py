@@ -395,10 +395,10 @@ def px_row_ops(kind: int, step: int) -> tuple:
         if step < 25:
             return 1, False
         return (0, False) if step < 49 else (0, True)
-    if kind in (11, 12, 13, 14, 15):
+    if kind in (11, 12, 13, 14, 15, 16, 17):
         # curve/uint256 calls: N_READ single-read steps then write steps
         # (curvechip.py CallChip window layout)
-        n_read = {11: 16, 12: 16, 13: 8, 14: 12, 15: 16}[kind]
+        n_read = {11: 16, 12: 16, 13: 8, 14: 12, 15: 16, 16: 5, 17: 5}[kind]
         return (1, False) if step < n_read else (0, True)
     raise ValueError(f"unknown precompile kind {kind}")
 
@@ -1577,13 +1577,16 @@ def generate_traces(
         from .curvechip import (
             Bn254AddChip,
             EdAddChip,
+            EdDecompressChip,
             Secp256k1AddChip,
+            Secp256k1DecompressChip,
             Secp256k1DoubleChip,
             Uint256MulChip,
         )
 
         for cls in (EdAddChip, Secp256k1AddChip, Secp256k1DoubleChip,
-                    Uint256MulChip, Bn254AddChip):
+                    Uint256MulChip, Bn254AddChip, EdDecompressChip,
+                    Secp256k1DecompressChip):
             cpx = _kind_px(cls.SYSCALL_ID)
             if cpx is None:
                 continue

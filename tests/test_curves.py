@@ -238,3 +238,33 @@ class TestShape:
         real = {k: v for k, v in imbal.items()
                 if k[0] not in (KIND_STATE, KIND_GLOBAL_ACC)}
         assert real, "missing chip must unbalance the syscall lookup"
+
+
+class TestDecompress:
+    def test_ed_decompress(self):
+        # decompress 2G from (sign, y)
+        g2 = ed_add(ED_G, ED_G)
+        x, y = g2
+        # the executor's base representative has lsb 0; sign selects -x
+        sign = 0 if (x & 1) == 0 else 1
+        # cell 0 = sign (one dword), cells 1..4 = y
+        stdin = [sign] + dwords(y)
+        out = dwords(x)
+        run_and_check(16, 5, 4, stdin, out, frozenset({"ed25519_decompress"}))
+
+    def test_secp256k1_decompress(self):
+        g2 = ws_double(SECP_G, PSECP)
+        x, y = g2
+        base = y if (y & 1) == 0 else PSECP - y
+        sign = 0 if base == y else 1
+        stdin = [sign] + dwords(x)
+        out = dwords(y)
+        run_and_check(17, 5, 4, stdin, out, frozenset({"secp256k1_decompress"}))
+
+    def test_ed_decompress_invalid_y_traps(self):
+        # y with (y^2-1)/(dy^2+1) a non-residue must trap in the executor
+        prog = asm.assemble(guest(16, 5, 4))
+        bad_y = 2  # (y^2-1)/(d*y^2+1) is a non-residue for this y
+        stdin = [0] + dwords(bad_y)
+        with pytest.raises(RuntimeError):
+            native.execute(prog, inputs=stdin)
