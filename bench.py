@@ -259,7 +259,7 @@ def main():
     # RETRACING of the ~50 prover kernels (~700s on this 4-core host) is
     # paid per process even with a fully warm .jax_cache; the timed prove
     # itself is ~41s.
-    budget = float(os.environ.get("SP1_BENCH_BUDGET", "2000"))
+    budget = float(os.environ.get("SP1_BENCH_BUDGET", "2400"))
     t_start = time.time()
     result = None
 
@@ -267,8 +267,8 @@ def main():
         # Fallback at the proven small shape: guaranteed to finish fast.
         result = run_child(
             "host",
-            timeout=min(budget * 0.3, 180),
-            mlrc=int(os.environ.get("SP1_BENCH_HOST_MLRC", "10")),
+            timeout=min(budget * 0.2, 300),
+            mlrc=int(os.environ.get("SP1_BENCH_HOST_MLRC", "9")),
             limb_bits=int(os.environ.get("SP1_BENCH_HOST_LIMB_BITS", "8")),
         )
 
