@@ -944,7 +944,7 @@ void ex_clear_events(void* h) {
 }
 
 // Execution report: opcode-class histogram + syscall counts.
-uint64_t ex_report_len() { return OP_CLASS_COUNT + 16; }
+uint64_t ex_report_len() { return OP_CLASS_COUNT + 32; }
 void ex_report(void* h, uint64_t* out) {
     VM* vm = (VM*)h;
     memcpy(out, vm->op_counts, OP_CLASS_COUNT * sizeof(uint64_t));

@@ -866,18 +866,21 @@ def prove_trusted_evaluations(
             )
     final_point = sumcheck_proof.point
 
-    # expected_eval = dense MLE evaluation at the final point.
-    if int(dense.shape[0]) <= (HOST_THRESH << 8):
-        dense_c = hostmle.dev_to_host(dense).astype(np.uint64)
-        eq_c = mle_ops.host.partial_lagrange_ext(final_point).astype(np.uint64)
-        prod = (dense_c[:, None] * eq_c) % kb.P  # mod BEFORE summing
-        dense_eval = (prod.sum(axis=0) % kb.P).astype(np.uint32)
-    else:
-        dense_eval = _from_monty_np(
-            mle_ops.eval_mle_at_point_ext(
-                dense[:, None], jnp.asarray(_to_monty_np(final_point))
-            )[0]
-        )
+    # expected_eval = dense MLE evaluation at the final point. The
+    # readback here is the first hard sync after the async jtable/
+    # sumcheck enqueues, so this span also absorbs their device time.
+    with timing.span("dense_eval"):
+        if int(dense.shape[0]) <= (HOST_THRESH << 8):
+            dense_c = hostmle.dev_to_host(dense).astype(np.uint64)
+            eq_c = mle_ops.host.partial_lagrange_ext(final_point).astype(np.uint64)
+            prod = (dense_c[:, None] * eq_c) % kb.P  # mod BEFORE summing
+            dense_eval = (prod.sum(axis=0) % kb.P).astype(np.uint32)
+        else:
+            dense_eval = _from_monty_np(
+                mle_ops.eval_mle_at_point_ext(
+                    dense[:, None], jnp.asarray(_to_monty_np(final_point))
+                )[0]
+            )
 
     with timing.span("jagged_eval"):
         jagged_eval_proof = prove_jagged_eval(
