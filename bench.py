@@ -1,6 +1,8 @@
 """Benchmark: end-to-end fibonacci shard proof throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the result as JSON lines: the host-suite fallback line first
+(guaranteed within ~5 min), then the device-measured line when the TPU
+child completes — the LAST line is authoritative.
 
 Metric: prover throughput in kHz (cycles proven per second / 1e3) — the
 reference's headline metric (reference: sp1-gpu/crates/perf/src/report.rs
@@ -271,6 +273,10 @@ def main():
             mlrc=int(os.environ.get("SP1_BENCH_HOST_MLRC", "9")),
             limb_bits=int(os.environ.get("SP1_BENCH_HOST_LIMB_BITS", "8")),
         )
+        if result is not None:
+            # emit the fallback NOW so an external timeout mid-device-child
+            # still leaves a measured number on stdout
+            print(json.dumps(result), flush=True)
 
     if os.environ.get("SP1_BENCH_HOST_ONLY") != "1":
         remaining = budget - (time.time() - t_start) - 5

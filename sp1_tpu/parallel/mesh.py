@@ -93,7 +93,10 @@ def psum_mod(x, axis: str, n_devices: int):
 def shard_map_fn(fn, mesh, in_specs, out_specs):
     """shard_map with the replication check disabled (psum_mod's output
     replication is not statically inferred), across jax versions."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     try:

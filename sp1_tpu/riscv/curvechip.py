@@ -861,7 +861,6 @@ class EdDecompressChip(_BlockChip):
         self.xlt = self._add_lt(c, "xlt", fp)
         c.cols("xroot", fp.nb)   # witnessed base root
         c.cols("xout", fp.nb)    # sign-selected output
-        self._extra_u8 = ["xroot", "xout"]
 
     def eval_body(self, f, g):
         ops = f.ops
