@@ -90,6 +90,44 @@ def _absorb_fn(nbuf: int, n: int):
 
 
 @lru_cache(maxsize=None)
+def _sample_vec_fn(nbuf: int, out_left: int, count: int):
+    """Fused sampler: `count` felts popped in ONE dispatch.
+
+    The duplex schedule (when a permutation fires, which output lane each
+    pop reads) is data-independent, so it is unrolled statically here —
+    mirroring `sample()` call-by-call. Returns (state', (count,) felts);
+    the caller's final (nbuf=0, out_left) is computed with the same
+    static recurrence."""
+
+    @jax.jit
+    def f(state, buf):
+        outs = []
+        ol = out_left
+        nb = nbuf
+        for _ in range(count):
+            if nb or ol == 0:
+                state = _permute_canonical(
+                    jnp.concatenate([buf, state[nb:]]) if nb else state
+                )
+                nb = 0
+                ol = RATE
+            outs.append(state[ol - 1])
+            ol -= 1
+        return state, jnp.stack(outs)
+
+    return f
+
+
+def _sample_vec_final_out_left(nbuf: int, out_left: int, count: int) -> int:
+    ol, nb = out_left, nbuf
+    for _ in range(count):
+        if nb or ol == 0:
+            nb, ol = 0, RATE
+        ol -= 1
+    return ol
+
+
+@lru_cache(maxsize=None)
 def _grind_fn(nbuf: int, bits: int, log_batch: int = 16):
     """Device grind: first witness w (scanning 0,1,2,...) such that
     observing w and sampling `bits` low bits gives zero.
@@ -238,14 +276,27 @@ class TraceChallenger:
         self._out_left -= 1
         return v
 
+    def _sample_vec(self, count: int):
+        """(count,) felts in one fused dispatch."""
+        state, vals = _sample_vec_fn(self._nbuf, self._out_left, count)(
+            self.state, self._buf_array()
+        )
+        self._out_left = _sample_vec_final_out_left(
+            self._nbuf, self._out_left, count
+        )
+        self.state = state
+        self._segs = []
+        self._nbuf = 0
+        return vals
+
     def sample_ext(self):
         """(4,) canonical ext4 challenge."""
-        return jnp.stack([self.sample() for _ in range(4)])
+        return self._sample_vec(4)
 
     def sample_ext_vec(self, n: int):
         if n == 0:
             return jnp.zeros((0, 4), jnp.uint32)
-        return jnp.stack([self.sample_ext() for _ in range(n)])
+        return self._sample_vec(4 * n).reshape(n, 4)
 
     def sample_bits(self, bits: int):
         return self.sample() & jnp.uint32((1 << bits) - 1)

@@ -129,11 +129,16 @@ class DeferredSumcheck:
             if len(message_evals) > 1
             else message_evals[0]
         )
-        batched_claim = (
-            sc.rlc_polys([np.asarray(c, np.uint32) for c in self.claims], self.lam)
-            if len(self.claims) > 1
-            else np.asarray(self.claims[0], np.uint32)
-        )
+        if any(not isinstance(c, np.ndarray) for c in self.claims):
+            # device-resident claims (GKR DFS loop): the caller patches
+            # claimed_sum from its own batched fetch.
+            batched_claim = np.zeros(4, np.uint32)
+        else:
+            batched_claim = (
+                sc.rlc_polys([np.asarray(c, np.uint32) for c in self.claims], self.lam)
+                if len(self.claims) > 1
+                else np.asarray(self.claims[0], np.uint32)
+            )
         proof = sc.PartialSumcheckProof(
             univariate_polys=np.stack(msgs),
             claimed_sum=batched_claim,
@@ -169,6 +174,69 @@ def _interp_rlc_body(sums, lam_m, vinv, n_polys: int, npts: int):
 
 
 _FUSED_STEPS = {}
+_FUSED_TAILS = {}
+
+# Remaining rounds whose live pairs fit under this bound are unrolled into
+# ONE dispatch (only for polys flagging `tail_fusable` — cheap sums bodies
+# like the GKR layer / Hadamard tables, where a 10-round unroll compiles
+# in seconds; zerocheck's constraint tapes stay one-dispatch-per-round).
+import os
+
+TAIL_FUSE = int(os.environ.get("SP1_TPU_TAIL_FUSE", "4096"))
+
+
+def _fused_tail(key, sums_fns, fold_fn, npts: int, nbuf0: int, rounds: int,
+                n_live0: int):
+    """All remaining sumcheck rounds in ONE jit: sums + message interp +
+    sponge absorb/sample + fold, unrolled over `rounds` shrinking rounds.
+    Tables are sliced to the exact live prefix each round (free inside a
+    single trace), so the tail does optimal work."""
+    cached = _FUSED_TAILS.get(key)
+    if cached is not None:
+        return cached
+    from .dchallenger import RATE, _permute_canonical
+
+    n_polys = len(sums_fns)
+    msg_len = npts * 4
+    vinv = jnp.asarray(_vinv_monty(npts))
+
+    @jax.jit
+    def tail(state, buf, lam_m, tables, auxes):
+        msgs, alphas = [], []
+        coeffs_m = None
+        nbuf = nbuf0
+        n_live = n_live0
+        tables = [t[:n_live] for t in tables]
+        for _ in range(rounds):
+            sums = jnp.stack(
+                [sums_fns[i](tables[i], jnp.uint32(n_live // 2), *auxes[i])
+                 for i in range(n_polys)]
+            )
+            coeffs_m, msg_c = _interp_rlc_body(sums, lam_m, vinv, n_polys, npts)
+            vec = msg_c.reshape(-1)
+            vals = jnp.concatenate([buf, vec]) if nbuf else vec
+            total = nbuf + msg_len
+            for c in range(total // RATE):
+                state = _permute_canonical(
+                    jnp.concatenate([vals[c * RATE : (c + 1) * RATE], state[RATE:]])
+                )
+            left = total % RATE
+            if left:
+                state = _permute_canonical(
+                    jnp.concatenate([vals[total - left :], state[left:]])
+                )
+            alpha4 = jnp.stack([state[RATE - 1 - k] for k in range(4)])
+            am = kb.to_monty(alpha4)
+            tables = [fold_fn(t, am)[: t.shape[0] // 2] for t in tables]
+            n_live //= 2
+            nbuf = 0
+            buf = jnp.zeros(0, jnp.uint32)
+            msgs.append(msg_c)
+            alphas.append(alpha4)
+        return state, tuple(msgs), tuple(alphas), coeffs_m, tuple(tables)
+
+    _FUSED_TAILS[key] = tail
+    return tail
 
 
 def _fused_step(key, sums_fns, fold_fn, npts: int, nbuf: int):
@@ -233,17 +301,56 @@ def _device_sumcheck_fused(polys, parts, tch, claims, lam) -> DeferredSumcheck:
 
     num_vars = polys[0].num_variables
     npts = polys[0].degree + 1
-    lam_m = jnp.asarray(_to_monty_np(np.asarray(lam, np.uint32)))
+    if isinstance(lam, np.ndarray):
+        lam_m = jnp.asarray(_to_monty_np(lam))
+        lam_host = lam
+    else:
+        lam_m = _to_monty_jit(jnp.asarray(lam))  # device lam: no host sync
+        lam_host = None
     sums_fns = tuple(pt[0] for pt in parts)
     fold_fn = parts[0][1]
     tables = [pt[2] for pt in parts]
     auxes = tuple(pt[3] for pt in parts)
     clones = [pt[4] for pt in parts]
 
+    tail_ok = all(getattr(p, "tail_fusable", False) for p in polys)
     messages, alphas = [], []
     last_coeffs = None
     n_live = 1 << num_vars
-    for _ in range(num_vars):
+    rounds_done = 0
+    while rounds_done < num_vars:
+        if tail_ok and n_live <= TAIL_FUSE:
+            # Unroll every remaining round into one dispatch.
+            rounds_left = num_vars - rounds_done
+            nbuf = tch._nbuf
+            key = (
+                "tail",
+                tuple(id(f) for f in sums_fns),
+                tuple(tuple(t.shape) for t in tables),
+                npts,
+                nbuf,
+                rounds_left,
+                n_live,
+            )
+            tail = _fused_tail(key, sums_fns, fold_fn, npts, nbuf,
+                               rounds_left, n_live)
+            state3, msgs, alphas4, coeffs_m, tables = tail(
+                tch.state, tch._buf_array(), lam_m, tables, auxes
+            )
+            tables = list(tables)
+            from .dchallenger import RATE as _RATE
+
+            tch.state = state3
+            tch._segs = []
+            tch._nbuf = 0
+            tch._out_left = _RATE - 4
+            messages.extend(msgs)
+            for a in alphas4:
+                alphas.insert(0, a)
+            last_coeffs = coeffs_m
+            n_live >>= rounds_left
+            rounds_done = num_vars
+            break
         # Compact the packed buffers when the live prefix drops to a
         # quarter of the allocation: the masked full-buffer scheme would
         # otherwise pay leaf-size work EVERY round (8x the optimal
@@ -273,6 +380,7 @@ def _device_sumcheck_fused(polys, parts, tch, claims, lam) -> DeferredSumcheck:
         alphas.insert(0, alpha4)
         last_coeffs = coeffs_m
         n_live //= 2
+        rounds_done += 1
 
     comp = [
         clone(t).component_evals_device() for clone, t in zip(clones, tables)
@@ -282,8 +390,9 @@ def _device_sumcheck_fused(polys, parts, tch, claims, lam) -> DeferredSumcheck:
         alphas=alphas,
         last_coeffs=last_coeffs,
         component_evals=comp,
-        claims=[np.asarray(c, np.uint32) for c in claims],
-        lam=np.asarray(lam, np.uint32),
+        claims=[np.asarray(c, np.uint32) if isinstance(c, np.ndarray) else c
+                for c in claims],
+        lam=np.asarray(lam_host, np.uint32) if lam_host is not None else None,
     )
 
 
@@ -304,14 +413,23 @@ def device_sumcheck(
     if parts and all(pt is not None for pt in parts):
         return _device_sumcheck_fused(polys, parts, tch, claims, lam)
     npts = polys[0].degree + 1  # sample points X = 0..degree
-    lam_m = jnp.asarray(_to_monty_np(np.asarray(lam, np.uint32)))
+    if isinstance(lam, np.ndarray):
+        lam_m = jnp.asarray(_to_monty_np(lam))
+        lam_host = lam
+    else:
+        lam_m = _to_monty_jit(jnp.asarray(lam))  # device lam: no host sync
+        lam_host = None
     interp = _interp_rlc_fn(len(polys), npts)
+
+    from .dchallenger import _unshard
 
     cursor = list(polys)
     messages, alphas = [], []
     last_coeffs = None
     for _ in range(num_vars):
-        sums = jnp.stack([p.sum_values_device() for p in cursor])
+        # mesh-committed partials (sharded polys) must be pinned before
+        # mixing with the single-device challenger values
+        sums = jnp.stack([_unshard(p.sum_values_device()) for p in cursor])
         coeffs_m, msg_c = interp(sums, lam_m)
         last_coeffs = coeffs_m
         messages.append(msg_c)
@@ -327,8 +445,9 @@ def device_sumcheck(
         alphas=alphas,
         last_coeffs=last_coeffs,
         component_evals=comp,
-        claims=[np.asarray(c, np.uint32) for c in claims],
-        lam=np.asarray(lam, np.uint32),
+        claims=[np.asarray(c, np.uint32) if isinstance(c, np.ndarray) else c
+                for c in claims],
+        lam=np.asarray(lam_host, np.uint32) if lam_host is not None else None,
     )
 
 

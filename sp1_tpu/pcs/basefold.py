@@ -157,13 +157,13 @@ def _fold_tables(log_n: int) -> tuple[np.ndarray, np.ndarray]:
     return to_m(x), to_m(inv)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _fold_codeword(code, beta, log_n: int):
+def _fold_codeword_body(code, beta, log_n: int):
     """FRI arity-2 fold of a bit-reversed ext4 codeword (2^log_n, 4).
 
     folded[i] = e0 + (beta - x_i) * (e1 - e0) * inv(x1 - x0)
     (reference: slop/crates/basefold/src/verifier.rs:380 fold identity;
-    prover slop_fri::fold_even_odd).
+    prover slop_fri::fold_even_odd). Traceable body shared by the
+    standalone jit below and the fused round kernel.
     """
     x_t, inv_t = _fold_tables(log_n)
     v = code.reshape(-1, 2, 4)
@@ -175,6 +175,9 @@ def _fold_codeword(code, beta, log_n: int):
     diff = kb.sub(e1, e0)
     slope = kb.mul(diff, inv)
     return kb.add(e0, ext.ext4_mul(bmx, slope))
+
+
+_fold_codeword = jax.jit(_fold_codeword_body, static_argnums=(2,))
 
 
 def _fold_codeword_host(code: np.ndarray, beta: np.ndarray, log_n: int) -> np.ndarray:
@@ -281,6 +284,60 @@ def _rlc_claims_kernel(flat_claims_m, total_len: int, coeffs_m):
     return acc
 
 
+@jax.jit
+def _bf_round_fused(state, buf, current_mle, current_code, claim_m, inv_m, point_m):
+    """One-dispatch BaseFold round: message + Merkle commit + transcript
+    absorb + beta sample + codeword/MLE fold, all fused.
+
+    The sponge phase arithmetic is static (buffer length = buf.shape[0],
+    message+root = 16 felts per round), mirroring TraceChallenger
+    observe_slice x2 + sample_ext bit for bit — on the remote-tunnel TPU
+    path each of the ~10 separate kernels this replaces was a blocking
+    ~25-50ms dispatch. jax.jit re-traces per (mle, code, buf) shape, so
+    each round of the shrinking fold gets its own cached executable.
+    """
+    from ..iop.dchallenger import _permute_canonical
+    from ..ops.poseidon2 import RATE
+
+    nbuf = int(buf.shape[0])
+    num_point = int(point_m.shape[0])
+    log_code = int(current_code.shape[0]).bit_length() - 1
+
+    if num_point:
+        zero_m = mle_ops.fixed_at_zero_ext_mle(current_mle, point_m)
+    else:
+        zero_m = current_mle[0]
+    one_m = ext.ext4_add(ext.ext4_mul(ext.ext4_sub(claim_m, zero_m), inv_m), zero_m)
+    msg_c = kb.from_monty(jnp.stack([zero_m, one_m]))
+
+    leaves = current_code.reshape(-1, 8)
+    layers = merkle._tree_layers(merkle._hash_rows(leaves))
+    root_c = kb.from_monty(layers[-1][0])
+
+    # absorb msg (8 felts) + root (8 felts); then sample_ext.
+    vec = jnp.concatenate([msg_c.reshape(-1), root_c])
+    vals = jnp.concatenate([buf, vec]) if nbuf else vec
+    total = nbuf + 16
+    nchunks = total // RATE
+    leftover_len = total % RATE
+    for c in range(nchunks):
+        chunk = vals[c * RATE : (c + 1) * RATE]
+        state = _permute_canonical(jnp.concatenate([chunk, state[RATE:]]))
+    landed = leftover_len == 0
+    if not landed:
+        leftover = vals[nchunks * RATE :]
+        state = _permute_canonical(
+            jnp.concatenate([leftover, state[leftover_len:]])
+        )
+    beta_c = jnp.stack([state[RATE - 1 - k] for k in range(4)])
+    beta_m = kb.to_monty(beta_c)
+
+    claim2_m = ext.ext4_add(zero_m, ext.ext4_mul(beta_m, one_m))
+    code2 = _fold_codeword_body(current_code, beta_m, log_code)
+    mle2 = mle_ops.fold_ext(current_mle, beta_m)
+    return state, msg_c, root_c, tuple(layers), claim2_m, code2, mle2
+
+
 def _prove_trusted_evaluations_dfs(
     eval_point: np.ndarray,
     evaluation_claims: list,
@@ -328,6 +385,11 @@ def _prove_trusted_evaluations_dfs(
         for r in range(num_vars)
     ]
 
+    from ..iop.dchallenger import _unshard
+    from ..ops.poseidon2 import RATE
+
+    current_mle = _unshard(current_mle)
+    current_code = _unshard(current_code)
     point_m = jnp.asarray(_to_monty_np(eval_point))
     messages_h, root_handles, fri_trees = [], [], []
     tch.observe(num_vars)
@@ -335,26 +397,31 @@ def _prove_trusted_evaluations_dfs(
     _bf_rounds_span.__enter__()
     for r in range(num_vars):
         point_m = point_m[: num_vars - 1 - r]
-        if point_m.shape[0]:
-            zero_m = _fixed_at_zero_dev(current_mle, point_m)
-        else:
-            zero_m = current_mle[0]
-        msg_c, one_m = _bf_msg_kernel(claim_m, zero_m, inv_last_m[r])
+        leaves = current_code.reshape(-1, 8)
+        state, msg_c, root_c, layers, claim_m, current_code, current_mle = (
+            _bf_round_fused(
+                tch.state,
+                tch._buf_array(),
+                current_mle,
+                current_code,
+                claim_m,
+                inv_last_m[r],
+                point_m,
+            )
+        )
+        # mirror observe_slice x2 + sample_ext bookkeeping on the challenger
+        tch.state = state
+        tch._segs = []
+        tch._nbuf = 0
+        tch._out_left = RATE - 4
         messages_h.append(msg_c)
-        tch.observe_slice(msg_c.reshape(-1))
-
-        leaves = _pair_leaves(current_code)
-        tree = merkle.commit_tensors([leaves])
-        root_c = merkle.root_dev(tree)
         root_handles.append(root_c)
-        fri_trees.append((tree, leaves))
-        tch.observe_digest(root_c)
-        beta = tch.sample_ext()
-        claim_m, beta_m = _bf_claim_kernel(zero_m, one_m, beta)
-
-        cur_log = int(current_code.shape[0]).bit_length() - 1
-        current_code = _fold_codeword(current_code, beta_m, cur_log)
-        current_mle = mle_ops.fold_ext(current_mle, beta_m)
+        fri_trees.append(
+            (
+                merkle.MerkleTree(layers=list(layers), height=int(leaves.shape[0])),
+                leaves,
+            )
+        )
     _bf_rounds_span.__exit__(None, None, None)
 
     final_poly_h = _from_monty_jit(current_code[0])
@@ -372,25 +439,17 @@ def _prove_trusted_evaluations_dfs(
     ]
 
     with timing.span("bf_queries"):
-        # enqueue every gather; fetch the whole proof in one transfer
-        comp_handles = []
-        for pd in prover_data:
-            comp_handles.append(
-                (
-                    merkle.gather_openings_dev(pd.codewords, query_indices),
-                    merkle.open_paths_dev(pd.tree, query_indices),
-                )
-            )
+        # enqueue one fused (values, paths) dispatch per tree; fetch the
+        # whole proof in one transfer
+        comp_handles = [
+            merkle.open_tree_dev(pd.tree, pd.codewords, query_indices)
+            for pd in prover_data
+        ]
         fri_handles = []
         indices = list(query_indices)
         for tree, leaves in fri_trees:
             indices = [i >> 1 for i in indices]
-            fri_handles.append(
-                (
-                    merkle.gather_openings_dev([leaves], indices),
-                    merkle.open_paths_dev(tree, indices),
-                )
-            )
+            fri_handles.append(merkle.open_tree_dev(tree, [leaves], indices))
 
         flat_handles = (
             messages_h

@@ -323,10 +323,28 @@ def _fix_last(guts, alpha):
     return mle_ops.fix_last_variable_ext(guts, alpha)
 
 
+def _hadamard_local_sums(table, n_pairs_live, *_):
+    """Restricted sums over the packed (n, 2, 4) [dense, J] table (the
+    fused-driver body of _hadamard_round_sums; dead tail rows are zeroed
+    by the fold so no explicit masking is needed)."""
+    from ..prover.zerocheck import _tree_sum_mod
+
+    pairs = table.reshape(-1, 2, 2, 4)
+    a0, b0 = pairs[:, 0, 0], pairs[:, 0, 1]
+    a1, b1 = pairs[:, 1, 0], pairs[:, 1, 1]
+    a2 = kb.sub(kb.add(a1, a1), a0)
+    b2 = kb.sub(kb.add(b1, b1), b0)
+    s0 = _tree_sum_mod(ext.ext4_mul(a0, b0))
+    s1 = _tree_sum_mod(ext.ext4_mul(a1, b1))
+    s2 = _tree_sum_mod(ext.ext4_mul(a2, b2))
+    return jnp.stack([s0, s1, s2])
+
+
 class HadamardPoly:
     """Product of a (base-embedded) dense MLE and the ext4 J MLE."""
 
     degree = 2
+    tail_fusable = True
 
     def __init__(self, a, b, host=False, force_device=False):
         self.a = a  # (2^n, 4) ext: monty jnp (device) or canonical np (host)
@@ -388,6 +406,22 @@ class HadamardPoly:
     def component_evals_device(self):
         """(2, 4) monty [a, b] evals at the final point."""
         return jnp.stack([self.a[0], self.b[0]])
+
+    def fused_parts(self):
+        """Fused-driver protocol (iop/dsumcheck.py); None on host."""
+        if self.host:
+            return None
+        from ..prover.zerocheck import _fold_packed_body
+
+        def clone(table):
+            poly = object.__new__(HadamardPoly)
+            poly.a = table[:, 0]
+            poly.b = table[:, 1]
+            poly.host = False
+            return poly
+
+        table = jnp.stack([self.a, self.b], axis=1)  # (n, 2, 4)
+        return (_hadamard_local_sums, _fold_packed_body, table, (), clone)
 
     def get_component_poly_evals(self):
         if self.host:

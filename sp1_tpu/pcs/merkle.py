@@ -91,30 +91,23 @@ def _compress_layer(layer):
     return _compress_pairs(pairs)
 
 
+def _tree_layers(leaves):
+    """All digest layers above `leaves`, unrolled per level (traceable).
+
+    Peak memory is the geometric layer series (~2x the leaf digests);
+    the previous fixed-shape lax.scan materialized (levels, N, 8) — a
+    log(N) factor more HBM that OOMed production shard shapes (mlrc>=18
+    at stacking height 2^21 on a 16 GB chip)."""
+    layers = [leaves]
+    while layers[-1].shape[0] > 1:
+        layers.append(_compress_pairs(layers[-1].reshape(-1, 16)))
+    return layers
+
+
 @jax.jit
 def _commit_kernel(rows):
-    """Leaf hash + full tree with a SINGLE fixed-shape level scan.
-
-    Each scan step compresses the full N/2 pair slots (entries beyond the
-    live level are garbage and sliced away on the host) — a log-factor of
-    extra permutes in exchange for one small compile per (H, W) shape,
-    which dominates on the remote-compiled TPU path.
-    """
-    import jax
-
-    leaves = _hash_rows(rows)  # (N, 8)
-    n = leaves.shape[0]
-    if n == 1:
-        return leaves, jnp.zeros((0, n, p2.DIGEST), jnp.uint32)
-    levels = n.bit_length() - 1
-
-    def step(cur, _):
-        parents = _compress_pairs(cur.reshape(-1, 16))
-        new = jnp.concatenate([parents, jnp.zeros_like(parents)], axis=0)
-        return new, new
-
-    _, stacked = jax.lax.scan(step, leaves, None, length=levels)
-    return leaves, stacked  # stacked[k]: first n >> (k+1) rows valid
+    """Leaf hash + full tree in one dispatch (one jit per (H, W) shape)."""
+    return tuple(_tree_layers(_hash_rows(rows)))
 
 
 def commit_tensors(tensors: list) -> MerkleTree:
@@ -129,11 +122,7 @@ def commit_tensors(tensors: list) -> MerkleTree:
     assert h & (h - 1) == 0, "height must be a power of two"
     assert all(t.shape[0] == h for t in tensors)
     rows = jnp.concatenate([t.reshape(h, -1) for t in tensors], axis=1)
-    leaves, stacked = _commit_kernel(rows)
-    layers = [leaves]
-    for k in range(stacked.shape[0]):
-        layers.append(stacked[k][: h >> (k + 1)])
-    return MerkleTree(layers=layers, height=h)
+    return MerkleTree(layers=list(_commit_kernel(rows)), height=h)
 
 
 def commit_tensors_host(leaves_canon: np.ndarray) -> MerkleTree:
@@ -224,6 +213,45 @@ def open_paths_dev(tree: MerkleTree, indices: list):
             layer = jnp.asarray(layer)
         sib_rows.append(layer[sib])
     return kb.from_monty(jnp.stack(sib_rows, axis=1))
+
+
+@jax.jit
+def _open_kernel(layers, tensors, idx):
+    """Fused query opening: values + sibling paths in ONE dispatch.
+
+    layers: tuple of digest layers below the root; tensors: tuple of the
+    committed (H, W_i) row tensors; idx: (Q,) int32 leaf indices.
+    Returns ((Q, total_W) canonical values, (Q, depth, 8) canonical paths).
+    """
+    h = tensors[0].shape[0]
+    cat = (
+        jnp.concatenate([t.reshape(h, -1) for t in tensors], axis=1)
+        if len(tensors) > 1
+        else tensors[0].reshape(h, -1)
+    )
+    vals = kb.from_monty(cat[idx])
+    if layers:
+        sibs = [layers[lvl][(idx >> lvl) ^ 1] for lvl in range(len(layers))]
+        paths = kb.from_monty(jnp.stack(sibs, axis=1))
+    else:
+        paths = jnp.zeros((idx.shape[0], 0, p2.DIGEST), jnp.uint32)
+    return vals, paths
+
+
+def open_tree_dev(tree: MerkleTree, tensors: list, indices: list):
+    """Device handles (values, paths) for a query opening, one dispatch.
+
+    Replaces the per-level gathers of gather_openings_dev/open_paths_dev
+    (each a blocking dispatch on the remote-tunnel TPU path)."""
+    idx = jnp.asarray(np.asarray(indices, np.int32))
+    layers = tuple(
+        jnp.asarray(l) if isinstance(l, np.ndarray) else l
+        for l in tree.layers[:-1]
+    )
+    tensors = tuple(
+        jnp.asarray(t) if isinstance(t, np.ndarray) else t for t in tensors
+    )
+    return _open_kernel(layers, tensors, idx)
 
 
 def verify_openings(

@@ -414,6 +414,8 @@ class PackedLogupRoundPoly:
 
     degree = 3
     host = False
+    tail_fusable = True  # cheap sums body: the fused driver may unroll
+    # every remaining small round into one dispatch (iop/dsumcheck.py)
 
     def __init__(self, table, n_live, lam_m, lam_c=None):
         from ..parallel import mesh as pm
@@ -426,6 +428,9 @@ class PackedLogupRoundPoly:
         self.mesh = mesh if (mesh and n_live >= 4 * pm.mesh_size(mesh)) else None
         if self.mesh is not None:
             self.table = jax.device_put(table, pm.row_sharding(self.mesh, 3))
+            # lam may arrive committed to a single device (device-resident
+            # challenger); replicate so the shard_map'd kernel accepts it.
+            self.lam_m = pm.replicate(jnp.asarray(lam_m), self.mesh)
             self._kernel = _gkr_sharded_kernel(self.mesh)
         else:
             self._kernel = _gkr_packed_kernel()
@@ -470,11 +475,16 @@ class PackedLogupRoundPoly:
         return _fold_packed(self.table, am), self.n_live // 2, None
 
     def _clone(self, table, n_live, mesh):
+        from ..iop.dchallenger import _unshard
+
         poly = object.__new__(PackedLogupRoundPoly)
         poly.__dict__.update(self.__dict__)
         poly.table = table
         poly.n_live = n_live
         poly.mesh = mesh
+        if mesh is None:
+            # leaving the sharded regime: lam must not stay mesh-replicated
+            poly.lam_m = _unshard(jnp.asarray(poly.lam_m))
         poly._kernel = (
             _gkr_sharded_kernel(mesh) if mesh is not None else _gkr_packed_kernel()
         )
@@ -657,6 +667,90 @@ def gkr_beta_seed_dim(machine, chips, scope="local"):
     return log2_ceil(max(max_arity, pv_arity))
 
 
+_to_monty_dev = jax.jit(kb.to_monty)
+_from_monty_dev = jax.jit(kb.from_monty)
+
+
+def _gkr_rounds_dfs(
+    layers, first_eval_point, numerator_eval, denominator_eval, challenger
+):
+    """Device-resident GKR round loop: ONE host sync for ALL layers.
+
+    The host loop below pays two syncs per layer (sumcheck finalize +
+    challenger writeback) plus host-side claim/eval updates; here the
+    per-layer sumchecks, the inter-layer transcript traffic (observing
+    [n0, n1, d0, d1], sampling lam / last_coord) and the claim recurrence
+    all stay on device via the TraceChallenger, and everything crosses to
+    the host in one batched transfer at the end. Transcript-identical to
+    the host loop (reference: crates/hypercube/src/logup_gkr/prover.rs
+    round loop semantics)."""
+    from ..iop import dsumcheck as dsc
+    from ..iop.dchallenger import TraceChallenger
+    from ..utils.fetch import batch_fetch
+
+    tch = TraceChallenger.from_host(challenger)
+    num_m = jnp.asarray(_to_monty_np(numerator_eval))
+    den_m = jnp.asarray(_to_monty_np(denominator_eval))
+    eval_point_c = jnp.asarray(np.asarray(first_eval_point, np.uint32))
+    per_layer = []
+    for layer_idx in _spanned_range(len(layers)):
+        lnum, lden, _ = layers[layer_idx]
+        lam_c = tch.sample_ext()
+        lam_m = _to_monty_dev(lam_c)
+        eq = _pl_jit(_to_monty_dev(eval_point_c))
+        table = _build_gkr_table(eq, lnum, lden)
+        poly = PackedLogupRoundPoly(table, int(table.shape[0]), lam_m, None)
+        claim_m = ext.ext4_add(ext.ext4_mul(num_m, lam_m), den_m)
+        deferred = dsc.device_sumcheck([poly], tch, [claim_m], lam_c)
+        comp_m = deferred.component_evals[0]  # (4, 4) monty [n0, d0, n1, d1]
+        comp_c = _from_monty_dev(comp_m)
+        tch.observe_slice(comp_c[0])
+        tch.observe_slice(comp_c[2])
+        tch.observe_slice(comp_c[1])
+        tch.observe_slice(comp_c[3])
+        last_coord = tch.sample_ext()
+        lc_m = _to_monty_dev(last_coord)
+        n0m, d0m, n1m, d1m = comp_m[0], comp_m[1], comp_m[2], comp_m[3]
+        num_m = ext.ext4_add(n0m, ext.ext4_mul(ext.ext4_sub(n1m, n0m), lc_m))
+        den_m = ext.ext4_add(d0m, ext.ext4_mul(ext.ext4_sub(d1m, d0m), lc_m))
+        point_c = jnp.stack(list(deferred.alphas))
+        eval_point_c = jnp.concatenate([point_c, last_coord[None]], axis=0)
+        per_layer.append((deferred, claim_m, comp_c, last_coord))
+
+    handles, spans = [], []
+    for deferred, claim_m, comp_c, last_coord in per_layer:
+        h = deferred.handles()
+        handles.extend(h + [claim_m, comp_c, last_coord])
+        spans.append(len(h) + 3)
+    fetched = batch_fetch(handles)
+    tch.to_host(challenger)
+
+    round_proofs = []
+    off = 0
+    eval_point = None
+    for (deferred, _, _, _), span_len in zip(per_layer, spans):
+        h = fetched[off : off + span_len]
+        off += span_len
+        proof, _ = deferred.from_fetched(h[:-3])
+        proof.claimed_sum = np.asarray(
+            dsc.kb_from_monty_host(h[-3]), np.uint32
+        )
+        comp_c = h[-2]
+        last_coord = h[-1]
+        n0, d0, n1, d1 = comp_c[0], comp_c[1], comp_c[2], comp_c[3]
+        round_proofs.append(
+            LogupGkrRoundProof(
+                numerator_0=n0,
+                numerator_1=n1,
+                denominator_0=d0,
+                denominator_1=d1,
+                sumcheck_proof=proof,
+            )
+        )
+        eval_point = np.concatenate([proof.point, last_coord[None]], axis=0)
+    return round_proofs, eval_point
+
+
 def prove_logup_gkr(
     machine,
     chips,
@@ -731,9 +825,19 @@ def prove_logup_gkr(
     denominator_eval = mle_ops.host.eval_ext_mle(out_den_c, first_eval_point)
     eval_point = first_eval_point
 
-    round_proofs = []
+    dfs_rounds_done = False
+    if use_dfs and not any(lh for _, _, lh in layers):
+        round_proofs, eval_point = _gkr_rounds_dfs(
+            layers, first_eval_point, numerator_eval, denominator_eval,
+            challenger,
+        )
+        dfs_rounds_done = True
+    else:
+        round_proofs = []
     # Rounds process layers from second-smallest upward.
-    for layer_idx in _spanned_range(len(layers)):
+    for layer_idx in (
+        _spanned_range(len(layers)) if not dfs_rounds_done else ()
+    ):
         lnum, lden, lhost = layers[layer_idx]
         lam = challenger.sample_ext()
         lam_m = jnp.asarray(_to_monty_np(lam))
