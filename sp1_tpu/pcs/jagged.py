@@ -303,6 +303,14 @@ def _jtable_kernel(z_col_m, z_row_m, col_of, row_of, valid):
 
 
 @jax.jit
+def _dense_eval_kernel(dense, point_c):
+    """Dense MLE eval at a canonical device point -> (4,) canonical."""
+    return kb.from_monty(
+        mle_ops.eval_mle_at_point_ext(dense[:, None], kb.to_monty(point_c))[0]
+    )
+
+
+@jax.jit
 def _hadamard_round_sums(a, b):
     """Degree-2 message sums for ext4 a,b: evals of sum at X=0,1,2."""
     av = a.reshape(-1, 2, 4)
@@ -471,84 +479,273 @@ def _interp_0_half_1(y0, yh, y1):
 _BP_KERNELS = {}
 
 
-def _bp_round_kernel(nv1: int, B: int, C: int):
-    """Device kernel: one jagged-eval round's two restricted sums.
+def _bp_tree_sum(x):
+    """Field-sum axis 0 of a monty array (traceable)."""
+    while x.shape[0] > 1:
+        m = x.shape[0]
+        if m % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+            m += 1
+        x = kb.add(x[: m // 2], x[m // 2:])
+    return x[0]
 
-    Runs the 4-state branching-program DP over all `B = 2C` batched
-    points (lambda = 0 and 1/2 stacked) in ONE dispatch with a fori_loop
-    over the nv1 layers, then weight-combines and segment-sums, so each
-    sumcheck round costs one dispatch + one small fetch instead of ~90
-    python-level vector ops on the host.
-    """
+
+def _bp_dp_body(zr_stack, zi_stack, l_stack, r_stack, weights, nv1: int,
+                B: int, C: int):
+    """Traceable body of the jagged-eval branching-program round.
+
+    Runs the 4-state DP over all `B = 2C` batched points (lambda = 0 and
+    1/2 stacked) with a fori_loop over the nv1 layers, then
+    weight-combines and segment-sums; shared by the per-round jit kernel
+    and the whole-sumcheck fused kernel."""
+    group = _transition_group_matrix()  # (16, 16) 0/1, static
+    members = [[i for i in range(16) if group[i, g]] for g in range(16)]
+
+    one = jnp.zeros((B, 4), jnp.uint32).at[:, 0].set(kb.to_monty_i(1))
+    results = jnp.zeros((4, B, 4), jnp.uint32)
+    results = results.at[_SUCCESS_STATE].set(one)
+
+    def body(kk, results):
+        layer = nv1 - 1 - kk
+        pts = [
+            jnp.broadcast_to(
+                jax.lax.dynamic_slice(s, (layer, 0), (1, 4)), (B, 4)
+            )
+            for s in (zr_stack, zi_stack)
+        ] + [
+            jax.lax.dynamic_slice(s, (layer, 0, 0), (1, B, 4))[0]
+            for s in (l_stack, r_stack)
+        ]
+        eq = None
+        for x in pts:
+            pair = jnp.stack([ext.ext4_sub(one, x), x], axis=1)  # (B,2,4)
+            if eq is None:
+                eq = pair
+            else:
+                kdim = eq.shape[1]
+                eq = ext.ext4_mul(
+                    jnp.repeat(eq, 2, axis=1),
+                    jnp.tile(pair, (1, kdim, 1)),
+                )
+        # eq: (B, 16, 4), entry i = row*8 + idx*4 + cur*2 + nxt
+        new_results = []
+        for mem in range(4):
+            acc = jnp.zeros((B, 4), jnp.uint32)
+            for out in range(4):
+                mem_list = members[mem * 4 + out]
+                if not mem_list:
+                    continue
+                g = eq[:, mem_list[0]]
+                for i in mem_list[1:]:
+                    g = kb.add(g, eq[:, i])
+                acc = kb.add(acc, ext.ext4_mul(g, results[out]))
+            new_results.append(acc)
+        return jnp.stack(new_results)
+
+    results = jax.lax.fori_loop(0, nv1, body, results)
+    y = ext.ext4_mul(results[_INITIAL_STATE], weights)  # (B, 4)
+    return jnp.stack([_bp_tree_sum(y[:C]), _bp_tree_sum(y[C:])])
+
+
+def _bp_round_kernel(nv1: int, B: int, C: int):
+    """Jitted one-round wrapper of _bp_dp_body (host-challenger path)."""
     key = (nv1, B, C)
     k = _BP_KERNELS.get(key)
     if k is not None:
         return k
-    group = _transition_group_matrix()  # (16, 16) 0/1, static
-    members = [
-        [i for i in range(16) if group[i, g]] for g in range(16)
-    ]
-
-    def tree_sum(x):  # field-sum axis 0 of monty array
-        while x.shape[0] > 1:
-            m = x.shape[0]
-            if m % 2:
-                x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
-                m += 1
-            x = kb.add(x[: m // 2], x[m // 2:])
-        return x[0]
 
     @jax.jit
     def kernel(zr_stack, zi_stack, l_stack, r_stack, weights):
-        # *_stack: (nv1, B, 4) monty per-layer coordinates (layer index k
-        # runs the DP from layer nv1-1 down to 0); weights: (B, 4) monty.
-        one = jnp.zeros((B, 4), jnp.uint32).at[:, 0].set(kb.to_monty_i(1))
-        results = jnp.zeros((4, B, 4), jnp.uint32)
-        results = results.at[_SUCCESS_STATE].set(one)
-
-        def body(kk, results):
-            layer = nv1 - 1 - kk
-            pts = [
-                jnp.broadcast_to(
-                    jax.lax.dynamic_slice(s, (layer, 0), (1, 4)), (B, 4)
-                )
-                for s in (zr_stack, zi_stack)
-            ] + [
-                jax.lax.dynamic_slice(s, (layer, 0, 0), (1, B, 4))[0]
-                for s in (l_stack, r_stack)
-            ]
-            eq = None
-            for x in pts:
-                pair = jnp.stack([ext.ext4_sub(one, x), x], axis=1)  # (B,2,4)
-                if eq is None:
-                    eq = pair
-                else:
-                    kdim = eq.shape[1]
-                    eq = ext.ext4_mul(
-                        jnp.repeat(eq, 2, axis=1),
-                        jnp.tile(pair, (1, kdim, 1)),
-                    )
-            # eq: (B, 16, 4), entry i = row*8 + idx*4 + cur*2 + nxt
-            new_results = []
-            for mem in range(4):
-                acc = jnp.zeros((B, 4), jnp.uint32)
-                for out in range(4):
-                    mem_list = members[mem * 4 + out]
-                    if not mem_list:
-                        continue
-                    g = eq[:, mem_list[0]]
-                    for i in mem_list[1:]:
-                        g = kb.add(g, eq[:, i])
-                    acc = kb.add(acc, ext.ext4_mul(g, results[out]))
-                new_results.append(acc)
-            return jnp.stack(new_results)
-
-        results = jax.lax.fori_loop(0, nv1, body, results)
-        y = ext.ext4_mul(results[_INITIAL_STATE], weights)  # (B, 4)
-        return jnp.stack([tree_sum(y[:C]), tree_sum(y[C:])])
+        return _bp_dp_body(zr_stack, zi_stack, l_stack, r_stack, weights,
+                           nv1, B, C)
 
     _BP_KERNELS[key] = kernel
     return kernel
+
+
+_JE_FUSED = {}
+
+
+def _je_fused_kernel(num_vars: int, nvb: int, C: int, nbuf0: int):
+    """ALL jagged-eval sumcheck rounds in ONE jit: per round the 4-state
+    branching-program DP (both lambda branches), message interpolation,
+    the sponge absorb (12 felts) + 4-felt sample, and the claim /
+    intermediate-eq recurrences. The host loop below pays a blocking
+    dispatch + sync per round (~2*(log_m+1) of them); this costs one.
+    Transcript-identical to the host loop."""
+    key = (num_vars, nvb, C, nbuf0)
+    cached = _JE_FUSED.get(key)
+    if cached is not None:
+        return cached
+    from ..iop.dchallenger import _permute_canonical
+    from ..ops.poseidon2 import RATE
+
+    half_m = np.uint32(kb.to_monty_i(pow(2, kb.P - 2, kb.P)))
+    one_m = np.uint32(kb.to_monty_i(1))
+    nv2 = num_vars // 2
+
+    @jax.jit
+    def kernel(state, buf, zr_stack, zi_stack, merged_m, eq_vals_m, claim0_m):
+        # merged_m: (C, num_vars, 4) monty 0/1-embedded prefix bits;
+        # eq_vals_m: (C, 4) monty; claim0_m: (4,) monty.
+        zero_col = jnp.zeros((C, 4), jnp.uint32)
+        one_col = zero_col.at[:, 0].set(one_m)
+        half_col = zero_col.at[:, 0].set(half_m)
+        inter_eq = one_col
+        claim = claim0_m
+        rhos_m: list = []
+        rhos_c: list = []
+        msgs: list = []
+        nbuf = nbuf0
+        for rnd in range(num_vars):
+            split = num_vars - rnd - 1
+            x_col = merged_m[:, split]
+
+            def col(j, lam_val):
+                if j < split:
+                    return merged_m[:, j]
+                if j == split:
+                    return lam_val
+                return jnp.broadcast_to(rhos_m[j - split - 1], (C, 4))
+
+            def stacks(lam_val):
+                lf, rt = [], []
+                for layer in range(nvb):
+                    lf.append(
+                        col(nv2 - 1 - layer, lam_val)
+                        if layer < nv2
+                        else zero_col
+                    )
+                    rt.append(
+                        col(num_vars - 1 - layer, lam_val)
+                        if layer < nv2
+                        else zero_col
+                    )
+                return jnp.stack(lf), jnp.stack(rt)
+
+            lf0, rt0 = stacks(zero_col)
+            lfh, rth = stacks(half_col)
+            w0 = ext.ext4_mul(
+                eq_vals_m,
+                ext.ext4_mul(inter_eq, ext.ext4_sub(one_col, x_col)),
+            )
+            wh = ext.ext4_mul(eq_vals_m, ext.ext4_mul(inter_eq, half_col))
+            sums = _bp_dp_body(
+                zr_stack,
+                zi_stack,
+                jnp.concatenate([lf0, lfh], axis=1),
+                jnp.concatenate([rt0, rth], axis=1),
+                jnp.concatenate([w0, wh], axis=0),
+                nvb,
+                2 * C,
+                C,
+            )
+            y0, yh = sums[0], sums[1]
+            y1 = ext.ext4_sub(claim, y0)
+            # quadratic through (0,y0), (1/2,yh), (1,y1): see _interp_0_half_1
+            c2 = kb.sub(
+                kb.add(kb.add(y0, y0), kb.add(y1, y1)),
+                kb.add(kb.add(yh, yh), kb.add(yh, yh)),
+            )
+            c1 = kb.sub(kb.sub(y1, y0), c2)
+            poly_m = jnp.stack([y0, c1, c2])
+            msg_c = kb.from_monty(poly_m)
+            msgs.append(msg_c)
+            # absorb 12 felts + sample_ext (static sponge schedule)
+            vec = msg_c.reshape(-1)
+            vals = jnp.concatenate([buf, vec]) if nbuf else vec
+            total = nbuf + 12
+            for c in range(total // RATE):
+                state = _permute_canonical(
+                    jnp.concatenate([vals[c * RATE : (c + 1) * RATE], state[RATE:]])
+                )
+            left = total % RATE
+            if left:
+                state = _permute_canonical(
+                    jnp.concatenate([vals[total - left :], state[left:]])
+                )
+            alpha_c = jnp.stack([state[RATE - 1 - k] for k in range(4)])
+            alpha_m = kb.to_monty(alpha_c)
+            rhos_m.insert(0, alpha_m)
+            rhos_c.insert(0, alpha_c)
+            nbuf = 0
+            buf = jnp.zeros(0, jnp.uint32)
+            # claim' = y0 + alpha*c1 + alpha^2*c2
+            claim = ext.ext4_add(
+                y0,
+                ext.ext4_mul(alpha_m, ext.ext4_add(c1, ext.ext4_mul(alpha_m, c2))),
+            )
+            am_col = jnp.broadcast_to(alpha_m, (C, 4))
+            upd = ext.ext4_add(
+                ext.ext4_mul(am_col, x_col),
+                ext.ext4_mul(
+                    ext.ext4_sub(one_col, am_col), ext.ext4_sub(one_col, x_col)
+                ),
+            )
+            inter_eq = ext.ext4_mul(inter_eq, upd)
+        return state, tuple(msgs), tuple(rhos_c), kb.from_monty(claim)
+
+    _JE_FUSED[key] = kernel
+    return kernel
+
+
+def _prove_jagged_eval_dfs(
+    params: JaggedParams,
+    z_row: np.ndarray,
+    z_col: np.ndarray,
+    z_trace: np.ndarray,
+    challenger: DuplexChallenger,
+    expected_sum: np.ndarray,
+) -> sc.PartialSumcheckProof:
+    """Device-Fiat-Shamir jagged-eval prover: one dispatch, one fetch."""
+    from ..iop.dchallenger import TraceChallenger
+    from ..ops.poseidon2 import RATE
+    from ..utils.fetch import batch_fetch
+
+    log_m = params.log_m
+    bits = log_m + 1
+    num_vars = 2 * bits
+    z_col_eq = mle_ops.host.partial_lagrange_ext(z_col)
+    merged, eq_vals = _condensed_prefix_points(params, z_col_eq)
+    C = merged.shape[0]
+    bp = BranchingProgram(z_row, z_trace)
+    nvb = bp.num_vars + 1
+    to_m = lambda x: jnp.asarray(_to_monty_np(np.asarray(x, np.uint32)))
+
+    def _z_stack(z):
+        out = np.zeros((nvb, 4), np.uint32)
+        d = z.shape[0]
+        for layer in range(min(d, nvb)):
+            out[layer] = z[d - layer - 1]
+        return to_m(out)
+
+    merged_e = np.stack([merged] + [np.zeros_like(merged)] * 3, axis=-1)
+    tch = TraceChallenger.from_host(challenger)
+    kernel = _je_fused_kernel(num_vars, nvb, C, tch._nbuf)
+    state, msgs, rhos_c, claim_c = kernel(
+        tch.state,
+        tch._buf_array(),
+        _z_stack(bp.z_row),
+        _z_stack(bp.z_index),
+        to_m(merged_e),
+        to_m(eq_vals),
+        to_m(expected_sum),
+    )
+    tch.state = state
+    tch._segs = []
+    tch._nbuf = 0
+    tch._out_left = RATE - 4
+    fetched = batch_fetch(list(msgs) + list(rhos_c) + [claim_c])
+    tch.to_host(challenger)
+    messages = fetched[:num_vars]
+    rhos = fetched[num_vars : 2 * num_vars]
+    final_claim = fetched[2 * num_vars]
+    return sc.PartialSumcheckProof(
+        univariate_polys=np.stack(messages),
+        claimed_sum=np.asarray(expected_sum, np.uint32),
+        point=np.stack(rhos),
+        eval=final_claim,
+    )
 
 
 def prove_jagged_eval(
@@ -569,6 +766,13 @@ def prove_jagged_eval(
 
     expected_sum = _full_jagged_eval(params, z_row, z_col, z_trace)
     challenger.observe_slice(expected_sum)
+
+    from ..utils import dfs
+
+    if dfs.enabled() and getattr(challenger, "device_traceable", False):
+        return _prove_jagged_eval_dfs(
+            params, z_row, z_col, z_trace, challenger, expected_sum
+        )
 
     half = np.zeros(4, np.uint32)
     half[0] = pow(2, kb.P - 2, kb.P)
@@ -887,34 +1091,46 @@ def prove_trusted_evaluations(
     claim = stacked._host_eval_ext_mle(padded, z_col)
 
     lam_one = E4.one()
-    with timing.span("jagged_sumcheck"):
-        if use_dfs and not poly.host:
-            from ..iop import dsumcheck as dsc
+    if use_dfs and not poly.host:
+        # Device sumcheck + device dense_eval at the (device-resident)
+        # final point, fetched together in ONE transfer — the host-side
+        # dense_eval was the first hard sync after the async jtable /
+        # sumcheck enqueues and absorbed all their queued device time.
+        from ..iop import dsumcheck as dsc
+        from ..iop.dchallenger import TraceChallenger, _unshard
+        from ..utils.fetch import batch_fetch
 
-            sumcheck_proof, _ = dsc.reduce_sumcheck_to_evaluation_device(
-                [poly], challenger, [claim], lam_one
-            )
-        else:
+        with timing.span("jagged_sumcheck"):
+            tch = TraceChallenger.from_host(challenger)
+            deferred = dsc.device_sumcheck([poly], tch, [claim], lam_one)
+            point_c = jnp.stack(list(deferred.alphas))
+            dense_handle = _dense_eval_kernel(_unshard(dense), point_c)
+        with timing.span("dense_eval"):
+            h = deferred.handles()
+            fetched = batch_fetch(h + [dense_handle])
+            tch.to_host(challenger)
+            sumcheck_proof, _ = deferred.from_fetched(fetched[: len(h)])
+            dense_eval = fetched[len(h)]
+        final_point = sumcheck_proof.point
+    else:
+        with timing.span("jagged_sumcheck"):
             sumcheck_proof, _ = sc.reduce_sumcheck_to_evaluation(
                 [poly], challenger, [claim], lam_one
             )
-    final_point = sumcheck_proof.point
+        final_point = sumcheck_proof.point
 
-    # expected_eval = dense MLE evaluation at the final point. The
-    # readback here is the first hard sync after the async jtable/
-    # sumcheck enqueues, so this span also absorbs their device time.
-    with timing.span("dense_eval"):
-        if int(dense.shape[0]) <= (HOST_THRESH << 8):
-            dense_c = hostmle.dev_to_host(dense).astype(np.uint64)
-            eq_c = mle_ops.host.partial_lagrange_ext(final_point).astype(np.uint64)
-            prod = (dense_c[:, None] * eq_c) % kb.P  # mod BEFORE summing
-            dense_eval = (prod.sum(axis=0) % kb.P).astype(np.uint32)
-        else:
-            dense_eval = _from_monty_np(
-                mle_ops.eval_mle_at_point_ext(
-                    dense[:, None], jnp.asarray(_to_monty_np(final_point))
-                )[0]
-            )
+        with timing.span("dense_eval"):
+            if int(dense.shape[0]) <= (HOST_THRESH << 8):
+                dense_c = hostmle.dev_to_host(dense).astype(np.uint64)
+                eq_c = mle_ops.host.partial_lagrange_ext(final_point).astype(np.uint64)
+                prod = (dense_c[:, None] * eq_c) % kb.P  # mod BEFORE summing
+                dense_eval = (prod.sum(axis=0) % kb.P).astype(np.uint32)
+            else:
+                dense_eval = _from_monty_np(
+                    mle_ops.eval_mle_at_point_ext(
+                        dense[:, None], jnp.asarray(_to_monty_np(final_point))
+                    )[0]
+                )
 
     with timing.span("jagged_eval"):
         jagged_eval_proof = prove_jagged_eval(

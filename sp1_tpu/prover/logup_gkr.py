@@ -688,6 +688,9 @@ def _gkr_rounds_dfs(
     from ..iop.dchallenger import TraceChallenger
     from ..utils.fetch import batch_fetch
 
+    import os as _os
+
+    gkr_sync = _os.environ.get("SP1_TPU_GKR_SYNC", "0") == "1"
     tch = TraceChallenger.from_host(challenger)
     num_m = jnp.asarray(_to_monty_np(numerator_eval))
     den_m = jnp.asarray(_to_monty_np(denominator_eval))
@@ -716,13 +719,19 @@ def _gkr_rounds_dfs(
         point_c = jnp.stack(list(deferred.alphas))
         eval_point_c = jnp.concatenate([point_c, last_coord[None]], axis=0)
         per_layer.append((deferred, claim_m, comp_c, last_coord))
+        if gkr_sync:  # per-layer drain timing (diagnostic only)
+            with timing.span(f"sync_l{layer_idx}"):
+                jax.block_until_ready(tch.state)
 
     handles, spans = [], []
     for deferred, claim_m, comp_c, last_coord in per_layer:
         h = deferred.handles()
         handles.extend(h + [claim_m, comp_c, last_coord])
         spans.append(len(h) + 3)
-    fetched = batch_fetch(handles)
+    with timing.span("drain"):
+        jax.block_until_ready(tch.state)
+    with timing.span("fetch"):
+        fetched = batch_fetch(handles)
     tch.to_host(challenger)
 
     round_proofs = []
@@ -825,8 +834,14 @@ def prove_logup_gkr(
     denominator_eval = mle_ops.host.eval_ext_mle(out_den_c, first_eval_point)
     eval_point = first_eval_point
 
+    import os as _os
+
     dfs_rounds_done = False
-    if use_dfs and not any(lh for _, _, lh in layers):
+    if (
+        use_dfs
+        and _os.environ.get("SP1_TPU_GKR_DFS", "1") != "0"
+        and not any(lh for _, _, lh in layers)
+    ):
         round_proofs, eval_point = _gkr_rounds_dfs(
             layers, first_eval_point, numerator_eval, denominator_eval,
             challenger,

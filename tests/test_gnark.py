@@ -67,10 +67,19 @@ class TestGnarkExport:
     def test_covers_every_instruction_class(self, exported):
         _, out = exported
         used = {c["opcode"] for c in out["constraints"]}
-        for must in ("AddF", "MulE", "WitnessF", "PermuteKoalaBear",
-                     "SelectF", "Num2BitsF", "AssertEqF",
+        for must in ("AddF", "MulE", "WitnessF", "WitnessE",
+                     "PermuteKoalaBear", "Num2BitsF", "AssertEqF",
                      "CommitCommitedValuesDigest"):
             assert must in used, f"{must} missing from the lowered program"
+
+    def test_ext_values_are_single_ids(self, exported):
+        """Reference ConstraintCompiler encodes an ext4 value as ONE id
+        (mod.rs alloc_e / DslIr::AddE args) — the 4 coefficients appear
+        only in ImmE/WitnessE payloads, never as 4 wire names."""
+        _, out = exported
+        for c in out["constraints"]:
+            if c["opcode"] in ("AddE", "SubE", "MulE", "DivE", "AssertEqE"):
+                assert all(len(a) == 1 for a in c["args"]), c
 
     def test_json_roundtrip_and_witness(self, exported, tmp_path):
         program, _ = exported
@@ -84,6 +93,84 @@ class TestGnarkExport:
             isinstance(b, list) and all(isinstance(v, str) for v in b)
             for b in wit["felts"]
         )
+
+
+class TestGnarkEvaluator:
+    """The export format's semantic consumer (VERDICT r4 item 2): every
+    exported constraint checked against the exported witness the way
+    go/sp1/sp1.go Define would."""
+
+    def test_evaluates_real_program(self):
+        from sp1_tpu.recursion import executor as rexec
+        from sp1_tpu.recursion import gnark_eval
+
+        program = build_program()
+        cons = gnark.export_constraints(program)
+        wit = gnark.export_witness(program, make_stream())
+        record = rexec.execute(program, make_stream())
+        committed = gnark_eval.evaluate(
+            cons, wit, expected_public_values=record.public_values
+        )
+        assert committed, "no public values committed"
+
+    def test_tampered_witness_rejected(self):
+        from sp1_tpu.recursion import gnark_eval
+        from sp1_tpu.verifier.backend import P
+
+        program = build_program()
+        cons = gnark.export_constraints(program)
+        bad = gnark.export_witness(
+            program, make_stream(a=4, inv_a=pow(3, P - 2, P))
+        )
+        with pytest.raises(gnark_eval.GnarkEvalError):
+            gnark_eval.evaluate(cons, bad)
+
+    def test_tampered_committed_pv_rejected(self):
+        from sp1_tpu.recursion import executor as rexec
+        from sp1_tpu.recursion import gnark_eval
+        from sp1_tpu.verifier.backend import P
+
+        program = build_program()
+        cons = gnark.export_constraints(program)
+        wit = gnark.export_witness(program, make_stream())
+        record = rexec.execute(program, make_stream())
+        pvs = [int(v) for v in record.public_values]
+        committed = gnark_eval.evaluate(cons, wit)
+        idx = next(iter(committed))
+        pvs[idx] = (pvs[idx] + 1) % P
+        with pytest.raises(gnark_eval.GnarkEvalError):
+            gnark_eval.evaluate(cons, wit, expected_public_values=pvs)
+
+    @pytest.mark.medium
+    def test_real_chain_verifier_program_evaluates(self):
+        """The REAL integration artifact: the (wrap-position) shard
+        verifier program of an actual recursion proof, exported and
+        evaluated against the proof's own witness stream — i.e. the
+        shrink proof is re-verified under the gnark-circuit semantics."""
+        from sp1_tpu.recursion import executor as rexec
+        from sp1_tpu.recursion import gnark_eval
+        from sp1_tpu.recursion.prove import RecursionProver
+        from sp1_tpu.recursion.wrap import build_wrap_program, wrap_witness_stream
+        from test_recursion_air import FRI
+
+        rp = RecursionProver(build_program(), fri=FRI)
+        proof = rp.prove(make_stream())
+        wprog = build_wrap_program(rp.machine, rp.config, proof)
+        stream = wrap_witness_stream(rp.vk, proof)
+        record = rexec.execute(wprog, stream)
+        cons = gnark.export_constraints(wprog)
+        wit = gnark.export_witness(wprog, stream)
+        committed = gnark_eval.evaluate(
+            cons, wit, expected_public_values=record.public_values
+        )
+        assert committed
+        # a single flipped witness felt anywhere in the proof stream
+        # must break some constraint
+        bad = [list(b) for b in wit["felts"]]
+        mid = len(bad) // 2
+        bad[mid][0] = str((int(bad[mid][0]) + 1) % gnark_eval.P)
+        with pytest.raises(gnark_eval.GnarkEvalError):
+            gnark_eval.evaluate(cons, {"felts": bad})
 
 
 class TestWrapGnarkArtifacts:
