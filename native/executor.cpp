@@ -86,6 +86,9 @@ struct VM {
     std::vector<Event> events;
     std::vector<PxEvent> px_events;
     bool halted = false;
+    bool record = true;   // false: pure-execution mode (no event stream) —
+                          // the analog of the reference's minimal executor
+                          // (crates/core/jit MinimalTrace without tracing)
     uint64_t exit_code = 0;
     std::vector<uint8_t> output;       // bytes written via write syscall
     std::vector<uint64_t> input_queue; // words read via read syscall
@@ -531,7 +534,7 @@ bool step(VM& vm) {
                     wc.value = wn;
                     wc.ts = rclk * 8 + 4;  // write slot 4
                     px.w_val = wn;
-                    vm.px_events.push_back(px);
+                    if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 48;  // next instruction runs after the window
             } else if (id == 9) {
@@ -601,7 +604,7 @@ bool step(VM& vm) {
                         wc.ts = rclk * 8 + 4;  // write slot 4
                         px.w_val = hn;
                     }
-                    vm.px_events.push_back(px);
+                    if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 80;
             } else if (id == 10) {
@@ -674,7 +677,7 @@ bool step(VM& vm) {
                         wc.ts = rclk * 8 + 4;  // write slot 4
                         px.w_val = st64[i2];
                     }
-                    vm.px_events.push_back(px);
+                    if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
             } else if (id >= 11 && id <= 17) {
@@ -709,7 +712,7 @@ bool step(VM& vm) {
                     px.r_val[0] = mc.value;
                     mc.ts = rclk * 8;
                     in[j] = mc.value;
-                    vm.px_events.push_back(px);
+                    if (vm.record) vm.px_events.push_back(px);
                 }
                 auto getu = [&](int cell4) {
                     U256 v;
@@ -856,7 +859,7 @@ bool step(VM& vm) {
                     wc.value = out[i];
                     wc.ts = rclk * 8 + 4;
                     px.w_val = out[i];
-                    vm.px_events.push_back(px);
+                    if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += (uint64_t)(n_read + n_write);
             }
@@ -882,7 +885,7 @@ bool step(VM& vm) {
     ev.b = b;
     ev.c = c;
     ev.next_pc = next_pc;
-    vm.events.push_back(ev);
+    if (vm.record) vm.events.push_back(ev);
     vm.pc = next_pc;
     return !vm.halted;
 }
@@ -897,6 +900,10 @@ void* ex_create(const uint32_t* words, uint64_t n, uint64_t pc_base) {
     vm->pc_base = pc_base;
     vm->pc = pc_base;
     return vm;
+}
+
+void ex_set_record(void* h, uint64_t on) {
+    ((VM*)h)->record = on != 0;
 }
 
 void ex_set_input(void* h, const uint64_t* words, uint64_t n) {
@@ -931,6 +938,7 @@ int64_t ex_run(void* h, uint64_t max_cycles) {
 // Returns: 0 halted, 1 chunk full, -1 illegal instruction / oob pc.
 int64_t ex_run_chunk(void* h, uint64_t max_events) {
     VM* vm = (VM*)h;
+    vm->events.reserve(max_events);
     while (!vm->halted && vm->events.size() < max_events) {
         if (!step(*vm)) return vm->halted ? 0 : -1;
     }

@@ -79,7 +79,7 @@ def _build(lib_path: str):
     os.makedirs(os.path.dirname(lib_path), exist_ok=True)
     tmp = lib_path + f".tmp{os.getpid()}"
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC],
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC],
         check=True,
     )
     os.replace(tmp, lib_path)  # atomic under concurrent builders
@@ -131,6 +131,7 @@ def get_lib():
         lib.ex_destroy.argtypes = [ctypes.c_void_p]
         lib.ex_run_chunk.restype = ctypes.c_int64
         lib.ex_run_chunk.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ex_set_record.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.ex_num_px_events.restype = ctypes.c_uint64
         lib.ex_num_px_events.argtypes = [ctypes.c_void_p]
         lib.ex_get_px_events.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
@@ -195,7 +196,12 @@ def execute(
     memory: dict | None = None,
     max_cycles: int = 1 << 24,
     pc_start: int | None = None,
+    record_events: bool = True,
 ) -> ExecutionResult:
+    """record_events=False runs the pure-execution fast path (no event
+    stream; tens of MHz) — the analog of the reference's minimal
+    executor mode (crates/perf executor `simple` runs). The report,
+    exit code, output and touched memory are still produced."""
     lib = get_lib()
     words = np.ascontiguousarray(program_words, np.uint32)
     vm = lib.ex_create(
@@ -212,6 +218,8 @@ def execute(
                 lib.ex_write_memory(vm, addr, val)
         if pc_start is not None:
             lib.ex_set_pc(vm, pc_start)
+        if not record_events:
+            lib.ex_set_record(vm, 0)
         rc = lib.ex_run(vm, max_cycles)
         if rc != 0:
             raise RuntimeError(f"execution did not halt cleanly (rc={rc})")
