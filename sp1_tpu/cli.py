@@ -92,7 +92,7 @@ def cmd_prove(args) -> int:
     # vk.pc_start (checked against the first shard's public values).
     pk, vk = client.setup(prog)
     t0 = time.time()
-    proof = client.prove(pk, stdin=_parse_stdin(args.stdin))
+    proof = client.prove(pk, stdin=_parse_stdin(args.stdin)).core()
     secs = time.time() - t0
     out = args.output or (args.elf + ".proof")
     with open(out, "wb") as f:

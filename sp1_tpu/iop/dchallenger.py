@@ -175,6 +175,61 @@ def _grind_fn(nbuf: int, bits: int, log_batch: int = 16):
     return f
 
 
+class InlineSponge:
+    """Duplex sponge for use INSIDE a jit trace (mega-fused kernels).
+
+    Mirrors TraceChallenger/DuplexChallenger bit for bit: values are
+    traced (16,) canonical arrays, buffer/output POSITIONS are static
+    Python ints tracked during tracing. After the kernel, sync the host
+    challenger with `final_*` and the returned state."""
+
+    def __init__(self, state, buf, nbuf: int, out_left: int):
+        self.state = state
+        self._buf = buf  # traced (nbuf,) vector
+        self.nbuf = nbuf
+        self.out_left = out_left
+
+    def observe_vec(self, vec):
+        """Absorb a static-length traced vector (observe_slice mirror)."""
+        n = int(vec.shape[0])
+        if n == 0:
+            return
+        self.out_left = 0
+        vals = jnp.concatenate([self._buf, vec]) if self.nbuf else vec
+        total = self.nbuf + n
+        state = self.state
+        for c in range(total // RATE):
+            state = _permute_canonical(
+                jnp.concatenate([vals[c * RATE : (c + 1) * RATE], state[RATE:]])
+            )
+        left = total % RATE
+        if total >= RATE and left == 0:
+            self.out_left = RATE
+        self.state = state
+        self._buf = vals[total - left :] if left else jnp.zeros(0, jnp.uint32)
+        self.nbuf = left
+
+    def sample_vec(self, count: int):
+        """(count,) canonical felts (sample mirror)."""
+        outs = []
+        for _ in range(count):
+            if self.nbuf or self.out_left == 0:
+                self.state = _permute_canonical(
+                    jnp.concatenate([self._buf, self.state[self.nbuf :]])
+                    if self.nbuf
+                    else self.state
+                )
+                self._buf = jnp.zeros(0, jnp.uint32)
+                self.nbuf = 0
+                self.out_left = RATE
+            outs.append(self.state[self.out_left - 1])
+            self.out_left -= 1
+        return jnp.stack(outs)
+
+    def sample_ext(self):
+        return self.sample_vec(4)
+
+
 class TraceChallenger:
     """Device twin of DuplexChallenger. Values are canonical uint32 jnp
     scalars/arrays; buffer POSITIONS are static Python ints."""

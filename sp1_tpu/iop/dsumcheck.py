@@ -314,12 +314,17 @@ def _device_sumcheck_fused(polys, parts, tch, claims, lam) -> DeferredSumcheck:
     clones = [pt[4] for pt in parts]
 
     tail_ok = all(getattr(p, "tail_fusable", False) for p in polys)
+    # polys with a cheap sums body can fuse EVERY round into one dispatch
+    fuse_all = tail_ok and all(
+        getattr(p, "tail_fuse_all", False) for p in polys
+    )
+    tail_bound = (1 << num_vars) if fuse_all else TAIL_FUSE
     messages, alphas = [], []
     last_coeffs = None
     n_live = 1 << num_vars
     rounds_done = 0
     while rounds_done < num_vars:
-        if tail_ok and n_live <= TAIL_FUSE:
+        if tail_ok and n_live <= tail_bound:
             # Unroll every remaining round into one dispatch.
             rounds_left = num_vars - rounds_done
             nbuf = tch._nbuf

@@ -26,6 +26,7 @@ All protocol parameters (log_blowup 2 core / 3 wrap, 16/22-bit PoW,
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import lru_cache, partial
 
@@ -284,22 +285,10 @@ def _rlc_claims_kernel(flat_claims_m, total_len: int, coeffs_m):
     return acc
 
 
-@jax.jit
-def _bf_round_fused(state, buf, current_mle, current_code, claim_m, inv_m, point_m):
-    """One-dispatch BaseFold round: message + Merkle commit + transcript
-    absorb + beta sample + codeword/MLE fold, all fused.
-
-    The sponge phase arithmetic is static (buffer length = buf.shape[0],
-    message+root = 16 felts per round), mirroring TraceChallenger
-    observe_slice x2 + sample_ext bit for bit — on the remote-tunnel TPU
-    path each of the ~10 separate kernels this replaces was a blocking
-    ~25-50ms dispatch. jax.jit re-traces per (mle, code, buf) shape, so
-    each round of the shrinking fold gets its own cached executable.
-    """
-    from ..iop.dchallenger import _permute_canonical
-    from ..ops.poseidon2 import RATE
-
-    nbuf = int(buf.shape[0])
+def _bf_round_body(sponge, current_mle, current_code, claim_m, inv_m, point_m):
+    """Traceable BaseFold round: message + Merkle commit + transcript
+    absorb + beta sample + codeword/MLE fold (mirrors the host loop's
+    observe_slice x2 + sample_ext bit for bit)."""
     num_point = int(point_m.shape[0])
     log_code = int(current_code.shape[0]).bit_length() - 1
 
@@ -314,28 +303,88 @@ def _bf_round_fused(state, buf, current_mle, current_code, claim_m, inv_m, point
     layers = merkle._tree_layers(merkle._hash_rows(leaves))
     root_c = kb.from_monty(layers[-1][0])
 
-    # absorb msg (8 felts) + root (8 felts); then sample_ext.
-    vec = jnp.concatenate([msg_c.reshape(-1), root_c])
-    vals = jnp.concatenate([buf, vec]) if nbuf else vec
-    total = nbuf + 16
-    nchunks = total // RATE
-    leftover_len = total % RATE
-    for c in range(nchunks):
-        chunk = vals[c * RATE : (c + 1) * RATE]
-        state = _permute_canonical(jnp.concatenate([chunk, state[RATE:]]))
-    landed = leftover_len == 0
-    if not landed:
-        leftover = vals[nchunks * RATE :]
-        state = _permute_canonical(
-            jnp.concatenate([leftover, state[leftover_len:]])
-        )
-    beta_c = jnp.stack([state[RATE - 1 - k] for k in range(4)])
+    sponge.observe_vec(msg_c.reshape(-1))
+    sponge.observe_vec(root_c)
+    beta_c = sponge.sample_vec(4)
     beta_m = kb.to_monty(beta_c)
 
     claim2_m = ext.ext4_add(zero_m, ext.ext4_mul(beta_m, one_m))
     code2 = _fold_codeword_body(current_code, beta_m, log_code)
     mle2 = mle_ops.fold_ext(current_mle, beta_m)
-    return state, msg_c, root_c, tuple(layers), claim2_m, code2, mle2
+    return msg_c, root_c, tuple(layers), leaves, claim2_m, code2, mle2
+
+
+_BF_CHUNKS = {}
+
+
+def _bf_chunk_kernel(shape_key, nbuf0: int, out_left0: int, rounds: int):
+    """`rounds` consecutive BaseFold rounds in ONE dispatch. Each of the
+    ~10 separate kernels a round otherwise costs is a ~25-100ms blocking
+    launch on the remote-tunnel TPU path; grouping bounds both the
+    dispatch count and the per-jit program size (SP1_TPU_BF_GROUP)."""
+    key = (shape_key, nbuf0, out_left0, rounds)
+    cached = _BF_CHUNKS.get(key)
+    if cached is not None:
+        return cached
+    from ..iop.dchallenger import InlineSponge
+
+    @jax.jit
+    def chunk(state, buf, current_mle, current_code, claim_m, invs, point_m):
+        sponge = InlineSponge(state, buf, nbuf0, out_left0)
+        pm = point_m
+        out = []
+        for r in range(rounds):
+            pm = pm[: pm.shape[0] - 1]
+            msg_c, root_c, layers, leaves, claim_m, current_code, current_mle = (
+                _bf_round_body(
+                    sponge, current_mle, current_code, claim_m, invs[r], pm
+                )
+            )
+            out.append((msg_c, root_c, layers, leaves))
+        return (
+            sponge.state,
+            tuple(out),
+            claim_m,
+            current_code,
+            current_mle,
+        )
+
+    _BF_CHUNKS[key] = chunk
+    return chunk
+
+
+@jax.jit
+def _bf_open_all_kernel(comp_trees, fri_trees, idx):
+    """Every query opening (components + all fri rounds) in ONE dispatch.
+
+    comp_trees: tuple of (layers_tuple, tensors_tuple); fri_trees: tuple
+    of (layers_tuple, leaves) in round order — round r uses idx >> (r+1).
+    Returns ((vals, paths) per component, (vals, paths) per fri round),
+    all canonical."""
+
+    def open_one(layers, tensors, ix):
+        h = tensors[0].shape[0]
+        cat = (
+            jnp.concatenate([t.reshape(h, -1) for t in tensors], axis=1)
+            if len(tensors) > 1
+            else tensors[0].reshape(h, -1)
+        )
+        vals = kb.from_monty(cat[ix])
+        if layers:
+            sibs = [layers[l][(ix >> l) ^ 1] for l in range(len(layers))]
+            paths = kb.from_monty(jnp.stack(sibs, axis=1))
+        else:
+            paths = jnp.zeros((ix.shape[0], 0, 8), jnp.uint32)
+        return vals, paths
+
+    comp = tuple(
+        open_one(layers, tensors, idx) for layers, tensors in comp_trees
+    )
+    fri = tuple(
+        open_one(layers, (leaves,), idx >> (r + 1))
+        for r, (layers, leaves) in enumerate(fri_trees)
+    )
+    return comp, fri
 
 
 def _prove_trusted_evaluations_dfs(
@@ -393,35 +442,46 @@ def _prove_trusted_evaluations_dfs(
     point_m = jnp.asarray(_to_monty_np(eval_point))
     messages_h, root_handles, fri_trees = [], [], []
     tch.observe(num_vars)
+    group = int(os.environ.get("SP1_TPU_BF_GROUP", "24"))
     _bf_rounds_span = timing.span("bf_rounds")
     _bf_rounds_span.__enter__()
-    for r in range(num_vars):
-        point_m = point_m[: num_vars - 1 - r]
-        leaves = current_code.reshape(-1, 8)
-        state, msg_c, root_c, layers, claim_m, current_code, current_mle = (
-            _bf_round_fused(
-                tch.state,
-                tch._buf_array(),
-                current_mle,
-                current_code,
-                claim_m,
-                inv_last_m[r],
-                point_m,
-            )
+    r = 0
+    while r < num_vars:
+        rounds = min(group, num_vars - r)
+        invs = jnp.stack([inv_last_m[r + i] for i in range(rounds)])
+        shape_key = (
+            int(current_mle.shape[0]),
+            int(current_code.shape[0]),
+            int(point_m.shape[0]),
         )
-        # mirror observe_slice x2 + sample_ext bookkeeping on the challenger
+        chunk = _bf_chunk_kernel(shape_key, tch._nbuf, tch._out_left, rounds)
+        state, out, claim_m, current_code, current_mle = chunk(
+            tch.state,
+            tch._buf_array(),
+            current_mle,
+            current_code,
+            claim_m,
+            invs,
+            point_m,
+        )
+        point_m = point_m[: int(point_m.shape[0]) - rounds]
+        # every round ends on a 4-felt sample: nbuf 0, out buffer 4 left
         tch.state = state
         tch._segs = []
         tch._nbuf = 0
         tch._out_left = RATE - 4
-        messages_h.append(msg_c)
-        root_handles.append(root_c)
-        fri_trees.append(
-            (
-                merkle.MerkleTree(layers=list(layers), height=int(leaves.shape[0])),
-                leaves,
+        for msg_c, root_c, layers, leaves in out:
+            messages_h.append(msg_c)
+            root_handles.append(root_c)
+            fri_trees.append(
+                (
+                    merkle.MerkleTree(
+                        layers=list(layers), height=int(leaves.shape[0])
+                    ),
+                    leaves,
+                )
             )
-        )
+        r += rounds
     _bf_rounds_span.__exit__(None, None, None)
 
     final_poly_h = _from_monty_jit(current_code[0])
@@ -439,17 +499,19 @@ def _prove_trusted_evaluations_dfs(
     ]
 
     with timing.span("bf_queries"):
-        # enqueue one fused (values, paths) dispatch per tree; fetch the
-        # whole proof in one transfer
-        comp_handles = [
-            merkle.open_tree_dev(pd.tree, pd.codewords, query_indices)
+        # EVERY query opening (components + all fri rounds) in one
+        # dispatch; fetch the whole proof in one transfer
+        idx = jnp.asarray(np.asarray(query_indices, np.int32))
+        comp_struct = tuple(
+            (tuple(pd.tree.layers[:-1]), tuple(pd.codewords))
             for pd in prover_data
-        ]
-        fri_handles = []
-        indices = list(query_indices)
-        for tree, leaves in fri_trees:
-            indices = [i >> 1 for i in indices]
-            fri_handles.append(merkle.open_tree_dev(tree, [leaves], indices))
+        )
+        fri_struct = tuple(
+            (tuple(tree.layers[:-1]), leaves) for tree, leaves in fri_trees
+        )
+        comp_handles, fri_handles = _bf_open_all_kernel(
+            comp_struct, fri_struct, idx
+        )
 
         flat_handles = (
             messages_h

@@ -353,6 +353,7 @@ class HadamardPoly:
 
     degree = 2
     tail_fusable = True
+    tail_fuse_all = True  # every round in ONE dispatch (cheap sums body)
 
     def __init__(self, a, b, host=False, force_device=False):
         self.a = a  # (2^n, 4) ext: monty jnp (device) or canonical np (host)

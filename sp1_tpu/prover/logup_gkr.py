@@ -221,6 +221,27 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, 
     return num, den, iv
 
 
+_LAYER_TREE_FNS = {}
+
+
+def _layer_tree_fused(num, den, steps: int):
+    """All layer transitions in one jit -> tuple of (num, den) layers."""
+    key = (tuple(num.shape), steps)
+    fn = _LAYER_TREE_FNS.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(num, den):
+            out = []
+            for _ in range(steps):
+                num, den = _layer_transition(num, den)
+                out.append((num, den))
+            return tuple(out)
+
+        _LAYER_TREE_FNS[key] = fn
+    return fn(num, den)
+
+
 @jax.jit
 def _layer_transition(num, den):
     """(2M,4),(2M,4) -> (M,4),(M,4): fraction addition on adjacent pairs."""
@@ -671,6 +692,158 @@ _to_monty_dev = jax.jit(kb.to_monty)
 _from_monty_dev = jax.jit(kb.from_monty)
 
 
+_GKR_MEGA = {}
+
+
+def _gkr_mega_kernel(layer_shapes: tuple, nbuf0: int, out_left0: int):
+    """The ENTIRE GKR round loop in ONE jit: per layer lam sample, eq
+    table, packed-table build, every (shrinking) sumcheck round with the
+    inline sponge, the [n0,n1,d0,d1] observation and the last_coord
+    sample — unrolled over all layers. On the remote-tunnel TPU each of
+    the ~200 kernels this replaces costs ~100ms of fixed execution
+    latency; one fused dispatch removes all of it (same pattern as the
+    jagged-eval mega-kernel, pcs/jagged.py _je_fused_kernel)."""
+    key = (layer_shapes, nbuf0, out_left0)
+    cached = _GKR_MEGA.get(key)
+    if cached is not None:
+        return cached
+    from ..iop.dchallenger import InlineSponge
+    from ..iop.dsumcheck import _interp_rlc_body, _vinv_monty
+    from .zerocheck import _fold_packed_body
+
+    vinv_t = _vinv_monty(4)
+
+    @jax.jit
+    def kernel(state, buf, layers, first_eval_point_c, num0_m, den0_m):
+        sponge = InlineSponge(state, buf, nbuf0, out_left0)
+        vinv = jnp.asarray(vinv_t)
+        eval_point_c = first_eval_point_c
+        num_m, den_m = num0_m, den0_m
+        out = []
+        for lnum, lden in layers:
+            lam_c = sponge.sample_vec(4)
+            lam_m = kb.to_monty(lam_c)
+            eq = mle_ops.partial_lagrange_ext(kb.to_monty(eval_point_c))
+            table = _build_gkr_table(eq, lnum, lden)
+            claim_m = ext.ext4_add(ext.ext4_mul(num_m, lam_m), den_m)
+            num_vars = int(table.shape[0]).bit_length() - 1
+            n_live = int(table.shape[0])
+            msgs, alphas = [], []
+            coeffs_m = None
+            for _ in range(num_vars):
+                sums = _gkr_local_sums(
+                    table, jnp.uint32(n_live // 2), lam_m
+                )[None]
+                coeffs_m, msg_c = _interp_rlc_body(sums, lam_m, vinv, 1, 4)
+                sponge.observe_vec(msg_c.reshape(-1))
+                alpha4 = sponge.sample_vec(4)
+                am = kb.to_monty(alpha4)
+                table = _fold_packed_body(table, am)[: table.shape[0] // 2]
+                msgs.append(msg_c)
+                alphas.insert(0, alpha4)
+                n_live //= 2
+            row = table[0]
+            comp_m = jnp.stack([row[1], row[3], row[2], row[4]])  # n0 d0 n1 d1
+            comp_c = kb.from_monty(comp_m)
+            sponge.observe_vec(comp_c[0])
+            sponge.observe_vec(comp_c[2])
+            sponge.observe_vec(comp_c[1])
+            sponge.observe_vec(comp_c[3])
+            last_coord = sponge.sample_vec(4)
+            lc_m = kb.to_monty(last_coord)
+            n0m, d0m, n1m, d1m = comp_m[0], comp_m[1], comp_m[2], comp_m[3]
+            num_m = ext.ext4_add(
+                n0m, ext.ext4_mul(ext.ext4_sub(n1m, n0m), lc_m)
+            )
+            den_m = ext.ext4_add(
+                d0m, ext.ext4_mul(ext.ext4_sub(d1m, d0m), lc_m)
+            )
+            eval_point_c = jnp.concatenate(
+                [jnp.stack(alphas), last_coord[None]], axis=0
+            )
+            out.append(
+                (tuple(msgs), tuple(alphas), kb.from_monty(claim_m),
+                 coeffs_m, comp_c, last_coord)
+            )
+        return (sponge.state, sponge._buf, tuple(out), eval_point_c)
+
+    meta = (kernel,)
+    _GKR_MEGA[key] = meta
+    return meta
+
+
+def _gkr_rounds_mega(
+    layers, first_eval_point, numerator_eval, denominator_eval, challenger
+):
+    """Mega-fused GKR rounds: one dispatch, one fetch, one writeback."""
+    from ..iop.dchallenger import RATE, TraceChallenger
+    from ..utils.fetch import batch_fetch
+
+    tch = TraceChallenger.from_host(challenger)
+    order = list(range(len(layers) - 2, -1, -1))
+    dev_layers = tuple(
+        (layers[j][0], layers[j][1]) for j in order
+    )
+    shapes = tuple(tuple(l[0].shape) for l in dev_layers)
+    (kernel,) = _gkr_mega_kernel(shapes, tch._nbuf, tch._out_left)
+    with timing.span("rounds_enqueue"):
+        state, buf, out, _ = kernel(
+            tch.state,
+            tch._buf_array(),
+            dev_layers,
+            jnp.asarray(np.asarray(first_eval_point, np.uint32)),
+            jnp.asarray(_to_monty_np(numerator_eval)),
+            jnp.asarray(_to_monty_np(denominator_eval)),
+        )
+    nbuf = int(buf.shape[0])
+    tch.state = state
+    tch._segs = [(buf, nbuf)] if nbuf else []
+    tch._nbuf = nbuf
+    tch._out_left = RATE - 4  # every layer ends on a sample_vec(4)
+
+    handles, spans = [], []
+    for msgs, alphas, claim_c, coeffs_m, comp_c, last_coord in out:
+        h = list(msgs) + list(alphas) + [claim_c, coeffs_m, comp_c, last_coord]
+        handles.extend(h)
+        spans.append((len(msgs), len(h)))
+    with timing.span("fetch"):
+        fetched = batch_fetch(handles)
+    tch.to_host(challenger)
+
+    from ..iop.dsumcheck import kb_from_monty_host
+
+    round_proofs = []
+    off = 0
+    eval_point = None
+    for n_msgs, span_len in spans:
+        h = fetched[off : off + span_len]
+        off += span_len
+        msgs = h[:n_msgs]
+        alphas = h[n_msgs : 2 * n_msgs]
+        claim_c, coeffs_m, comp_c, last_coord = h[2 * n_msgs :]
+        point = np.stack(alphas)
+        coeffs_c = np.asarray(kb_from_monty_host(coeffs_m), np.uint32)
+        final_eval = sc.uni_eval(coeffs_c[0], point[0])
+        proof = sc.PartialSumcheckProof(
+            univariate_polys=np.stack(msgs),
+            claimed_sum=np.asarray(claim_c, np.uint32),
+            point=point,
+            eval=final_eval,
+        )
+        n0, d0, n1, d1 = comp_c[0], comp_c[1], comp_c[2], comp_c[3]
+        round_proofs.append(
+            LogupGkrRoundProof(
+                numerator_0=n0,
+                numerator_1=n1,
+                denominator_0=d0,
+                denominator_1=d1,
+                sumcheck_proof=proof,
+            )
+        )
+        eval_point = np.concatenate([point, last_coord[None]], axis=0)
+    return round_proofs, eval_point
+
+
 def _gkr_rounds_dfs(
     layers, first_eval_point, numerator_eval, denominator_eval, challenger
 ):
@@ -803,7 +976,12 @@ def prove_logup_gkr(
     host = isinstance(num, np.ndarray)
     layers = [(num, den, host)]
     with timing.span("layer_tree"):
-        for _ in range(mlrc - 1):
+        if not host and use_dfs:
+            # all transitions in ONE dispatch (the per-level kernels were
+            # ~15 blocking launches on the remote-tunnel path)
+            for n2, d2 in _layer_tree_fused(num, den, mlrc - 1):
+                layers.append((n2, d2, False))
+        for _ in range(mlrc - 1 if host or not use_dfs else 0):
             if not host and not use_dfs and int(num.shape[0]) // 2 <= HOST_THRESH:
                 num = hostmle.dev_to_host(num)
                 den = hostmle.dev_to_host(den)
@@ -836,13 +1014,20 @@ def prove_logup_gkr(
 
     import os as _os
 
+    from ..parallel import mesh as pm
+
     dfs_rounds_done = False
     if (
         use_dfs
         and _os.environ.get("SP1_TPU_GKR_DFS", "1") != "0"
         and not any(lh for _, _, lh in layers)
     ):
-        round_proofs, eval_point = _gkr_rounds_dfs(
+        mega = (
+            _os.environ.get("SP1_TPU_GKR_MEGA", "1") != "0"
+            and pm.active_mesh() is None
+        )
+        rounds_fn = _gkr_rounds_mega if mega else _gkr_rounds_dfs
+        round_proofs, eval_point = rounds_fn(
             layers, first_eval_point, numerator_eval, denominator_eval,
             challenger,
         )

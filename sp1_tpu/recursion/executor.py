@@ -55,8 +55,15 @@ def _ext_inv(a):
     return tuple((c * ninv) % P for c in conj)
 
 
-def execute(program: prog.RecursionProgram, witness_stream) -> RecursionRecord:
-    """witness_stream: list of 4-tuples (canonical ints), in stream order."""
+def execute(program: prog.RecursionProgram, witness_stream,
+            check: bool = True) -> RecursionRecord:
+    """witness_stream: list of 4-tuples (canonical ints), in stream order.
+
+    check=False runs SHAPE-ONLY: assertion failures, non-boolean select
+    bits and divisions by zero are tolerated (zero results) so a zero
+    witness stream still yields a structurally-correct record — used to
+    build dummy proofs for shape-keying upper recursion levels
+    (reference role: crates/recursion/circuit/src/dummy/)."""
     if len(witness_stream) != program.num_witness:
         raise RecursionExecutionError(
             f"witness stream length {len(witness_stream)} != "
@@ -89,8 +96,11 @@ def execute(program: prog.RecursionProgram, witness_stream) -> RecursionRecord:
                 v = (a * b) % P
             else:  # DIV
                 if b == 0:
-                    raise RecursionExecutionError("felt division by zero")
-                v = (a * pow(b, P - 2, P)) % P
+                    if check:
+                        raise RecursionExecutionError("felt division by zero")
+                    v = 0
+                else:
+                    v = (a * pow(b, P - 2, P)) % P
             mem[out, 0] = v
         elif tag == prog.T_EXT:
             op, out, i1, i2 = (int(x) for x in extt[row, :4])
@@ -103,13 +113,18 @@ def execute(program: prog.RecursionProgram, witness_stream) -> RecursionRecord:
             elif op == MUL:
                 mem[out] = _ext_mul(a, b)
             else:  # DIV
-                mem[out] = _ext_mul(a, _ext_inv(b))
+                try:
+                    mem[out] = _ext_mul(a, _ext_inv(b))
+                except RecursionExecutionError:
+                    if check:
+                        raise
+                    mem[out] = (0, 0, 0, 0)
         elif tag == prog.T_CONST:
             addr = int(const[row, 0])
             vals = const[row, 1:5]
             recv = int(const[row, 6])
             if recv:
-                if not np.array_equal(mem[addr], vals):
+                if check and not np.array_equal(mem[addr], vals):
                     msg = program.const_msgs.get(row, "")
                     raise RecursionExecutionError(
                         f"assertion failed ({msg}): cell {addr} = "
@@ -130,7 +145,9 @@ def execute(program: prog.RecursionProgram, witness_stream) -> RecursionRecord:
             b_a, i1, i2, o1, o2 = (int(x) for x in select[row, :5])
             bit = int(mem[b_a, 0])
             if bit not in (0, 1):
-                raise RecursionExecutionError("select bit not boolean")
+                if check:
+                    raise RecursionExecutionError("select bit not boolean")
+                bit = 0
             mem[o1] = mem[i2] if bit else mem[i1]
             mem[o2] = mem[i1] if bit else mem[i2]
         elif tag == prog.T_BITS:
@@ -149,7 +166,7 @@ def execute(program: prog.RecursionProgram, witness_stream) -> RecursionRecord:
                     mem[f, 0] = mem[blk, i]
         elif tag == prog.T_COMMIT_PV:
             addr, idx = (int(x) for x in commit_pv[row, :2])
-            if np.any(mem[addr, 1:]):
+            if check and np.any(mem[addr, 1:]):
                 raise RecursionExecutionError("public value not a felt")
             pv[idx] = mem[addr, 0]
         else:

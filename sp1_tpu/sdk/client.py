@@ -58,7 +58,7 @@ class CpuProver:
     """
 
     def __init__(self, word_spec=None, max_log_row_count=16, config=None,
-                 shape=frozenset()):
+                 shape=frozenset(), recursion_fri=None):
         self.ws = word_spec or WordSpec(limb_bits=16)
         if max_log_row_count < self.ws.limb_bits:
             raise ValueError(
@@ -78,6 +78,12 @@ class CpuProver:
         self.machine = build_machine(self.ws, self.shape)
         self.shard_prover = mm.ShardProver(self.machine, self.config)
         self.shard_verifier = mm.ShardVerifier(self.machine, self.config)
+        # recursion-stage parameters for .compressed() (reference:
+        # RecursionSC, crates/prover/src/components.rs); tests may pass a
+        # smaller recursion_fri for fast runs.
+        self.recursion_fri = recursion_fri or FriConfig.core()
+        self.vk_map_root = None  # pinned on first compressed prove
+        self._pipeline = None
 
     # -- Prover trait ------------------------------------------------------
     def setup(self, program, pc_base: int = 0, memory_image=None, pc_start=None):
@@ -118,7 +124,17 @@ class CpuProver:
             syscall_counts=res.report.get("syscall_counts", {}),
         )
 
-    def prove(self, pk, stdin: list | None = None) -> SP1ProofWithPublicValues:
+    def prove(self, pk, stdin: list | None = None) -> "ProveRequest":
+        """Returns a proof request: `.core()` for per-shard proofs,
+        `.compressed()` for one aggregated recursion proof (reference:
+        crates/sdk/src/cpu/prove.rs request builder). The request itself
+        still quacks like a core proof (shard_proofs/public_values), so
+        `proof = client.prove(pk, stdin); client.verify(proof, vk)`
+        keeps working.
+        """
+        return ProveRequest(self, pk, stdin)
+
+    def _prove_core(self, pk, stdin) -> SP1ProofWithPublicValues:
         """Prove an execution, splitting into shards when it exceeds one.
 
         Each shard proves under a fresh transcript (the septic-digest
@@ -157,10 +173,67 @@ class CpuProver:
             shard_proofs=proofs, public_values=proofs[-1].public_values
         )
 
-    def verify(self, proof: SP1ProofWithPublicValues, vk) -> bool:
+    def _prove_compressed(self, pk, stdin):
+        """core shards -> normalize -> compose tree -> ONE proof."""
+        from .compressed import CompressedPipeline
+
+        core = self._prove_core(pk, stdin)
+        if self._pipeline is None:
+            self._pipeline = CompressedPipeline(
+                self.machine, self.config, fri=self.recursion_fri
+            )
+        proof = self._pipeline.prove(pk.vk, core.shard_proofs)
+        # pin the session's vk-map root: later verifies reject proofs
+        # built under any other program set
+        self.vk_map_root = proof.vk_map_root
+        return proof
+
+    def verify(self, proof, vk) -> bool:
         from ..prover import multi
 
+        if isinstance(proof, ProveRequest):
+            proof = proof.core()
+        if getattr(proof, "mode", "core") == "compressed":
+            from .compressed import verify_compressed
+
+            return verify_compressed(
+                proof, vk, self.recursion_fri,
+                expected_root=self.vk_map_root,
+            )
         return multi.verify_program(self.shard_verifier, vk, proof.shard_proofs)
+
+
+class ProveRequest:
+    """Deferred proof request (reference: CpuProveBuilder,
+    crates/sdk/src/cpu/prove.rs). `.core()` / `.compressed()` run the
+    pipeline; plain attribute access runs core mode lazily for
+    backward compatibility."""
+
+    def __init__(self, prover, pk, stdin):
+        self._prover = prover
+        self._pk = pk
+        self._stdin = stdin
+        self._core = None
+
+    def core(self) -> SP1ProofWithPublicValues:
+        if self._core is None:
+            self._core = self._prover._prove_core(self._pk, self._stdin)
+        return self._core
+
+    def compressed(self):
+        return self._prover._prove_compressed(self._pk, self._stdin)
+
+    @property
+    def shard_proofs(self):
+        return self.core().shard_proofs
+
+    @property
+    def public_values(self):
+        return self.core().public_values
+
+    @property
+    def mode(self):
+        return "core"
 
 
 class _Builder:
