@@ -47,6 +47,7 @@ def run_child(mode: str, timeout: float, mlrc: int, limb_bits: int):
     """Run one measurement in a subprocess; returns parsed JSON or None."""
     env = dict(os.environ)
     env["SP1_BENCH_CHILD"] = mode
+    env["SP1_BENCH_DEADLINE"] = str(time.time() + timeout - 30)
     env["SP1_BENCH_MLRC"] = str(mlrc)
     env["SP1_BENCH_LIMB_BITS"] = str(limb_bits)
     env["SP1_TPU_TIMING"] = "1"
@@ -74,14 +75,15 @@ def run_child(mode: str, timeout: float, mlrc: int, limb_bits: int):
     if proc.returncode != 0:
         print(f"[bench] {mode} child rc={proc.returncode}", file=sys.stderr)
         return None
+    result = None
     for line in proc.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                result = json.loads(line)  # LAST line wins (cumulative)
             except json.JSONDecodeError:
                 continue
-    return None
+    return result
 
 
 KECCAK_LOOP = """
@@ -132,7 +134,16 @@ sloop:
 
 
 def child_main(mode: str):
-    """The actual measurement (runs in a subprocess)."""
+    """The actual measurement (runs in a subprocess).
+
+    Workload suite (reference: crates/perf/README.md canonical runs):
+      fibonacci        — single shard at 2^mlrc cycles (primary metric)
+      fibonacci_2shard — 2-shard execution through the multi-shard
+                         splicing + septic chaining path
+      keccak           — keccak-f[1600] AIR at 2^14 rows ON DEVICE
+      sha_extend       — sha extend AIR at ~2^mlrc rows ON DEVICE
+    Each stage prints a cumulative JSON line — the LAST line always
+    carries every workload that finished inside the deadline."""
     import jax
 
     cache = ".jax_cache" if mode == "device" else ".jax_cache_cpu"
@@ -144,12 +155,14 @@ def child_main(mode: str):
     from sp1_tpu.pcs.basefold import FriConfig
     from sp1_tpu.pcs.jagged import JaggedConfig
     from sp1_tpu.prover import machine as mm
+    from sp1_tpu.prover import multi
     from sp1_tpu.riscv import tracegen
     from sp1_tpu.riscv.machine import WordSpec, build_machine
     from sp1_tpu.utils import timing
 
     mlrc = int(os.environ.get("SP1_BENCH_MLRC", "12"))
     limb_bits = int(os.environ.get("SP1_BENCH_LIMB_BITS", "16"))
+    deadline = float(os.environ.get("SP1_BENCH_DEADLINE", "0")) or None
     ws = WordSpec(limb_bits=limb_bits)
     config = JaggedConfig(
         FriConfig.core(),  # log_blowup=2, unique-decoding queries, 16-bit PoW
@@ -162,32 +175,44 @@ def child_main(mode: str):
 
     t_begin = time.time()
 
-    def prove_workload(name, src_asm, inputs):
-        """Prove one workload shard; returns its kHz + executor MHz."""
+    def budget_left() -> float:
+        return (deadline - time.time()) if deadline else float("inf")
+
+    machine = build_machine(ws)
+    prover = mm.ShardProver(machine, config)
+    verifier = mm.ShardVerifier(machine, config)
+
+    def executor_mhz() -> float:
+        """Pure-execution throughput (reference metric: perf README
+        executor MHz — the minimal-executor mode) on a 12M-cycle run."""
+        t0 = time.time()
+        r = native.execute(
+            asm.assemble(asm.FIBONACCI), inputs=[2_000_000],
+            max_cycles=1 << 28, record_events=False,
+        )
+        return r.cycles / (time.time() - t0) / 1e6
+
+    def prove_workload(name, src_asm, inputs, warm=False):
+        """Prove one workload shard; returns its kHz."""
         prog_w = asm.assemble(src_asm)
-        t_ex = time.time()
         res_w = native.execute(prog_w, inputs=inputs)
-        ex_secs = max(time.time() - t_ex, 1e-9)
         traces_w, prep_w = tracegen.generate_traces(res_w, prog_w, 0, ws, mlrc)
-        machine_w = build_machine(ws)
-        prover_w = mm.ShardProver(machine_w, config)
-        pk_w = prover_w.setup(preprocessed_traces=prep_w)
+        pk_w = prover.setup(preprocessed_traces=prep_w)
         pv_w = tracegen.make_public_values(res_w, 0, ws, traces=traces_w)
-        ch_w = DuplexChallenger()
-        pk_w.vk.observe_into(ch_w)
-        t0_w = time.time()
-        proof_w = prover_w.prove_shard(pk_w, traces_w, pv_w, ch_w)
-        dt_w = time.time() - t0_w
-        verifier_w = mm.ShardVerifier(machine_w, config)
+        for _timed in ((False, True) if warm else (True,)):
+            ch_w = DuplexChallenger()
+            pk_w.vk.observe_into(ch_w)
+            t0_w = time.time()
+            proof_w = prover.prove_shard(pk_w, traces_w, pv_w, ch_w)
+            dt_w = time.time() - t0_w
         vch_w = DuplexChallenger()
         pk_w.vk.observe_into(vch_w)
-        assert verifier_w.verify_shard(pk_w.vk, proof_w, vch_w), f"{name} reject"
+        assert verifier.verify_shard(pk_w.vk, proof_w, vch_w), f"{name} reject"
         progress(f"workload {name}: {res_w.cycles} cycles in {dt_w:.1f}s")
         return {
             "cycles": int(res_w.cycles),
             "prove_secs": round(dt_w, 3),
             "khz": round(res_w.cycles / dt_w / 1e3, 4),
-            "executor_mhz": round(res_w.cycles / ex_secs / 1e6, 3),
         }
 
     prog = asm.assemble(asm.FIBONACCI)
@@ -196,8 +221,6 @@ def child_main(mode: str):
     res = native.execute(prog, inputs=[n_iters])
     traces, prep = tracegen.generate_traces(res, prog, 0, ws, mlrc)
     progress(f"traces generated ({res.cycles} cycles)")
-    machine = build_machine(ws)
-    prover = mm.ShardProver(machine, config)
     pk = prover.setup(preprocessed_traces=prep)
     progress("setup done (preprocessed commit)")
 
@@ -220,7 +243,6 @@ def child_main(mode: str):
     print(f"prove_secs={prove_secs:.3f} cycles={res.cycles} mlrc={mlrc} "
           f"limb_bits={limb_bits}", file=sys.stderr)
 
-    verifier = mm.ShardVerifier(machine, config)
     vch = DuplexChallenger()
     pk.vk.observe_into(vch)
     assert verifier.verify_shard(pk.vk, proof, vch), "proof failed to verify"
@@ -231,22 +253,56 @@ def child_main(mode: str):
         "value": round(khz, 4),
         "unit": "kHz",
         "vs_baseline": round(khz / BASELINE_KHZ, 6),
+        "executor_mhz": round(executor_mhz(), 1),
         "workloads": {
             "fibonacci": {"cycles": int(res.cycles),
                           "prove_secs": round(prove_secs, 3),
                           "khz": round(khz, 4)},
         },
     }
-    if mode == "host":
-        # multi-workload suite: keccak + sha-extend shards (host shapes)
-        n_kec = max(((1 << mlrc) // 24) // 4, 1)
-        out["workloads"]["keccak"] = prove_workload(
-            "keccak", KECCAK_LOOP, [n_kec]
-        )
-        n_sha = max(((1 << mlrc) // 48) // 4, 1)
-        out["workloads"]["sha_extend"] = prove_workload(
-            "sha_extend", SHA_LOOP, [n_sha]
-        )
+    print(json.dumps(out), flush=True)  # primary metric is now safe
+
+    # -- multi-workload suite -----------------------------------------------
+    warm = mode == "device"
+    if budget_left() > 900:
+        try:
+            # 2-shard fibonacci: multi-shard splicing + septic chaining
+            n2 = (2 * (1 << mlrc) - 9) // 6
+            res2 = native.execute(prog, inputs=[n2], max_cycles=1 << 28)
+            t0 = time.time()
+            proofs2 = multi.prove_program(prover, pk, res2, prog, 0, ws, mlrc)
+            dt2 = time.time() - t0
+            assert multi.verify_program(verifier, pk.vk, proofs2)
+            out["workloads"]["fibonacci_2shard"] = {
+                "cycles": int(res2.cycles),
+                "prove_secs": round(dt2, 3),
+                "khz": round(res2.cycles / dt2 / 1e3, 4),
+                "shards": len(proofs2),
+            }
+            progress(f"fibonacci_2shard: {res2.cycles} cycles in {dt2:.1f}s")
+            print(json.dumps(out), flush=True)
+        except Exception as e:  # keep earlier results on stage failure
+            progress(f"fibonacci_2shard failed: {e}")
+    if budget_left() > 1200:
+        try:
+            # keccak AIR at up to 2^14 rows (24 rows/permute); the keccak
+            # trace is 4017 columns wide, so rows cap below the shard max
+            n_kec = max((1 << max(min(14, mlrc - 2), 5)) // 24, 1)
+            out["workloads"]["keccak"] = prove_workload(
+                "keccak", KECCAK_LOOP, [n_kec], warm=warm
+            )
+            print(json.dumps(out), flush=True)
+        except Exception as e:
+            progress(f"keccak failed: {e}")
+    if budget_left() > 900:
+        try:
+            n_sha = max(((1 << min(mlrc, 16)) // 48) // (1 if mode == "device" else 4), 1)
+            out["workloads"]["sha_extend"] = prove_workload(
+                "sha_extend", SHA_LOOP, [n_sha], warm=warm
+            )
+            print(json.dumps(out), flush=True)
+        except Exception as e:
+            progress(f"sha_extend failed: {e}")
     print(json.dumps(out))
 
 

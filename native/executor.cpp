@@ -680,7 +680,7 @@ bool step(VM& vm) {
                     if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
-            } else if (id >= 11 && id <= 17) {
+            } else if (id >= 11 && id <= 21) {
                 // Curve / uint256 precompiles (reference roles:
                 // syscalls/precompiles/{edwards/add.rs, weierstrass/add.rs,
                 // weierstrass/double.rs, uint256/mod.rs}).
@@ -696,7 +696,10 @@ bool step(VM& vm) {
                     case 14: n_read = 12; n_write = 4; break;  // uint256_mul
                     case 16: n_read = 5;  n_write = 4; break;  // ed_decompress
                     case 17: n_read = 5;  n_write = 4; break;  // secp256k1_decompress
-                    default: n_read = 16; n_write = 8; break;  // bn254_add
+                    case 19: n_read = 8;  n_write = 8; break;  // secp256r1_double
+                    case 20: n_read = 5;  n_write = 4; break;  // secp256r1_decompress
+                    case 21: n_read = 8;  n_write = 8; break;  // bn254_double
+                    default: n_read = 16; n_write = 8; break;  // *_add (15, 18)
                 }
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
@@ -751,11 +754,19 @@ bool step(VM& vm) {
                     static const U256 PBN254 = {{0x3C208C16D87CFD47ULL,
                         0x97816A916871CA8DULL, 0xB85045B68181585DULL,
                         0x30644E72E131A029ULL}};
+                    // NIST P-256 (secp256r1) base field + a = -3, b
+                    static const U256 PR1 = {{0xFFFFFFFFFFFFFFFFULL,
+                        0x00000000FFFFFFFFULL, 0x0000000000000000ULL,
+                        0xFFFFFFFF00000001ULL}};
+                    static const U256 R1_B = {{0x3BCE3C3E27D2604BULL,
+                        0x651D06B0CC53B0F6ULL, 0xB3EBBD55769886BCULL,
+                        0x5AC635D8AA3A93E7ULL}};
                     static const U256 ED_D = {{0x75EB4DCA135978A3ULL,
                         0x00700A4D4141D8ABULL, 0x8CC740797779E898ULL,
                         0x52036CEE2B6FFE73ULL}};
                     const U256& P = (id == 11 || id == 16) ? P25519
-                                  : (id == 15) ? PBN254 : PSECP;
+                                  : (id == 15 || id == 21) ? PBN254
+                                  : (id >= 18 && id <= 20) ? PR1 : PSECP;
                     U256 x3, y3;
                     if (id == 16) {
                         // ed25519 decompress: cells [sign, y(4)] -> x(4)
@@ -818,13 +829,35 @@ bool step(VM& vm) {
                                          u256_modinv(dp, P), P);
                         y3 = u256_modmul(u256_modadd(y1y2, x1x2, P),
                                          u256_modinv(dm, P), P);
-                    } else if (id == 13) {
-                        // Weierstrass double (secp256k1, a = 0)
+                    } else if (id == 20) {
+                        // secp256r1 decompress: y^2 = x^3 - 3x + b
+                        uint64_t sign = in[0];
+                        if (sign > 1) return false;
+                        U256 x;
+                        for (int i = 0; i < 4; i++) x.w[i] = in[1 + i];
+                        U256 xx = u256_modmul(x, x, P);
+                        U256 three; three.w[0] = 3;
+                        U256 ax = u256_modsub(U256{}, u256_modmul(three, x, P), P);
+                        U256 rhs = u256_modadd(
+                            u256_modadd(u256_modmul(xx, x, P), ax, P), R1_B, P);
+                        U256 one; one.w[0] = 1;
+                        U256 e = u256_shr(u256_add_small(P, 1), 2);  // (p+1)/4
+                        U256 y = u256_modpow(rhs, e, P);
+                        if (u256_cmp(u256_modmul(y, y, P), rhs) != 0)
+                            return false;  // x not on curve
+                        if (y.w[0] & 1) y = u256_sub(P, y);
+                        if (sign && !u256_is_zero(y)) y = u256_sub(P, y);
+                        for (int i = 0; i < 4; i++) out[i] = y.w[i];
+                        x3 = y; y3 = y;
+                    } else if (id == 13 || id == 19 || id == 21) {
+                        // Weierstrass double (a = 0 for k1/bn254, -3 for r1)
                         U256 x = getu(0), y = getu(4);
                         if (u256_is_zero(y)) return false;
                         U256 xx = u256_modmul(x, x, P);
                         U256 three; three.w[0] = 3;
                         U256 num = u256_modmul(three, xx, P);
+                        if (id == 19)
+                            num = u256_modsub(num, three, P);  // + a = -3
                         U256 two; two.w[0] = 2;
                         U256 den = u256_modmul(two, y, P);
                         U256 s = u256_modmul(num, u256_modinv(den, P), P);

@@ -45,7 +45,7 @@ def main():
     prog = asm.assemble(asm.FIBONACCI)
     pk, vk = client.setup(prog)
     # ~3 shards at 2^9 rows: 6 cycles/iter
-    n_iters = (3 * (1 << 9) - 30) // 6
+    n_iters = (2 * (1 << 9) - 30) // 6
     t0 = time.time()
     req = client.prove(pk, stdin=[n_iters])
     core = req.core()

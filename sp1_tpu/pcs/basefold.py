@@ -436,13 +436,36 @@ def _prove_trusted_evaluations_dfs(
 
     from ..iop.dchallenger import _unshard
     from ..ops.poseidon2 import RATE
+    from ..parallel import mesh as pm
 
-    current_mle = _unshard(current_mle)
-    current_code = _unshard(current_code)
+    mesh = pm.active_mesh()
+    nd = pm.mesh_size(mesh) if mesh is not None else 1
+    if mesh is not None and int(current_code.shape[0]) % nd == 0:
+        # SURVEY §2.8.7: shard the opening's row dimension over the mesh
+        # and let GSPMD partition the fused round kernels — folds pair
+        # adjacent rows (device-local under MSB row sharding), the NTT
+        # stages and Merkle top levels lower to ICI collectives, and the
+        # sponge state rides fully replicated. Bit-identical transcripts
+        # (placement only; test_mesh asserts proof equality).
+        current_mle = jax.device_put(
+            current_mle, pm.row_sharding(mesh, current_mle.ndim)
+        )
+        current_code = jax.device_put(
+            current_code, pm.row_sharding(mesh, current_code.ndim)
+        )
+        claim_m = pm.replicate(jnp.asarray(claim_m), mesh)
+        tch.state = pm.replicate(tch.state, mesh)
+        tch._segs = [
+            (pm.replicate(jnp.asarray(a).reshape(-1), mesh), n)
+            for a, n in tch._segs
+        ]
+    else:
+        current_mle = _unshard(current_mle)
+        current_code = _unshard(current_code)
     point_m = jnp.asarray(_to_monty_np(eval_point))
     messages_h, root_handles, fri_trees = [], [], []
     tch.observe(num_vars)
-    group = int(os.environ.get("SP1_TPU_BF_GROUP", "24"))
+    group = int(os.environ.get("SP1_TPU_BF_GROUP", "6"))
     _bf_rounds_span = timing.span("bf_rounds")
     _bf_rounds_span.__enter__()
     r = 0
@@ -483,6 +506,10 @@ def _prove_trusted_evaluations_dfs(
             )
         r += rounds
     _bf_rounds_span.__exit__(None, None, None)
+    if mesh is not None:
+        # leave the sharded region: the sponge state must not stay
+        # mesh-replicated (later absorbs mix it with device-0 values)
+        tch.state = _unshard(tch.state)
 
     final_poly_h = _from_monty_jit(current_code[0])
     tch.observe_slice(final_poly_h)

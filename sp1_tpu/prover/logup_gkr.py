@@ -696,13 +696,14 @@ _GKR_MEGA = {}
 
 
 def _gkr_mega_kernel(layer_shapes: tuple, nbuf0: int, out_left0: int):
-    """The ENTIRE GKR round loop in ONE jit: per layer lam sample, eq
-    table, packed-table build, every (shrinking) sumcheck round with the
-    inline sponge, the [n0,n1,d0,d1] observation and the last_coord
-    sample — unrolled over all layers. On the remote-tunnel TPU each of
-    the ~200 kernels this replaces costs ~100ms of fixed execution
-    latency; one fused dispatch removes all of it (same pattern as the
-    jagged-eval mega-kernel, pcs/jagged.py _je_fused_kernel)."""
+    """A GROUP of GKR layers in ONE jit: per layer lam sample, eq table,
+    packed-table build, every (shrinking) sumcheck round with the inline
+    sponge, the [n0,n1,d0,d1] observation and the last_coord sample. On
+    the remote-tunnel TPU each of the ~200 kernels this replaces costs
+    ~100ms of fixed execution latency (same pattern as the jagged-eval
+    mega-kernel, pcs/jagged.py _je_fused_kernel). Layers are grouped
+    (SP1_TPU_GKR_GROUP) because a single all-layers program was big
+    enough to OOM-kill the remote TPU compiler."""
     key = (layer_shapes, nbuf0, out_left0)
     cached = _GKR_MEGA.get(key)
     if cached is not None:
@@ -765,7 +766,8 @@ def _gkr_mega_kernel(layer_shapes: tuple, nbuf0: int, out_left0: int):
                 (tuple(msgs), tuple(alphas), kb.from_monty(claim_m),
                  coeffs_m, comp_c, last_coord)
             )
-        return (sponge.state, sponge._buf, tuple(out), eval_point_c)
+        return (sponge.state, sponge._buf, tuple(out), eval_point_c,
+                num_m, den_m)
 
     meta = (kernel,)
     _GKR_MEGA[key] = meta
@@ -779,27 +781,50 @@ def _gkr_rounds_mega(
     from ..iop.dchallenger import RATE, TraceChallenger
     from ..utils.fetch import batch_fetch
 
+    import os as _os
+
     tch = TraceChallenger.from_host(challenger)
     order = list(range(len(layers) - 2, -1, -1))
-    dev_layers = tuple(
-        (layers[j][0], layers[j][1]) for j in order
-    )
-    shapes = tuple(tuple(l[0].shape) for l in dev_layers)
-    (kernel,) = _gkr_mega_kernel(shapes, tch._nbuf, tch._out_left)
+    dev_layers = [(layers[j][0], layers[j][1]) for j in order]
+    # group layers by ROUND budget: program size (and remote-compiler
+    # memory) scales with the number of unrolled round bodies
+    budget = int(_os.environ.get("SP1_TPU_GKR_ROUND_BUDGET", "24"))
+    groups, cur, acc = [], [], 0
+    for pair in dev_layers:
+        r = int(pair[0].shape[0]).bit_length() - 2  # rounds of this layer
+        if cur and acc + r > budget:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(pair)
+        acc += r
+    if cur:
+        groups.append(cur)
+    eval_point_c = jnp.asarray(np.asarray(first_eval_point, np.uint32))
+    num_m = jnp.asarray(_to_monty_np(numerator_eval))
+    den_m = jnp.asarray(_to_monty_np(denominator_eval))
+    out = []
     with timing.span("rounds_enqueue"):
-        state, buf, out, _ = kernel(
-            tch.state,
-            tch._buf_array(),
-            dev_layers,
-            jnp.asarray(np.asarray(first_eval_point, np.uint32)),
-            jnp.asarray(_to_monty_np(numerator_eval)),
-            jnp.asarray(_to_monty_np(denominator_eval)),
-        )
-    nbuf = int(buf.shape[0])
-    tch.state = state
-    tch._segs = [(buf, nbuf)] if nbuf else []
-    tch._nbuf = nbuf
-    tch._out_left = RATE - 4  # every layer ends on a sample_vec(4)
+        for chunk in groups:
+            chunk = tuple(chunk)
+            shapes = (
+                tuple(tuple(l[0].shape) for l in chunk),
+                int(eval_point_c.shape[0]),
+            )
+            (kernel,) = _gkr_mega_kernel(shapes, tch._nbuf, tch._out_left)
+            state, buf, got, eval_point_c, num_m, den_m = kernel(
+                tch.state,
+                tch._buf_array(),
+                chunk,
+                eval_point_c,
+                num_m,
+                den_m,
+            )
+            nbuf = int(buf.shape[0])
+            tch.state = state
+            tch._segs = [(buf, nbuf)] if nbuf else []
+            tch._nbuf = nbuf
+            tch._out_left = RATE - 4  # every layer ends on a sample_vec(4)
+            out.extend(got)
 
     handles, spans = [], []
     for msgs, alphas, claim_c, coeffs_m, comp_c, last_coord in out:

@@ -45,6 +45,10 @@ SYSCALL_SECP256K1_ADD = 12
 SYSCALL_SECP256K1_DOUBLE = 13
 SYSCALL_UINT256_MUL = 14
 SYSCALL_BN254_ADD = 15
+SYSCALL_SECP256R1_ADD = 18
+SYSCALL_SECP256R1_DOUBLE = 19
+SYSCALL_SECP256R1_DECOMPRESS = 20
+SYSCALL_BN254_DOUBLE = 21
 # window length = reads + writes (virtual cycles consumed after the ecall)
 
 
@@ -749,6 +753,26 @@ class Bn254AddChip(WeierstrassAddChip):
     FP = fo.BN254_FP
 
 
+class Secp256r1AddChip(WeierstrassAddChip):
+    name = "Secp256r1Add"
+    SYSCALL_ID = SYSCALL_SECP256R1_ADD
+    FP = fo.SECP256R1_FP
+
+
+class Secp256r1DoubleChip(WeierstrassDoubleChip):
+    name = "Secp256r1Double"
+    SYSCALL_ID = SYSCALL_SECP256R1_DOUBLE
+    FP = fo.SECP256R1_FP
+    A = fo.SECP256R1_A
+
+
+class Bn254DoubleChip(WeierstrassDoubleChip):
+    name = "Bn254Double"
+    SYSCALL_ID = SYSCALL_BN254_DOUBLE
+    FP = fo.BN254_FP
+    A = fo.BN254_A
+
+
 class Uint256MulChip(_BlockChip):
     """uint256 modular multiplication: x = x * y mod m (uint256/air.rs).
 
@@ -1067,6 +1091,134 @@ class Secp256k1DecompressChip(_BlockChip):
             row64, L,
             [(+1, L32(xx), L32(x)), (+1, L32(fo.SECP256K1_B)), (-1, L32(rhs))],
             rhs, (xx * x + fo.SECP256K1_B) // p,
+        )
+        y = pow(rhs, (p + 1) // 4, p)  # p = 3 mod 4
+        assert y * y % p == rhs, "not a square (invalid x)"
+        if y & 1:
+            y = p - y
+        self.yy.populate(
+            row64, L, [(+1, L32(y), L32(y)), (-1, L32(rhs))], rhs, (y * y) // p
+        )
+        negy = (p - y) % p
+        self.negy.populate(
+            row64, L, [(+1, L32(y)), (+1, L32(negy)), (-1, L32(0))],
+            negy, (y + negy) // p,
+        )
+        yout = negy if sign else y
+        row64[L["yroot"]] = L32(y)
+        row64[L["yout"]] = L32(yout)
+        self.ylt.populate(row64, L, yout)
+        return [(yout >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+
+
+class Secp256r1DecompressChip(_BlockChip):
+    """secp256r1 (NIST P-256) decompression (weierstrass decompress.rs).
+
+    y^2 = x^3 + a x + b with a = -3; like Secp256k1Decompress plus the
+    a*x product block. ABI (cells): 0 = sign, 1..4 = x; y -> cells 5..8.
+    """
+
+    name = "Secp256r1Decompress"
+    SYSCALL_ID = SYSCALL_SECP256R1_DECOMPRESS
+    N_READ = 5
+    N_WRITE = 4
+    FP = fo.SECP256R1_FP
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.xx = self._add_block(c, "xx", fp)      # x^2
+        self.ax = self._add_block(c, "ax", fp)      # a * x
+        self.rhs = self._add_block(c, "rhs", fp)    # x^3 + a x + b
+        self.yy = self._add_block(c, "yy", fp)      # y^2 (must equal rhs)
+        self.negy = self._add_block(c, "negy", fp)  # p - y
+        self.ylt = self._add_lt(c, "ylt", fp)
+        c.cols("yroot", fp.nb)
+        c.cols("yout", fp.nb)
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        inb = g("inb")
+        sign = inb[0]
+        x = inb[8:40]
+        fp = self.FP
+        f.assert_zero(ops.mul(gate, ops.mul(sign, ops.sub(sign, ops.one()))))
+        for b in inb[1:8]:
+            f.assert_zero(ops.mul(gate, b))
+        y = g("yroot")
+        self.xx.eval_mul(f, g, gate, x, x)
+        a_l = int_to_limbs(fo.SECP256R1_A, fp.nb)
+        self.ax.eval_mul(f, g, gate, a_l, x)
+        b_l = int_to_limbs(fo.SECP256R1_B, fp.nb)
+
+        def build_rhs(vb, r):
+            vb.add_prod(self._res(g, self.xx), x)
+            vb.add_poly(self._res(g, self.ax))
+            vb.add_poly(b_l)
+            vb.add_poly(r, -1)
+
+        self.rhs._vanish(f, g, gate, build_rhs)
+        self.yy.eval_mul(f, g, gate, y, y)
+        for a, b in zip(self._res(g, self.yy), self._res(g, self.rhs)):
+            f.assert_zero(ops.mul(gate, ops.sub(a, b)))
+        rn, crn, wn = self.negy.syms(g)
+        vbn = fo.VanishingBuilder(ops, fp)
+        vbn.add_poly(y)
+        vbn.add_poly(rn)
+        vbn.add_prod(crn, fp.modulus_limbs, sign=-1)
+        vbn.constrain(f, gate, wn)
+        yout = g("yout")
+        for i in range(fp.nb):
+            sel = ops.add(
+                ops.mul(ops.sub(ops.one(), sign), y[i]),
+                ops.mul(sign, rn[i]),
+            )
+            f.assert_zero(ops.mul(gate, ops.sub(yout[i], sel)))
+        self.ylt.eval(f, g, gate, yout)
+
+    def u8_check_slices(self, L) -> list:
+        return super().u8_check_slices(L) + [L["yroot"], L["yout"]]
+
+    def extra_sends(self, is_real) -> list:
+        out = super().extra_sends(is_real)
+        out.extend(
+            self._u8_sends(
+                list(range(self.layout["yroot"].start, self.layout["yroot"].stop))
+                + list(range(self.layout["yout"].start, self.layout["yout"].stop)),
+                is_real,
+            )
+        )
+        return out
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        base = self.layout["yout"].start + cell * 8 + limb * 2
+        return Affine(0, ((main_col(base), 1), (main_col(base + 1), 256)))
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        sign = int(in_bytes[0])
+        x = limbs_to_int(in_bytes[8:40])
+        nb = fp.nb
+
+        def L32(v):
+            return int_to_limbs(v, nb)
+
+        xx = x * x % p
+        self.xx.populate(
+            row64, L, [(+1, L32(x), L32(x)), (-1, L32(xx))], xx, (x * x) // p
+        )
+        a = fo.SECP256R1_A
+        ax = a * x % p
+        self.ax.populate(
+            row64, L, [(+1, L32(a), L32(x)), (-1, L32(ax))], ax, (a * x) // p
+        )
+        rhs = (xx * x + ax + fo.SECP256R1_B) % p
+        self.rhs.populate(
+            row64, L,
+            [(+1, L32(xx), L32(x)), (+1, L32(ax)), (+1, L32(fo.SECP256R1_B)),
+             (-1, L32(rhs))],
+            rhs, (xx * x + ax + fo.SECP256R1_B) // p,
         )
         y = pow(rhs, (p + 1) // 4, p)  # p = 3 mod 4
         assert y * y % p == rhs, "not a square (invalid x)"

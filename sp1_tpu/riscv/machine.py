@@ -129,6 +129,10 @@ PRECOMPILE_FLAGS = [
     ("is_bn254_add", 15, 24, True),
     ("is_ed_decompress", 16, 9, True),
     ("is_secp256k1_decompress", 17, 9, True),
+    ("is_secp256r1_add", 18, 24, True),
+    ("is_secp256r1_double", 19, 16, True),
+    ("is_secp256r1_decompress", 20, 9, True),
+    ("is_bn254_double", 21, 16, True),
 ]
 
 
@@ -2523,6 +2527,10 @@ SHAPE_SYSCALLS = {
     15: "bn254_add",
     16: "ed25519_decompress",
     17: "secp256k1_decompress",
+    18: "secp256r1_add",
+    19: "secp256r1_double",
+    20: "secp256r1_decompress",
+    21: "bn254_double",
 }
 
 
@@ -2561,6 +2569,12 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
         )
 
         from .curvechip import EdDecompressChip, Secp256k1DecompressChip
+        from .curvechip import (
+            Bn254DoubleChip,
+            Secp256r1AddChip,
+            Secp256r1DecompressChip,
+            Secp256r1DoubleChip,
+        )
 
         by_name = {
             "ed25519": EdAddChip,
@@ -2570,6 +2584,10 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
             "bn254_add": Bn254AddChip,
             "ed25519_decompress": EdDecompressChip,
             "secp256k1_decompress": Secp256k1DecompressChip,
+            "secp256r1_add": Secp256r1AddChip,
+            "secp256r1_double": Secp256r1DoubleChip,
+            "secp256r1_decompress": Secp256r1DecompressChip,
+            "bn254_double": Bn254DoubleChip,
         }
         unknown = shape - set(by_name)
         if unknown:

@@ -395,10 +395,11 @@ def px_row_ops(kind: int, step: int) -> tuple:
         if step < 25:
             return 1, False
         return (0, False) if step < 49 else (0, True)
-    if kind in (11, 12, 13, 14, 15, 16, 17):
+    if kind in (11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21):
         # curve/uint256 calls: N_READ single-read steps then write steps
         # (curvechip.py CallChip window layout)
-        n_read = {11: 16, 12: 16, 13: 8, 14: 12, 15: 16, 16: 5, 17: 5}[kind]
+        n_read = {11: 16, 12: 16, 13: 8, 14: 12, 15: 16, 16: 5, 17: 5,
+                  18: 16, 19: 8, 20: 5, 21: 8}[kind]
         return (1, False) if step < n_read else (0, True)
     raise ValueError(f"unknown precompile kind {kind}")
 
@@ -1576,17 +1577,23 @@ def generate_traces(
     if ws.limb_bits == 16:
         from .curvechip import (
             Bn254AddChip,
+            Bn254DoubleChip,
             EdAddChip,
             EdDecompressChip,
             Secp256k1AddChip,
             Secp256k1DecompressChip,
             Secp256k1DoubleChip,
+            Secp256r1AddChip,
+            Secp256r1DecompressChip,
+            Secp256r1DoubleChip,
             Uint256MulChip,
         )
 
         for cls in (EdAddChip, Secp256k1AddChip, Secp256k1DoubleChip,
                     Uint256MulChip, Bn254AddChip, EdDecompressChip,
-                    Secp256k1DecompressChip):
+                    Secp256k1DecompressChip, Secp256r1AddChip,
+                    Secp256r1DoubleChip, Secp256r1DecompressChip,
+                    Bn254DoubleChip):
             cpx = _kind_px(cls.SYSCALL_ID)
             if cpx is None:
                 continue

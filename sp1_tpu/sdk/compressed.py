@@ -22,6 +22,7 @@ crates/recursion/circuit/src/dummy/).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -66,6 +67,7 @@ def _shape_key(proof) -> tuple:
 
 def _dummy_shape_proof(rp: RecursionProver):
     """Structurally-correct (invalid) proof of rp's program shape."""
+    _log(f"dummy shape prove (witness {rp.program.num_witness})")
     stream = [(0, 0, 0, 0)] * rp.program.num_witness
     record = execute(rp.program, stream, check=False)
     traces = rtracegen.main_traces(
@@ -76,6 +78,15 @@ def _dummy_shape_proof(rp: RecursionProver):
     return rp.prover.prove_shard(
         rp.pk, traces, [int(v) for v in record.public_values], ch
     )
+
+
+def _log(msg: str):
+    if os.environ.get("SP1_TPU_COMPRESS_LOG", "0") == "1":
+        import sys
+        import time
+
+        print(f"[compress {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
 
 
 class CompressedPipeline:
@@ -97,18 +108,24 @@ class CompressedPipeline:
         key = _shape_key(proof)
         rp = self._normalize.get(key)
         if rp is None:
+            _log(f"compile normalize program (shape {hash(key) & 0xffff:04x})")
             program = rcompile.build_shard_verify_program(
                 self.machine, self.config, proof
             )
+            _log(f"normalize program: {program.counts()}")
             rp = RecursionProver(program, fri=self.fri)
+            _log("normalize prover setup done")
             self._normalize[key] = rp
         return key, rp
 
     def compose_prover(self, child_keys: tuple, child_specs: list):
         entry = self._compose.get(child_keys)
         if entry is None:
+            _log(f"compile compose program ({len(child_specs)} children)")
             program = rt.build_riscv_compose_program(child_specs)
+            _log(f"compose program: {program.counts()}")
             rp = RecursionProver(program, fri=self.fri)
+            _log("compose prover setup done")
             entry = (rp, None)
             self._compose[child_keys] = entry
         return entry[0]
@@ -116,6 +133,7 @@ class CompressedPipeline:
     def compose_dummy(self, child_keys: tuple):
         rp, dummy = self._compose[child_keys]
         if dummy is None:
+            _log("compose dummy shape proof")
             dummy = _dummy_shape_proof(rp)
             self._compose[child_keys] = (rp, dummy)
         return dummy
@@ -130,6 +148,7 @@ class CompressedPipeline:
         for proof in core_proofs:
             key, rp = self.normalize_prover(proof)
             leaves.append((key, rp, proof))
+        _log(f"{len(leaves)} leaves, {len(self._normalize)} normalize shapes")
 
         # 2. plan the whole tree STRUCTURALLY first, collecting every
         # program's vk for the session vk map.
@@ -172,7 +191,8 @@ class CompressedPipeline:
 
         # 4. prove bottom-up
         items = []
-        for key, rp, proof in leaves:
+        for i, (key, rp, proof) in enumerate(leaves):
+            _log(f"normalize prove {i + 1}/{len(leaves)}")
             stream = rcompile.shard_witness_stream(core_vk, proof)
             nproof = rp.prove(stream)
             items.append((rt.NORMALIZE, ("n", key), rp, nproof))
@@ -208,6 +228,7 @@ class CompressedPipeline:
             (kind, crp.vk, cproof, vk_index(crp.vk))
             for kind, _, crp, cproof in group
         ]
+        _log(f"compose prove ({len(group)} children)")
         stream = rt.riscv_compose_witness_stream(children_rt, vk_map)
         cproof = self._prove_node(ckey, rp, stream)
         return (rt.COMPOSE, ckey, rp, cproof)

@@ -181,6 +181,53 @@ class TestBn254:
         run_and_check(15, 16, 8, inputs, out, frozenset({"bn254_add"}))
 
 
+R1_G = (
+    0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+    0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+)
+PR1 = fo.SECP256R1_FP.modulus
+
+
+class TestSecp256r1:
+    def test_double(self):
+        g2 = ws_double(R1_G, PR1, a=fo.SECP256R1_A)
+        assert on_ws_curve(g2, PR1, fo.SECP256R1_A, fo.SECP256R1_B)
+        inputs = dwords(R1_G[0]) + dwords(R1_G[1])
+        out = dwords(g2[0]) + dwords(g2[1])
+        run_and_check(19, 8, 8, inputs, out, frozenset({"secp256r1_double"}))
+
+    def test_add(self):
+        g2 = ws_double(R1_G, PR1, a=fo.SECP256R1_A)
+        g3 = ws_add(R1_G, g2, PR1)
+        assert on_ws_curve(g3, PR1, fo.SECP256R1_A, fo.SECP256R1_B)
+        inputs = (dwords(R1_G[0]) + dwords(R1_G[1]) + dwords(g2[0])
+                  + dwords(g2[1]))
+        out = dwords(g3[0]) + dwords(g3[1])
+        run_and_check(18, 16, 8, inputs, out, frozenset({"secp256r1_add"}))
+
+    def test_decompress(self):
+        x, y = R1_G
+        sign = y & 1  # desired parity selects +-root
+        root = pow((x * x * x + fo.SECP256R1_A * x + fo.SECP256R1_B) % PR1,
+                   (PR1 + 1) // 4, PR1)
+        if root & 1:
+            root = PR1 - root
+        want = PR1 - root if sign else root
+        assert want in (y, PR1 - y)
+        inputs = [sign] + dwords(x)  # sign cell then x (ABI: 5 cells)
+        run_and_check(20, 5, 4, inputs, dwords(want),
+                      frozenset({"secp256r1_decompress"}))
+
+
+class TestBn254Double:
+    def test_double(self):
+        g2 = ws_double(BN_G, PBN)
+        assert on_ws_curve(g2, PBN, 0, 3)
+        inputs = dwords(BN_G[0]) + dwords(BN_G[1])
+        out = dwords(g2[0]) + dwords(g2[1])
+        run_and_check(21, 8, 8, inputs, out, frozenset({"bn254_double"}))
+
+
 class TestUint256:
     def test_mul_mod_m(self):
         x = 0xDEADBEEF_12345678_9ABCDEF0_FEDCBA98_76543210_0F1E2D3C_4B5A6978_8796A5B4
