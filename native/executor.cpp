@@ -214,6 +214,106 @@ inline U256 u256_add_small(const U256& a, uint64_t v) {
     return r;
 }
 
+// ---------------------------------------------------------------------------
+// Generic NW-word big integers for the 384-bit curve precompiles
+// (bls12-381; reference role: crates/curves/src/weierstrass/bls12_381.rs).
+// ---------------------------------------------------------------------------
+
+template <int NW> struct UBig { uint64_t w[NW] = {0}; };
+
+template <int NW> inline bool ub_is_zero(const UBig<NW>& a) {
+    uint64_t acc = 0;
+    for (int i = 0; i < NW; i++) acc |= a.w[i];
+    return acc == 0;
+}
+
+template <int NW> inline int ub_cmp(const UBig<NW>& a, const UBig<NW>& b) {
+    for (int i = NW - 1; i >= 0; i--)
+        if (a.w[i] != b.w[i]) return a.w[i] < b.w[i] ? -1 : 1;
+    return 0;
+}
+
+template <int NW> inline UBig<NW> ub_sub(const UBig<NW>& a, const UBig<NW>& b) {
+    UBig<NW> r; unsigned __int128 borrow = 0;
+    for (int i = 0; i < NW; i++) {
+        unsigned __int128 d = (unsigned __int128)a.w[i] - b.w[i] - (uint64_t)borrow;
+        r.w[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    return r;
+}
+
+template <int NW>
+inline void ub_mul(const UBig<NW>& a, const UBig<NW>& b, uint64_t out[2 * NW]) {
+    for (int i = 0; i < 2 * NW; i++) out[i] = 0;
+    for (int i = 0; i < NW; i++) {
+        unsigned __int128 carry = 0;
+        for (int j = 0; j < NW; j++) {
+            unsigned __int128 cur = (unsigned __int128)a.w[i] * b.w[j] +
+                                    out[i + j] + (uint64_t)carry;
+            out[i + j] = (uint64_t)cur;
+            carry = cur >> 64;
+        }
+        out[i + NW] += (uint64_t)carry;
+    }
+}
+
+template <int NW>
+inline UBig<NW> ub_wide_mod(const uint64_t v[2 * NW], const UBig<NW>& m) {
+    UBig<NW> r;
+    for (int bit = 2 * NW * 64 - 1; bit >= 0; bit--) {
+        uint64_t top = r.w[NW - 1] >> 63;
+        for (int i = NW - 1; i > 0; i--)
+            r.w[i] = (r.w[i] << 1) | (r.w[i - 1] >> 63);
+        r.w[0] = (r.w[0] << 1) | ((v[bit / 64] >> (bit % 64)) & 1);
+        if (top || ub_cmp(r, m) >= 0) r = ub_sub(r, m);
+    }
+    return r;
+}
+
+template <int NW>
+inline UBig<NW> ub_modmul(const UBig<NW>& a, const UBig<NW>& b, const UBig<NW>& m) {
+    uint64_t prod[2 * NW];
+    ub_mul(a, b, prod);
+    return ub_wide_mod<NW>(prod, m);
+}
+
+template <int NW>
+inline UBig<NW> ub_modadd(const UBig<NW>& a, const UBig<NW>& b, const UBig<NW>& m) {
+    UBig<NW> r; unsigned __int128 carry = 0;
+    for (int i = 0; i < NW; i++) {
+        unsigned __int128 sum = (unsigned __int128)a.w[i] + b.w[i] + (uint64_t)carry;
+        r.w[i] = (uint64_t)sum;
+        carry = sum >> 64;
+    }
+    if (carry || ub_cmp(r, m) >= 0) r = ub_sub(r, m);
+    return r;
+}
+
+template <int NW>
+inline UBig<NW> ub_modsub(const UBig<NW>& a, const UBig<NW>& b, const UBig<NW>& m) {
+    if (ub_cmp(a, b) >= 0) return ub_sub(a, b);
+    return ub_sub(m, ub_sub(b, a));
+}
+
+template <int NW>
+inline UBig<NW> ub_modpow(const UBig<NW>& a, const UBig<NW>& e, const UBig<NW>& m) {
+    UBig<NW> base = a, result;
+    result.w[0] = 1;
+    for (int bit = 0; bit < NW * 64; bit++) {
+        if ((e.w[bit / 64] >> (bit % 64)) & 1)
+            result = ub_modmul(result, base, m);
+        base = ub_modmul(base, base, m);
+    }
+    return result;
+}
+
+template <int NW>
+inline UBig<NW> ub_modinv(const UBig<NW>& a, const UBig<NW>& m) {
+    UBig<NW> two; two.w[0] = 2;
+    return ub_modpow(a, ub_sub(m, two), m);
+}
+
 inline int64_t sext(uint64_t v, int bits) {
     int shift = 64 - bits;
     return ((int64_t)(v << shift)) >> shift;
@@ -680,6 +780,120 @@ bool step(VM& vm) {
                     if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
+            } else if (id >= 22 && id <= 24) {
+                // BLS12-381 G1 precompiles (384-bit field; reference:
+                // syscalls/precompiles/weierstrass/ for bls12_381).
+                // Same single-pointer cell ABI as the 256-bit family;
+                // coordinates are 6 dwords little-endian.
+                typedef UBig<6> U384;
+                static const U384 PBLS = {{0xB9FEFFFFFFFFAAABULL,
+                    0x1EABFFFEB153FFFFULL, 0x6730D2A0F6B0F624ULL,
+                    0x64774B84F38512BFULL, 0x4B1BA7B6434BACD7ULL,
+                    0x1A0111EA397FE69AULL}};
+                int n_read, n_write;
+                switch (id) {
+                    case 22: n_read = 24; n_write = 12; break;  // add
+                    case 23: n_read = 12; n_write = 12; break;  // double
+                    default: n_read = 7;  n_write = 6;  break;  // decompress
+                }
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
+                    return false;
+                uint64_t in[24];
+                for (int j = 0; j < n_read; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id; px.step = (uint64_t)j; px.ptr = ptr;
+                    MemCell& mc = cell(vm, ptr + 8 * (uint64_t)j);
+                    px.r_addr[0] = ptr + 8 * (uint64_t)j;
+                    px.r_prev_ts[0] = mc.ts;
+                    px.r_val[0] = mc.value;
+                    mc.ts = rclk * 8;
+                    in[j] = mc.value;
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                auto get6 = [&](int cell6) {
+                    U384 v;
+                    for (int i = 0; i < 6; i++) v.w[i] = in[cell6 + i];
+                    return v;
+                };
+                uint64_t out[12] = {0};
+                const U384& P = PBLS;
+                if (id == 24) {
+                    // decompress: y^2 = x^3 + 4; base root has lsb 0
+                    uint64_t sign = in[0];
+                    if (sign > 1) return false;
+                    U384 x;
+                    for (int i = 0; i < 6; i++) x.w[i] = in[1 + i];
+                    U384 xx = ub_modmul(x, x, P);
+                    U384 four; four.w[0] = 4;
+                    U384 rhs = ub_modadd(ub_modmul(xx, x, P), four, P);
+                    // (p+1)/4 sqrt exponent (p = 3 mod 4)
+                    U384 e = P;
+                    {   // e = (p + 1) >> 2
+                        unsigned __int128 carry = 1;
+                        for (int i = 0; i < 6 && carry; i++) {
+                            unsigned __int128 sum = (unsigned __int128)e.w[i] + 1;
+                            e.w[i] = (uint64_t)sum;
+                            carry = sum >> 64;
+                        }
+                        for (int k = 0; k < 2; k++) {
+                            for (int i = 0; i < 5; i++)
+                                e.w[i] = (e.w[i] >> 1) | (e.w[i + 1] << 63);
+                            e.w[5] >>= 1;
+                        }
+                    }
+                    U384 y = ub_modpow(rhs, e, P);
+                    if (ub_cmp(ub_modmul(y, y, P), rhs) != 0)
+                        return false;  // x not on curve
+                    if (y.w[0] & 1) y = ub_sub(P, y);
+                    if (sign && !ub_is_zero(y)) y = ub_sub(P, y);
+                    for (int i = 0; i < 6; i++) out[i] = y.w[i];
+                } else if (id == 23) {
+                    // double (a = 0)
+                    U384 x = get6(0), y = get6(6);
+                    if (ub_is_zero(y)) return false;
+                    U384 xx = ub_modmul(x, x, P);
+                    U384 three; three.w[0] = 3;
+                    U384 num = ub_modmul(three, xx, P);
+                    U384 two; two.w[0] = 2;
+                    U384 den = ub_modmul(two, y, P);
+                    U384 sl = ub_modmul(num, ub_modinv(den, P), P);
+                    U384 ss = ub_modmul(sl, sl, P);
+                    U384 x3 = ub_modsub(ub_modsub(ss, x, P), x, P);
+                    U384 dx = ub_modsub(x, x3, P);
+                    U384 y3 = ub_modsub(ub_modmul(sl, dx, P), y, P);
+                    for (int i = 0; i < 6; i++) out[i] = x3.w[i];
+                    for (int i = 0; i < 6; i++) out[i + 6] = y3.w[i];
+                } else {
+                    // add, distinct points
+                    U384 x1 = get6(0), y1 = get6(6), x2 = get6(12), y2 = get6(18);
+                    if (ub_cmp(x1, x2) == 0) return false;
+                    U384 num = ub_modsub(y2, y1, P);
+                    U384 den = ub_modsub(x2, x1, P);
+                    U384 sl = ub_modmul(num, ub_modinv(den, P), P);
+                    U384 ss = ub_modmul(sl, sl, P);
+                    U384 x3 = ub_modsub(ub_modsub(ss, x1, P), x2, P);
+                    U384 dx = ub_modsub(x1, x3, P);
+                    U384 y3 = ub_modsub(ub_modmul(sl, dx, P), y1, P);
+                    for (int i = 0; i < 6; i++) out[i] = x3.w[i];
+                    for (int i = 0; i < 6; i++) out[i + 6] = y3.w[i];
+                }
+                for (int i = 0; i < n_write; i++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)(n_read + i);
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id;
+                    px.step = (uint64_t)(n_read + i); px.ptr = ptr;
+                    MemCell& wc = cell(vm, ptr + 8 * (uint64_t)i);
+                    px.w_addr = ptr + 8 * (uint64_t)i;
+                    px.w_prev_ts = wc.ts;
+                    px.w_prev_val = wc.value;
+                    wc.value = out[i];
+                    wc.ts = rclk * 8 + 4;
+                    px.w_val = out[i];
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                vm.clk += (uint64_t)(n_read + n_write);
             } else if (id >= 11 && id <= 21) {
                 // Curve / uint256 precompiles (reference roles:
                 // syscalls/precompiles/{edwards/add.rs, weierstrass/add.rs,

@@ -49,6 +49,9 @@ SYSCALL_SECP256R1_ADD = 18
 SYSCALL_SECP256R1_DOUBLE = 19
 SYSCALL_SECP256R1_DECOMPRESS = 20
 SYSCALL_BN254_DOUBLE = 21
+SYSCALL_BLS12381_ADD = 22
+SYSCALL_BLS12381_DOUBLE = 23
+SYSCALL_BLS12381_DECOMPRESS = 24
 # window length = reads + writes (virtual cycles consumed after the ecall)
 
 
@@ -537,7 +540,8 @@ class WeierstrassAddChip(_BlockChip):
 
     def _coord(self, g, idx: int) -> list:
         inb = g("inb")
-        return inb[idx * 32 : (idx + 1) * 32]
+        nb = self.FP.nb
+        return inb[idx * nb : (idx + 1) * nb]
 
     def eval_body(self, f, g):
         gate = g("is_real")
@@ -559,18 +563,19 @@ class WeierstrassAddChip(_BlockChip):
         self.y3lt.eval(f, g, gate, self._res(g, self.y3b))
 
     def write_limb_aff(self, cell: int, limb: int) -> Affine:
-        per_cell = {c: (self.x3b, 0) for c in range(4)}
-        per_cell.update({c: (self.y3b, 4) for c in range(4, 8)})
+        nw = self.FP.nb // 8  # dwords per coordinate
+        per_cell = {c: (self.x3b, 0) for c in range(nw)}
+        per_cell.update({c: (self.y3b, nw) for c in range(nw, 2 * nw)})
         return self._write_aff_from(per_cell, cell, limb)
 
     def populate_row(self, row64, L, in_bytes) -> list:
         fp = self.FP
         p = fp.modulus
-        x1 = limbs_to_int(in_bytes[0:32])
-        y1 = limbs_to_int(in_bytes[32:64])
-        x2 = limbs_to_int(in_bytes[64:96])
-        y2 = limbs_to_int(in_bytes[96:128])
         nb = fp.nb
+        x1 = limbs_to_int(in_bytes[0 : nb])
+        y1 = limbs_to_int(in_bytes[nb : 2 * nb])
+        x2 = limbs_to_int(in_bytes[2 * nb : 3 * nb])
+        y2 = limbs_to_int(in_bytes[3 * nb : 4 * nb])
 
         def L32(v):
             return int_to_limbs(v, nb)
@@ -606,8 +611,9 @@ class WeierstrassAddChip(_BlockChip):
         y3 = pop_sub(self.y3b, sdx, y1)
         self.x3lt.populate(row64, L, x3)
         self.y3lt.populate(row64, L, y3)
-        out = [(x3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
-        out += [(y3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+        nw = nb // 8
+        out = [(x3 >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
+        out += [(y3 >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
         return out
 
 
@@ -641,8 +647,8 @@ class WeierstrassDoubleChip(_BlockChip):
         ops = f.ops
         gate = g("is_real")
         inb = g("inb")
-        x, y = inb[0:32], inb[32:64]
         fp = self.FP
+        x, y = inb[0 : fp.nb], inb[fp.nb : 2 * fp.nb]
         # xx = 3 x^2 + a: r + carry*m = 3*x*x + a
         def build_xx(vb, r):
             vb.add_prod(x, [fo_scale3(ops, l) for l in x])
@@ -668,16 +674,17 @@ class WeierstrassDoubleChip(_BlockChip):
         self.y3lt.eval(f, g, gate, self._res(g, self.y3b))
 
     def write_limb_aff(self, cell: int, limb: int) -> Affine:
-        per_cell = {c: (self.x3b, 0) for c in range(4)}
-        per_cell.update({c: (self.y3b, 4) for c in range(4, 8)})
+        nw = self.FP.nb // 8
+        per_cell = {c: (self.x3b, 0) for c in range(nw)}
+        per_cell.update({c: (self.y3b, nw) for c in range(nw, 2 * nw)})
         return self._write_aff_from(per_cell, cell, limb)
 
     def populate_row(self, row64, L, in_bytes) -> list:
         fp = self.FP
         p = fp.modulus
-        x = limbs_to_int(in_bytes[0:32])
-        y = limbs_to_int(in_bytes[32:64])
         nb = fp.nb
+        x = limbs_to_int(in_bytes[0 : nb])
+        y = limbs_to_int(in_bytes[nb : 2 * nb])
 
         def L32(v):
             return int_to_limbs(v, nb)
@@ -721,8 +728,9 @@ class WeierstrassDoubleChip(_BlockChip):
         )
         self.x3lt.populate(row64, L, x3)
         self.y3lt.populate(row64, L, y3)
-        out = [(x3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
-        out += [(y3 >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+        nw = nb // 8
+        out = [(x3 >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
+        out += [(y3 >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
         return out
 
 
@@ -771,6 +779,23 @@ class Bn254DoubleChip(WeierstrassDoubleChip):
     SYSCALL_ID = SYSCALL_BN254_DOUBLE
     FP = fo.BN254_FP
     A = fo.BN254_A
+
+
+class Bls12381AddChip(WeierstrassAddChip):
+    name = "Bls12381Add"
+    SYSCALL_ID = SYSCALL_BLS12381_ADD
+    N_READ = 24
+    N_WRITE = 12
+    FP = fo.BLS12381_FP
+
+
+class Bls12381DoubleChip(WeierstrassDoubleChip):
+    name = "Bls12381Double"
+    SYSCALL_ID = SYSCALL_BLS12381_DOUBLE
+    N_READ = 12
+    N_WRITE = 12
+    FP = fo.BLS12381_FP
+    A = 0
 
 
 class Uint256MulChip(_BlockChip):
@@ -1237,3 +1262,116 @@ class Secp256r1DecompressChip(_BlockChip):
         row64[L["yout"]] = L32(yout)
         self.ylt.populate(row64, L, yout)
         return [(yout >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+
+
+class Bls12381DecompressChip(_BlockChip):
+    """BLS12-381 G1 decompression: y^2 = x^3 + 4 over the 381-bit field
+    (weierstrass decompress.rs for bls12_381). ABI (cells): 0 = sign,
+    1..6 = x (6 dwords LE); y written to cells 7..12... the write window
+    overwrites cells 0..5 with y (head-overwrite convention like the
+    256-bit family).
+    """
+
+    name = "Bls12381Decompress"
+    SYSCALL_ID = SYSCALL_BLS12381_DECOMPRESS
+    N_READ = 7
+    N_WRITE = 6
+    FP = fo.BLS12381_FP
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.xx = self._add_block(c, "xx", fp)      # x^2
+        self.rhs = self._add_block(c, "rhs", fp)    # x^3 + 4
+        self.yy = self._add_block(c, "yy", fp)      # y^2 (must equal rhs)
+        self.negy = self._add_block(c, "negy", fp)  # p - y
+        self.ylt = self._add_lt(c, "ylt", fp)
+        c.cols("yroot", fp.nb)
+        c.cols("yout", fp.nb)
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        inb = g("inb")
+        sign = inb[0]
+        fp = self.FP
+        x = inb[8 : 8 + fp.nb]
+        f.assert_zero(ops.mul(gate, ops.mul(sign, ops.sub(sign, ops.one()))))
+        for b in inb[1:8]:
+            f.assert_zero(ops.mul(gate, b))
+        y = g("yroot")
+        self.xx.eval_mul(f, g, gate, x, x)
+        b_l = int_to_limbs(4, fp.nb)
+        self.rhs.eval_mul(f, g, gate, self._res(g, self.xx), x, c=b_l)
+        self.yy.eval_mul(f, g, gate, y, y)
+        for a, b in zip(self._res(g, self.yy), self._res(g, self.rhs)):
+            f.assert_zero(ops.mul(gate, ops.sub(a, b)))
+        rn, crn, wn = self.negy.syms(g)
+        vbn = fo.VanishingBuilder(ops, fp)
+        vbn.add_poly(y)
+        vbn.add_poly(rn)
+        vbn.add_prod(crn, fp.modulus_limbs, sign=-1)
+        vbn.constrain(f, gate, wn)
+        yout = g("yout")
+        for i in range(fp.nb):
+            sel = ops.add(
+                ops.mul(ops.sub(ops.one(), sign), y[i]),
+                ops.mul(sign, rn[i]),
+            )
+            f.assert_zero(ops.mul(gate, ops.sub(yout[i], sel)))
+        self.ylt.eval(f, g, gate, yout)
+
+    def u8_check_slices(self, L) -> list:
+        return super().u8_check_slices(L) + [L["yroot"], L["yout"]]
+
+    def extra_sends(self, is_real) -> list:
+        out = super().extra_sends(is_real)
+        out.extend(
+            self._u8_sends(
+                list(range(self.layout["yroot"].start, self.layout["yroot"].stop))
+                + list(range(self.layout["yout"].start, self.layout["yout"].stop)),
+                is_real,
+            )
+        )
+        return out
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        base = self.layout["yout"].start + cell * 8 + limb * 2
+        return Affine(0, ((main_col(base), 1), (main_col(base + 1), 256)))
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        sign = int(in_bytes[0])
+        x = limbs_to_int(in_bytes[8 : 8 + fp.nb])
+        nb = fp.nb
+
+        def LL(v):
+            return int_to_limbs(v, nb)
+
+        xx = x * x % p
+        self.xx.populate(
+            row64, L, [(+1, LL(x), LL(x)), (-1, LL(xx))], xx, (x * x) // p
+        )
+        rhs = (xx * x + 4) % p
+        self.rhs.populate(
+            row64, L,
+            [(+1, LL(xx), LL(x)), (+1, LL(4)), (-1, LL(rhs))],
+            rhs, (xx * x + 4) // p,
+        )
+        y = pow(rhs, (p + 1) // 4, p)  # p = 3 mod 4
+        assert y * y % p == rhs, "not a square (invalid x)"
+        if y & 1:
+            y = p - y
+        self.yy.populate(
+            row64, L, [(+1, LL(y), LL(y)), (-1, LL(rhs))], rhs, (y * y) // p
+        )
+        negy = (p - y) % p
+        self.negy.populate(
+            row64, L, [(+1, LL(y)), (+1, LL(negy)), (-1, LL(0))],
+            negy, (y + negy) // p,
+        )
+        yout = negy if sign else y
+        row64[L["yroot"]] = LL(y)
+        row64[L["yout"]] = LL(yout)
+        self.ylt.populate(row64, L, yout)
+        return [(yout >> (64 * j)) & ((1 << 64) - 1) for j in range(6)]

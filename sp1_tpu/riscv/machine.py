@@ -133,6 +133,9 @@ PRECOMPILE_FLAGS = [
     ("is_secp256r1_double", 19, 16, True),
     ("is_secp256r1_decompress", 20, 9, True),
     ("is_bn254_double", 21, 16, True),
+    ("is_bls12381_add", 22, 36, True),
+    ("is_bls12381_double", 23, 24, True),
+    ("is_bls12381_decompress", 24, 13, True),
 ]
 
 
@@ -2531,6 +2534,9 @@ SHAPE_SYSCALLS = {
     19: "secp256r1_double",
     20: "secp256r1_decompress",
     21: "bn254_double",
+    22: "bls12381_add",
+    23: "bls12381_double",
+    24: "bls12381_decompress",
 }
 
 
@@ -2570,6 +2576,9 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
 
         from .curvechip import EdDecompressChip, Secp256k1DecompressChip
         from .curvechip import (
+            Bls12381AddChip,
+            Bls12381DecompressChip,
+            Bls12381DoubleChip,
             Bn254DoubleChip,
             Secp256r1AddChip,
             Secp256r1DecompressChip,
@@ -2588,6 +2597,9 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
             "secp256r1_double": Secp256r1DoubleChip,
             "secp256r1_decompress": Secp256r1DecompressChip,
             "bn254_double": Bn254DoubleChip,
+            "bls12381_add": Bls12381AddChip,
+            "bls12381_double": Bls12381DoubleChip,
+            "bls12381_decompress": Bls12381DecompressChip,
         }
         unknown = shape - set(by_name)
         if unknown:

@@ -228,6 +228,43 @@ class TestBn254Double:
         run_and_check(21, 8, 8, inputs, out, frozenset({"bn254_double"}))
 
 
+PBLS = fo.BLS12381_FP.modulus
+BLS_G = (
+    0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+    0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+)
+
+
+class TestBls12381:
+    def test_double(self):
+        g2 = ws_double(BLS_G, PBLS)
+        assert on_ws_curve(g2, PBLS, 0, 4)
+        inputs = dwords(BLS_G[0], 6) + dwords(BLS_G[1], 6)
+        out = dwords(g2[0], 6) + dwords(g2[1], 6)
+        run_and_check(23, 12, 12, inputs, out, frozenset({"bls12381_double"}))
+
+    def test_add(self):
+        g2 = ws_double(BLS_G, PBLS)
+        g3 = ws_add(BLS_G, g2, PBLS)
+        assert on_ws_curve(g3, PBLS, 0, 4)
+        inputs = (dwords(BLS_G[0], 6) + dwords(BLS_G[1], 6)
+                  + dwords(g2[0], 6) + dwords(g2[1], 6))
+        out = dwords(g3[0], 6) + dwords(g3[1], 6)
+        run_and_check(22, 24, 12, inputs, out, frozenset({"bls12381_add"}))
+
+    def test_decompress(self):
+        x, y = BLS_G
+        root = pow((x * x * x + 4) % PBLS, (PBLS + 1) // 4, PBLS)
+        if root & 1:
+            root = PBLS - root
+        sign = 1 if root != y else 0
+        want = PBLS - root if sign else root
+        assert want == y
+        inputs = [sign] + dwords(x, 6)
+        run_and_check(24, 7, 6, inputs, dwords(want, 6),
+                      frozenset({"bls12381_decompress"}))
+
+
 class TestUint256:
     def test_mul_mod_m(self):
         x = 0xDEADBEEF_12345678_9ABCDEF0_FEDCBA98_76543210_0F1E2D3C_4B5A6978_8796A5B4
