@@ -94,7 +94,7 @@ struct VM {
     std::vector<uint64_t> input_queue; // words read via read syscall
     size_t input_pos = 0;
     uint64_t op_counts[OP_CLASS_COUNT] = {0};
-    uint64_t syscall_counts[32] = {0};  // by syscall id (small ABI space)
+    uint64_t syscall_counts[64] = {0};  // by syscall id (small ABI space)
 };
 
 // ---------------------------------------------------------------------------
@@ -588,7 +588,7 @@ bool step(VM& vm) {
             ev.rs1_prev_ts = vm.reg_ts[17]; b = read_reg(17, 1);
             ev.rs2_prev_ts = vm.reg_ts[10]; c = read_reg(10, 2);
             uint64_t id = b;
-            if (id < 32) vm.syscall_counts[id]++;
+            if (id < 64) vm.syscall_counts[id]++;
             if (id == 0) {
                 vm.halted = true;
                 vm.exit_code = c;
@@ -780,6 +780,92 @@ bool step(VM& vm) {
                     if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
+            } else if (id >= 25 && id <= 36) {
+                // Fp / Fp2 tower precompiles for bn254 (25-30) and
+                // bls12-381 (31-36): add/sub/mul on the base field and
+                // the quadratic extension Fp2 = Fp[u]/(u^2 + 1)
+                // (reference: syscall/precompiles/fptower/). ABI: x then
+                // y in one cell buffer; the result overwrites x.
+                typedef UBig<4> F254;
+                typedef UBig<6> F381;
+                static const F254 PB254 = {{0x3C208C16D87CFD47ULL,
+                    0x97816A916871CA8DULL, 0xB85045B68181585DULL,
+                    0x30644E72E131A029ULL}};
+                static const F381 PB381 = {{0xB9FEFFFFFFFFAAABULL,
+                    0x1EABFFFEB153FFFFULL, 0x6730D2A0F6B0F624ULL,
+                    0x64774B84F38512BFULL, 0x4B1BA7B6434BACD7ULL,
+                    0x1A0111EA397FE69AULL}};
+                bool is381 = id >= 31;
+                int nw = is381 ? 6 : 4;
+                int op = (id - (is381 ? 31 : 25));  // 0..5
+                bool fp2 = op >= 3;
+                int kindop = op % 3;  // 0 add, 1 sub, 2 mul
+                int n_read = (fp2 ? 4 : 2) * nw;
+                int n_write = (fp2 ? 2 : 1) * nw;
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
+                    return false;
+                uint64_t in[48];
+                for (int j = 0; j < n_read; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id; px.step = (uint64_t)j; px.ptr = ptr;
+                    MemCell& mc = cell(vm, ptr + 8 * (uint64_t)j);
+                    px.r_addr[0] = ptr + 8 * (uint64_t)j;
+                    px.r_prev_ts[0] = mc.ts;
+                    px.r_val[0] = mc.value;
+                    mc.ts = rclk * 8;
+                    in[j] = mc.value;
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                uint64_t out[12] = {0};
+                auto run = [&](auto P) {
+                    typedef decltype(P) F;
+                    auto get = [&](int base) {
+                        F v;
+                        for (int i = 0; i < nw; i++) v.w[i] = in[base + i];
+                        return v;
+                    };
+                    auto put = [&](int base, const F& v) {
+                        for (int i = 0; i < nw; i++) out[base + i] = v.w[i];
+                    };
+                    auto one_op = [&](const F& a, const F& b) {
+                        if (kindop == 0) return ub_modadd(a, b, P);
+                        if (kindop == 1) return ub_modsub(a, b, P);
+                        return ub_modmul(a, b, P);
+                    };
+                    if (!fp2) {
+                        put(0, one_op(get(0), get(nw)));
+                    } else {
+                        F x0 = get(0), x1 = get(nw);
+                        F y0 = get(2 * nw), y1 = get(3 * nw);
+                        if (kindop == 2) {  // (x0y0 - x1y1, x0y1 + x1y0)
+                            put(0, ub_modsub(ub_modmul(x0, y0, P),
+                                             ub_modmul(x1, y1, P), P));
+                            put(nw, ub_modadd(ub_modmul(x0, y1, P),
+                                              ub_modmul(x1, y0, P), P));
+                        } else {
+                            put(0, one_op(x0, y0));
+                            put(nw, one_op(x1, y1));
+                        }
+                    }
+                };
+                if (is381) run(PB381); else run(PB254);
+                for (int i = 0; i < n_write; i++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)(n_read + i);
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id;
+                    px.step = (uint64_t)(n_read + i); px.ptr = ptr;
+                    MemCell& wc = cell(vm, ptr + 8 * (uint64_t)i);
+                    px.w_addr = ptr + 8 * (uint64_t)i;
+                    px.w_prev_ts = wc.ts;
+                    px.w_prev_val = wc.value;
+                    wc.value = out[i];
+                    wc.ts = rclk * 8 + 4;
+                    px.w_val = out[i];
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                vm.clk += (uint64_t)(n_read + n_write);
             } else if (id >= 22 && id <= 24) {
                 // BLS12-381 G1 precompiles (384-bit field; reference:
                 // syscalls/precompiles/weierstrass/ for bls12_381).
@@ -1199,11 +1285,11 @@ void ex_clear_events(void* h) {
 }
 
 // Execution report: opcode-class histogram + syscall counts.
-uint64_t ex_report_len() { return OP_CLASS_COUNT + 32; }
+uint64_t ex_report_len() { return OP_CLASS_COUNT + 64; }
 void ex_report(void* h, uint64_t* out) {
     VM* vm = (VM*)h;
     memcpy(out, vm->op_counts, OP_CLASS_COUNT * sizeof(uint64_t));
-    memcpy(out + OP_CLASS_COUNT, vm->syscall_counts, 32 * sizeof(uint64_t));
+    memcpy(out + OP_CLASS_COUNT, vm->syscall_counts, 64 * sizeof(uint64_t));
 }
 
 uint64_t ex_num_events(void* h) { return ((VM*)h)->events.size(); }

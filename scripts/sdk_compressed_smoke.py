@@ -68,11 +68,13 @@ def main():
     assert not client.verify(bad, vk), "tampered pv accepted"
     print("tampered pv rejected")
 
-    # foreign vk-map root: proof carries its own root != pinned root
-    bad2 = copy.deepcopy(comp)
-    bad2.vk_map_root = np.asarray([1] * 8, np.uint32)
-    assert not client.verify(bad2, vk), "foreign root accepted"
-    print("foreign vk-map root rejected")
+    # pin a DIFFERENT root on the verifying side: the (legit) proof must
+    # be rejected — its committed root no longer matches the pin
+    saved = client.vk_map_root
+    client.vk_map_root = np.asarray([1] * 8, np.uint32)
+    assert not client.verify(comp, vk), "proof accepted under foreign pin"
+    client.vk_map_root = saved
+    print("foreign vk-map pin rejected")
     print("OK")
 
 

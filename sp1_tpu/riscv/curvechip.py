@@ -1375,3 +1375,269 @@ class Bls12381DecompressChip(_BlockChip):
         row64[L["yout"]] = LL(yout)
         self.ylt.populate(row64, L, yout)
         return [(yout >> (64 * j)) & ((1 << 64) - 1) for j in range(6)]
+
+
+# ---------------------------------------------------------------------------
+# Fp / Fp2 tower precompiles (reference:
+# crates/core/machine/src/syscall/precompiles/fptower/{fp,fp2_addsub,
+# fp2_mul}.rs) — add/sub/mul over the base field and the quadratic
+# extension Fp2 = Fp[u]/(u^2 + 1), for bn254 and bls12-381.
+# ---------------------------------------------------------------------------
+
+
+class FpOpChip(_BlockChip):
+    """r = x OP y mod p. ABI: x (nw dwords) | y (nw dwords); r -> head."""
+
+    OP = "add"  # add | sub | mul
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.r = self._add_block(c, "r", fp)
+        self.rlt = self._add_lt(c, "rlt", fp)
+
+    def eval_body(self, f, g):
+        gate = g("is_real")
+        inb = g("inb")
+        nb = self.FP.nb
+        x, y = inb[0:nb], inb[nb : 2 * nb]
+        if self.OP == "mul":
+            self.r.eval_mul(f, g, gate, x, y)
+        elif self.OP == "sub":
+            self.r.eval_sub(f, g, gate, x, y)
+        else:
+
+            def build(vb, r):
+                vb.add_poly(x)
+                vb.add_poly(y)
+                vb.add_poly(r, -1)
+
+            self.r._vanish(f, g, gate, build)
+        self.rlt.eval(f, g, gate, self._res(g, self.r))
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        per_cell = {c: (self.r, 0) for c in range(self.FP.nb // 8)}
+        return self._write_aff_from(per_cell, cell, limb)
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        nb = fp.nb
+        x = limbs_to_int(in_bytes[0:nb])
+        y = limbs_to_int(in_bytes[nb : 2 * nb])
+
+        def LL(v):
+            return int_to_limbs(v, nb)
+
+        if self.OP == "mul":
+            r = x * y % p
+            self.r.populate(
+                row64, L, [(+1, LL(x), LL(y)), (-1, LL(r))], r, (x * y) // p
+            )
+        elif self.OP == "sub":
+            r = (x - y) % p
+            self.r.populate(
+                row64, L, [(+1, LL(y)), (+1, LL(r)), (-1, LL(x))], r,
+                (y + r - x) // p,
+            )
+        else:
+            r = (x + y) % p
+            self.r.populate(
+                row64, L, [(+1, LL(x)), (+1, LL(y)), (-1, LL(r))], r,
+                (x + y - r) // p,
+            )
+        self.rlt.populate(row64, L, r)
+        return [(r >> (64 * j)) & ((1 << 64) - 1) for j in range(nb // 8)]
+
+
+class Fp2AddSubChip(_BlockChip):
+    """Componentwise Fp2 add/sub. ABI: x0|x1|y0|y1; (r0, r1) -> head."""
+
+    OP = "add"
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.r0 = self._add_block(c, "r0", fp)
+        self.r1 = self._add_block(c, "r1", fp)
+        self.r0lt = self._add_lt(c, "r0lt", fp)
+        self.r1lt = self._add_lt(c, "r1lt", fp)
+
+    def eval_body(self, f, g):
+        gate = g("is_real")
+        inb = g("inb")
+        nb = self.FP.nb
+        comps = [inb[i * nb : (i + 1) * nb] for i in range(4)]
+        for blk, lt, a, b in (
+            (self.r0, self.r0lt, comps[0], comps[2]),
+            (self.r1, self.r1lt, comps[1], comps[3]),
+        ):
+            if self.OP == "sub":
+                blk.eval_sub(f, g, gate, a, b)
+            else:
+
+                def build(vb, r, a=a, b=b):
+                    vb.add_poly(a)
+                    vb.add_poly(b)
+                    vb.add_poly(r, -1)
+
+                blk._vanish(f, g, gate, build)
+            lt.eval(f, g, gate, self._res(g, blk))
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        nw = self.FP.nb // 8
+        per_cell = {c: (self.r0, 0) for c in range(nw)}
+        per_cell.update({c: (self.r1, nw) for c in range(nw, 2 * nw)})
+        return self._write_aff_from(per_cell, cell, limb)
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        nb = fp.nb
+        v = [limbs_to_int(in_bytes[i * nb : (i + 1) * nb]) for i in range(4)]
+
+        def LL(x):
+            return int_to_limbs(x, nb)
+
+        outs = []
+        for blk, lt, a, b in (
+            (self.r0, self.r0lt, v[0], v[2]),
+            (self.r1, self.r1lt, v[1], v[3]),
+        ):
+            if self.OP == "sub":
+                r = (a - b) % p
+                blk.populate(row64, L, [(+1, LL(b)), (+1, LL(r)), (-1, LL(a))],
+                             r, (b + r - a) // p)
+            else:
+                r = (a + b) % p
+                blk.populate(row64, L, [(+1, LL(a)), (+1, LL(b)), (-1, LL(r))],
+                             r, (a + b - r) // p)
+            lt.populate(row64, L, r)
+            outs.append(r)
+        nw = nb // 8
+        out = [(outs[0] >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
+        out += [(outs[1] >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
+        return out
+
+
+class Fp2MulChip(_BlockChip):
+    """Fp2 product: (x0 y0 - x1 y1, x0 y1 + x1 y0). ABI like Fp2AddSub."""
+
+    def extra_layout(self, c: Cols):
+        fp = self.FP
+        self.t0 = self._add_block(c, "t0", fp)  # x0 y0
+        self.t1 = self._add_block(c, "t1", fp)  # x1 y1
+        self.c0 = self._add_block(c, "c0", fp)  # t0 - t1
+        self.t2 = self._add_block(c, "t2", fp)  # x0 y1
+        self.t3 = self._add_block(c, "t3", fp)  # x1 y0
+        self.c1 = self._add_block(c, "c1", fp)  # t2 + t3
+        self.c0lt = self._add_lt(c, "c0lt", fp)
+        self.c1lt = self._add_lt(c, "c1lt", fp)
+
+    def eval_body(self, f, g):
+        gate = g("is_real")
+        inb = g("inb")
+        nb = self.FP.nb
+        x0, x1, y0, y1 = (inb[i * nb : (i + 1) * nb] for i in range(4))
+        self.t0.eval_mul(f, g, gate, x0, y0)
+        self.t1.eval_mul(f, g, gate, x1, y1)
+        self.c0.eval_sub(f, g, gate, self._res(g, self.t0), self._res(g, self.t1))
+        self.t2.eval_mul(f, g, gate, x0, y1)
+        self.t3.eval_mul(f, g, gate, x1, y0)
+        t2r, t3r = self._res(g, self.t2), self._res(g, self.t3)
+
+        def build_c1(vb, r):
+            vb.add_poly(t2r)
+            vb.add_poly(t3r)
+            vb.add_poly(r, -1)
+
+        self.c1._vanish(f, g, gate, build_c1)
+        self.c0lt.eval(f, g, gate, self._res(g, self.c0))
+        self.c1lt.eval(f, g, gate, self._res(g, self.c1))
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        nw = self.FP.nb // 8
+        per_cell = {c: (self.c0, 0) for c in range(nw)}
+        per_cell.update({c: (self.c1, nw) for c in range(nw, 2 * nw)})
+        return self._write_aff_from(per_cell, cell, limb)
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        fp = self.FP
+        p = fp.modulus
+        nb = fp.nb
+        x0, x1, y0, y1 = (
+            limbs_to_int(in_bytes[i * nb : (i + 1) * nb]) for i in range(4)
+        )
+
+        def LL(v):
+            return int_to_limbs(v, nb)
+
+        t0 = x0 * y0 % p
+        self.t0.populate(row64, L, [(+1, LL(x0), LL(y0)), (-1, LL(t0))], t0,
+                         (x0 * y0) // p)
+        t1 = x1 * y1 % p
+        self.t1.populate(row64, L, [(+1, LL(x1), LL(y1)), (-1, LL(t1))], t1,
+                         (x1 * y1) // p)
+        c0 = (t0 - t1) % p
+        self.c0.populate(row64, L, [(+1, LL(t1)), (+1, LL(c0)), (-1, LL(t0))],
+                         c0, (t1 + c0 - t0) // p)
+        t2 = x0 * y1 % p
+        self.t2.populate(row64, L, [(+1, LL(x0), LL(y1)), (-1, LL(t2))], t2,
+                         (x0 * y1) // p)
+        t3 = x1 * y0 % p
+        self.t3.populate(row64, L, [(+1, LL(x1), LL(y0)), (-1, LL(t3))], t3,
+                         (x1 * y0) // p)
+        c1 = (t2 + t3) % p
+        self.c1.populate(row64, L, [(+1, LL(t2)), (+1, LL(t3)), (-1, LL(c1))],
+                         c1, (t2 + t3 - c1) // p)
+        self.c0lt.populate(row64, L, c0)
+        self.c1lt.populate(row64, L, c1)
+        nw = nb // 8
+        out = [(c0 >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
+        out += [(c1 >> (64 * j)) & ((1 << 64) - 1) for j in range(nw)]
+        return out
+
+
+def _tower(name, sid, base, op, fp, n_read, n_write):
+    """Subclass factory for the 12 tower chips."""
+    cls = type(
+        name,
+        (base,),
+        {
+            "name": name,
+            "SYSCALL_ID": sid,
+            "N_READ": n_read,
+            "N_WRITE": n_write,
+            "FP": fp,
+            "OP": op,
+        },
+    )
+    return cls
+
+
+_B254, _B381 = fo.BN254_FP, fo.BLS12381_FP
+Bn254FpAddChip = _tower("Bn254FpAdd", 25, FpOpChip, "add", _B254, 8, 4)
+Bn254FpSubChip = _tower("Bn254FpSub", 26, FpOpChip, "sub", _B254, 8, 4)
+Bn254FpMulChip = _tower("Bn254FpMul", 27, FpOpChip, "mul", _B254, 8, 4)
+Bn254Fp2AddChip = _tower("Bn254Fp2Add", 28, Fp2AddSubChip, "add", _B254, 16, 8)
+Bn254Fp2SubChip = _tower("Bn254Fp2Sub", 29, Fp2AddSubChip, "sub", _B254, 16, 8)
+Bn254Fp2MulChip = _tower("Bn254Fp2Mul", 30, Fp2MulChip, None, _B254, 16, 8)
+Bls12381FpAddChip = _tower("Bls12381FpAdd", 31, FpOpChip, "add", _B381, 12, 6)
+Bls12381FpSubChip = _tower("Bls12381FpSub", 32, FpOpChip, "sub", _B381, 12, 6)
+Bls12381FpMulChip = _tower("Bls12381FpMul", 33, FpOpChip, "mul", _B381, 12, 6)
+Bls12381Fp2AddChip = _tower("Bls12381Fp2Add", 34, Fp2AddSubChip, "add", _B381, 24, 12)
+Bls12381Fp2SubChip = _tower("Bls12381Fp2Sub", 35, Fp2AddSubChip, "sub", _B381, 24, 12)
+Bls12381Fp2MulChip = _tower("Bls12381Fp2Mul", 36, Fp2MulChip, None, _B381, 24, 12)
+
+TOWER_CHIPS = {
+    "bn254_fp_add": Bn254FpAddChip,
+    "bn254_fp_sub": Bn254FpSubChip,
+    "bn254_fp_mul": Bn254FpMulChip,
+    "bn254_fp2_add": Bn254Fp2AddChip,
+    "bn254_fp2_sub": Bn254Fp2SubChip,
+    "bn254_fp2_mul": Bn254Fp2MulChip,
+    "bls12381_fp_add": Bls12381FpAddChip,
+    "bls12381_fp_sub": Bls12381FpSubChip,
+    "bls12381_fp_mul": Bls12381FpMulChip,
+    "bls12381_fp2_add": Bls12381Fp2AddChip,
+    "bls12381_fp2_sub": Bls12381Fp2SubChip,
+    "bls12381_fp2_mul": Bls12381Fp2MulChip,
+}

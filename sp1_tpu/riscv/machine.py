@@ -136,6 +136,19 @@ PRECOMPILE_FLAGS = [
     ("is_bls12381_add", 22, 36, True),
     ("is_bls12381_double", 23, 24, True),
     ("is_bls12381_decompress", 24, 13, True),
+    # fp/fp2 tower family (windows = n_read + n_write cells)
+    ("is_bn254_fp_add", 25, 12, True),
+    ("is_bn254_fp_sub", 26, 12, True),
+    ("is_bn254_fp_mul", 27, 12, True),
+    ("is_bn254_fp2_add", 28, 24, True),
+    ("is_bn254_fp2_sub", 29, 24, True),
+    ("is_bn254_fp2_mul", 30, 24, True),
+    ("is_bls12381_fp_add", 31, 18, True),
+    ("is_bls12381_fp_sub", 32, 18, True),
+    ("is_bls12381_fp_mul", 33, 18, True),
+    ("is_bls12381_fp2_add", 34, 36, True),
+    ("is_bls12381_fp2_sub", 35, 36, True),
+    ("is_bls12381_fp2_mul", 36, 36, True),
 ]
 
 
@@ -2537,6 +2550,18 @@ SHAPE_SYSCALLS = {
     22: "bls12381_add",
     23: "bls12381_double",
     24: "bls12381_decompress",
+    25: "bn254_fp_add",
+    26: "bn254_fp_sub",
+    27: "bn254_fp_mul",
+    28: "bn254_fp2_add",
+    29: "bn254_fp2_sub",
+    30: "bn254_fp2_mul",
+    31: "bls12381_fp_add",
+    32: "bls12381_fp_sub",
+    33: "bls12381_fp_mul",
+    34: "bls12381_fp2_add",
+    35: "bls12381_fp2_sub",
+    36: "bls12381_fp2_mul",
 }
 
 
@@ -2601,6 +2626,9 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
             "bls12381_double": Bls12381DoubleChip,
             "bls12381_decompress": Bls12381DecompressChip,
         }
+        from .curvechip import TOWER_CHIPS
+
+        by_name.update(TOWER_CHIPS)
         unknown = shape - set(by_name)
         if unknown:
             raise ValueError(f"unknown shape entries: {sorted(unknown)}")

@@ -291,6 +291,71 @@ class TestUint256:
             native.execute(prog, inputs=inputs)
 
 
+class TestFpTower:
+    """fp/fp2 add/sub/mul for bn254 + bls12-381 (fptower precompiles)."""
+
+    X254 = 0x1234567890ABCDEF_FEDCBA0987654321_0011223344556677_0899AABB % PBN
+    Y254 = 0x0F1E2D3C4B5A6978_8796A5B4C3D2E1F0_13579BDF02468ACE % PBN
+    X381 = (1 << 380) % PBLS + 12345
+    Y381 = (1 << 379) % PBLS + 67890
+
+    def _run_fp(self, sid, shape, p, x, y, op, nw):
+        r = op(x, y) % p
+        inputs = dwords(x, nw) + dwords(y, nw)
+        run_and_check(sid, 2 * nw, nw, inputs, dwords(r, nw),
+                      frozenset({shape}))
+
+    def _run_fp2(self, sid, shape, p, x, y, nw, mul=False, op=None):
+        x0, x1 = x
+        y0, y1 = y
+        if mul:
+            r0, r1 = (x0 * y0 - x1 * y1) % p, (x0 * y1 + x1 * y0) % p
+        else:
+            r0, r1 = op(x0, y0) % p, op(x1, y1) % p
+        inputs = (dwords(x0, nw) + dwords(x1, nw) + dwords(y0, nw)
+                  + dwords(y1, nw))
+        out = dwords(r0, nw) + dwords(r1, nw)
+        run_and_check(sid, 4 * nw, 2 * nw, inputs, out, frozenset({shape}))
+
+    def test_bn254_fp(self):
+        import operator
+
+        self._run_fp(25, "bn254_fp_add", PBN, self.X254, self.Y254,
+                     operator.add, 4)
+        self._run_fp(26, "bn254_fp_sub", PBN, self.Y254, self.X254,
+                     operator.sub, 4)
+        self._run_fp(27, "bn254_fp_mul", PBN, self.X254, self.Y254,
+                     operator.mul, 4)
+
+    def test_bn254_fp2(self):
+        import operator
+
+        x = (self.X254, self.Y254)
+        y = (self.Y254, (self.X254 * 3) % PBN)
+        self._run_fp2(28, "bn254_fp2_add", PBN, x, y, 4, op=operator.add)
+        self._run_fp2(29, "bn254_fp2_sub", PBN, x, y, 4, op=operator.sub)
+        self._run_fp2(30, "bn254_fp2_mul", PBN, x, y, 4, mul=True)
+
+    def test_bls12381_fp(self):
+        import operator
+
+        self._run_fp(31, "bls12381_fp_add", PBLS, self.X381, self.Y381,
+                     operator.add, 6)
+        self._run_fp(32, "bls12381_fp_sub", PBLS, self.Y381, self.X381,
+                     operator.sub, 6)
+        self._run_fp(33, "bls12381_fp_mul", PBLS, self.X381, self.Y381,
+                     operator.mul, 6)
+
+    def test_bls12381_fp2(self):
+        import operator
+
+        x = (self.X381, self.Y381)
+        y = (self.Y381, (self.X381 * 7) % PBLS)
+        self._run_fp2(34, "bls12381_fp2_add", PBLS, x, y, 6, op=operator.add)
+        self._run_fp2(35, "bls12381_fp2_sub", PBLS, x, y, 6, op=operator.sub)
+        self._run_fp2(36, "bls12381_fp2_mul", PBLS, x, y, 6, mul=True)
+
+
 class TestShape:
     def test_shape_of_px(self):
         prog = asm.assemble(guest(13, 8, 8))
