@@ -780,6 +780,55 @@ bool step(VM& vm) {
                     if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
+            } else if (id == 37) {
+                // u256x2048_mul: a (4 dwords) * b (32 dwords) ->
+                // lo (32 dwords) + hi (4 dwords), exact integer product
+                // (reference: syscall/precompiles/u256x2048_mul/; our
+                // single-pointer ABI packs [a | b] and overwrites the head)
+                int n_read = 36, n_write = 36;
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
+                    return false;
+                uint64_t in[36];
+                for (int j = 0; j < n_read; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id; px.step = (uint64_t)j; px.ptr = ptr;
+                    MemCell& mc = cell(vm, ptr + 8 * (uint64_t)j);
+                    px.r_addr[0] = ptr + 8 * (uint64_t)j;
+                    px.r_prev_ts[0] = mc.ts;
+                    px.r_val[0] = mc.value;
+                    mc.ts = rclk * 8;
+                    in[j] = mc.value;
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                uint64_t out[36] = {0};
+                for (int i = 0; i < 4; i++) {
+                    unsigned __int128 carry = 0;
+                    for (int j = 0; j < 32; j++) {
+                        unsigned __int128 cur =
+                            (unsigned __int128)in[i] * in[4 + j] +
+                            out[i + j] + (uint64_t)carry;
+                        out[i + j] = (uint64_t)cur;
+                        carry = cur >> 64;
+                    }
+                    out[i + 32] += (uint64_t)carry;
+                }
+                for (int i = 0; i < n_write; i++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)(n_read + i);
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id;
+                    px.step = (uint64_t)(n_read + i); px.ptr = ptr;
+                    MemCell& wc = cell(vm, ptr + 8 * (uint64_t)i);
+                    px.w_addr = ptr + 8 * (uint64_t)i;
+                    px.w_prev_ts = wc.ts;
+                    px.w_prev_val = wc.value;
+                    wc.value = out[i];
+                    wc.ts = rclk * 8 + 4;
+                    px.w_val = out[i];
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                vm.clk += (uint64_t)(n_read + n_write);
             } else if (id >= 25 && id <= 36) {
                 // Fp / Fp2 tower precompiles for bn254 (25-30) and
                 // bls12-381 (31-36): add/sub/mul on the base field and

@@ -1641,3 +1641,106 @@ TOWER_CHIPS = {
     "bls12381_fp2_sub": Bls12381Fp2SubChip,
     "bls12381_fp2_mul": Bls12381Fp2MulChip,
 }
+
+
+# sizing-only params for the u256x2048 vanishing identity (no modulus:
+# the chip proves the EXACT integer product split lo + hi*2^2048)
+U2048_VB = fo.FieldParams("u256x2048", 1, 144, 287, 1 << 14)
+
+SYSCALL_U256X2048_MUL = 37
+
+
+class U256x2048MulChip(CallChip):
+    """x (256-bit) times y (2048-bit) -> lo (2048) + hi (256) bits.
+
+    Proves the exact integer identity a(x)*b(x) - lo(x) - hi(x)*x^256
+    vanishes at x = 256 via the witness-quotient argument (reference:
+    crates/core/machine/src/syscall/precompiles/u256x2048_mul/ — the
+    reference reads two pointers; our single-pointer ABI packs
+    [a (4 cells) | b (32 cells)] and writes [lo (32) | hi (4)] over the
+    head, see curvechip.py ABI note).
+    """
+
+    name = "U256x2048Mul"
+    SYSCALL_ID = SYSCALL_U256X2048_MUL
+    N_READ = 36
+    N_WRITE = 36
+
+    def extra_layout(self, c: Cols):
+        c.cols("lo", 256)
+        c.cols("hi", 32)
+        c.cols("vw", U2048_VB.nw)
+
+    def eval_body(self, f, g):
+        ops = f.ops
+        gate = g("is_real")
+        inb = g("inb")
+        a = inb[0:32]
+        b = inb[32:288]
+        lo = g("lo")
+        hi = g("hi")
+        vb = fo.VanishingBuilder(ops, U2048_VB)
+        vb.add_prod(a, b)
+        vb.add_poly(lo, -1)
+        vb.add_poly([0] * 256 + list(hi), -1)
+        vb.constrain(f, gate, g("vw"))
+
+    def u8_check_slices(self, L) -> list:
+        return [L["lo"], L["hi"]]
+
+    def u16_check_slices(self, L) -> list:
+        return [L["vw"]]
+
+    def extra_sends(self, is_real) -> list:
+        L = self.layout
+        out = self._u8_sends(
+            list(range(L["lo"].start, L["lo"].stop))
+            + list(range(L["hi"].start, L["hi"].stop)),
+            is_real,
+        )
+        for i in range(L["vw"].start, L["vw"].stop):
+            out.append(
+                Interaction((Affine.col(main_col(i)),), is_real, KIND_RANGE)
+            )
+        return out
+
+    def write_limb_aff(self, cell: int, limb: int) -> Affine:
+        L = self.layout
+        if cell < 32:
+            base = L["lo"].start + cell * 8 + limb * 2
+        else:
+            base = L["hi"].start + (cell - 32) * 8 + limb * 2
+        return Affine(0, ((main_col(base), 1), (main_col(base + 1), 256)))
+
+    def populate_row(self, row64, L, in_bytes) -> list:
+        a = limbs_to_int(in_bytes[0:32])
+        b = limbs_to_int(in_bytes[32:288])
+        prod = a * b
+        lo = prod & ((1 << 2048) - 1)
+        hi = prod >> 2048
+        lo_l = int_to_limbs(lo, 256)
+        hi_l = int_to_limbs(hi, 32)
+        row64[L["lo"]] = lo_l
+        row64[L["hi"]] = hi_l
+        v = np.zeros(2 * U2048_VB.nb + 1, np.int64)
+        v[:287] += np.convolve(
+            np.asarray(in_bytes[0:32], np.int64),
+            np.asarray(in_bytes[32:288], np.int64),
+        )
+        v[:256] -= np.asarray(lo_l, np.int64)
+        v[256:288] -= np.asarray(hi_l, np.int64)
+        nw = U2048_VB.nw
+        w = np.zeros(nw, np.int64)
+        pol_carry = 0
+        for k in range(nw, -1, -1):
+            if k < nw:
+                w[k] = pol_carry
+            pol_carry = int(v[k]) + pol_carry * 256
+        assert pol_carry == 0, "u256x2048 identity not divisible"
+        assert np.all(v[nw + 1 :] == 0)
+        w16 = w + U2048_VB.offset
+        assert np.all((0 <= w16) & (w16 < (1 << 16)))
+        row64[L["vw"]] = w16
+        out = [(lo >> (64 * j)) & ((1 << 64) - 1) for j in range(32)]
+        out += [(hi >> (64 * j)) & ((1 << 64) - 1) for j in range(4)]
+        return out

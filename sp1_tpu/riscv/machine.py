@@ -149,6 +149,7 @@ PRECOMPILE_FLAGS = [
     ("is_bls12381_fp2_add", 34, 36, True),
     ("is_bls12381_fp2_sub", 35, 36, True),
     ("is_bls12381_fp2_mul", 36, 36, True),
+    ("is_u256x2048_mul", 37, 72, True),
 ]
 
 
@@ -2562,6 +2563,7 @@ SHAPE_SYSCALLS = {
     34: "bls12381_fp2_add",
     35: "bls12381_fp2_sub",
     36: "bls12381_fp2_mul",
+    37: "u256x2048",
 }
 
 
@@ -2626,9 +2628,10 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
             "bls12381_double": Bls12381DoubleChip,
             "bls12381_decompress": Bls12381DecompressChip,
         }
-        from .curvechip import TOWER_CHIPS
+        from .curvechip import TOWER_CHIPS, U256x2048MulChip
 
         by_name.update(TOWER_CHIPS)
+        by_name["u256x2048"] = U256x2048MulChip
         unknown = shape - set(by_name)
         if unknown:
             raise ValueError(f"unknown shape entries: {sorted(unknown)}")

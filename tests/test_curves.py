@@ -356,6 +356,18 @@ class TestFpTower:
         self._run_fp2(36, "bls12381_fp2_mul", PBLS, x, y, 6, mul=True)
 
 
+class TestU256x2048:
+    def test_mul(self):
+        a = (0xDEADBEEF_CAFEBABE << 192) + (1 << 100) + 977
+        b = sum(((i * 0x0123456789ABCDEF + 7) % (1 << 64)) << (64 * i)
+                for i in range(32))
+        prod = a * b
+        lo, hi = prod & ((1 << 2048) - 1), prod >> 2048
+        inputs = dwords(a, 4) + dwords(b, 32)
+        out = dwords(lo, 32) + dwords(hi, 4)
+        run_and_check(37, 36, 36, inputs, out, frozenset({"u256x2048"}))
+
+
 class TestShape:
     def test_shape_of_px(self):
         prog = asm.assemble(guest(13, 8, 8))
