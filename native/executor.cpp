@@ -314,6 +314,71 @@ inline UBig<NW> ub_modinv(const UBig<NW>& a, const UBig<NW>& m) {
     return ub_modpow(a, ub_sub(m, two), m);
 }
 
+// ---------------------------------------------------------------------------
+// KoalaBear Poseidon2 width-16 for the poseidon2 precompile (reference:
+// syscall/precompiles/poseidon2/; constants = ops/poseidon2.py tables).
+// ---------------------------------------------------------------------------
+
+static const uint64_t KB_P = (1ULL << 31) - (1ULL << 24) + 1;
+
+static const uint32_t P2_EXT_RC[8][16] = {
+    {0x7EE56A48, 0x11367045, 0x12E41941, 0x7EBBC12B, 0x1970B7D5, 0x662B60E8, 0x3E4990C6, 0x679F91F5, 0x350813BB, 0x00874AD4, 0x28A0081A, 0x18FA5872, 0x5F25B071, 0x5E5D5998, 0x5E6FD3E7, 0x5B2E2660},
+    {0x6F1837BF, 0x3FE6182B, 0x1EDD7AC5, 0x57470D00, 0x43D486D5, 0x1982C70F, 0x0EA53AF9, 0x61D6165B, 0x51639C00, 0x2DEC352C, 0x2950E531, 0x2D2CB947, 0x08256CEF, 0x1A0109F6, 0x1F51FAF3, 0x5CEF1C62},
+    {0x3D65E50E, 0x33D91626, 0x133D5A1E, 0x0FF49B0D, 0x38900CD1, 0x2C22CC3F, 0x28852BB2, 0x06C65A02, 0x7B2CF7BC, 0x68016E1A, 0x15E16BC0, 0x5248149A, 0x6DD212A0, 0x18D6830A, 0x5001BE82, 0x64DAC34E},
+    {0x5902B287, 0x426583A0, 0x0C921632, 0x3FE028A5, 0x245F8E49, 0x43BB297E, 0x7873DBD9, 0x3CC987DF, 0x286BB4CE, 0x640A8DCD, 0x512A8E36, 0x03A4CF55, 0x481837A2, 0x03D6DA84, 0x73726AC7, 0x760E7FDF},
+    {0x43E7DC24, 0x259A5D61, 0x27E85A3B, 0x1B9133FA, 0x343E5628, 0x485CD4C2, 0x16E269F5, 0x165B60C6, 0x25F683D9, 0x124F81F9, 0x174331F9, 0x77344DC5, 0x5A821DBA, 0x5FC4177F, 0x54153BF5, 0x5E3F1194},
+    {0x3BDBF191, 0x088C84A3, 0x68256C9B, 0x3C90BBC6, 0x6846166A, 0x03F4238D, 0x463335FB, 0x5E3D3551, 0x6E59AE6F, 0x32D06CC0, 0x596293F3, 0x6C87EDB2, 0x08FC60B5, 0x34BCCA80, 0x24F007F3, 0x62731C6F},
+    {0x1E1DB6C6, 0x0CA409BB, 0x585C1E78, 0x56E94EDC, 0x16D22734, 0x18E11467, 0x7B2C3730, 0x770075E4, 0x35D1B18C, 0x22BE3DB5, 0x4FB1FBB7, 0x477CB3ED, 0x7D5311C6, 0x5B62AE7D, 0x559C5FA8, 0x77F15048},
+    {0x3211570B, 0x490FEF6A, 0x77EC311F, 0x2247171B, 0x4E0AC711, 0x2EDF69C9, 0x3B5A8850, 0x65809421, 0x5619B4AA, 0x362019A7, 0x6BF9D4ED, 0x5B413DFF, 0x617E181E, 0x5E7AB57B, 0x33AD7833, 0x3466C7CA},
+};
+static const uint32_t P2_INT_RC[20] = {0x54DFEB5D, 0x7D40AFD6, 0x722CB316, 0x106A4573, 0x45A7CCDB, 0x44061375, 0x154077A5, 0x45744FAA, 0x4EB5E5EE, 0x3794E83F, 0x47C7093C, 0x5694903C, 0x69CB6299, 0x373DF84C, 0x46A0DF58, 0x46B8758A, 0x3241EBCB, 0x0B09D233, 0x1AF42357, 0x1E66CEC2};
+static const uint32_t P2_DIAG[16] = {0x7EFFFFFF, 0x00000001, 0x00000002, 0x00000004, 0x00000008, 0x00000010, 0x00000020, 0x00000040, 0x00000080, 0x00000100, 0x00000200, 0x00000400, 0x00000800, 0x00001000, 0x00002000, 0x00008000};
+
+
+inline uint64_t kb_mul(uint64_t a, uint64_t b) { return a * b % KB_P; }
+
+inline void kb_ext_layer(uint64_t s[16]) {
+    uint64_t o[16];
+    for (int g = 0; g < 16; g += 4) {
+        uint64_t x0 = s[g], x1 = s[g+1], x2 = s[g+2], x3 = s[g+3];
+        o[g]   = (2*x0 + 3*x1 + x2 + x3) % KB_P;
+        o[g+1] = (x0 + 2*x1 + 3*x2 + x3) % KB_P;
+        o[g+2] = (x0 + x1 + 2*x2 + 3*x3) % KB_P;
+        o[g+3] = (3*x0 + x1 + x2 + 2*x3) % KB_P;
+    }
+    uint64_t sums[4];
+    for (int l = 0; l < 4; l++)
+        sums[l] = (o[l] + o[4+l] + o[8+l] + o[12+l]) % KB_P;
+    for (int i = 0; i < 16; i++) s[i] = (o[i] + sums[i % 4]) % KB_P;
+}
+
+inline void kb_poseidon2(uint64_t s[16]) {
+    for (int i = 0; i < 16; i++) s[i] %= KB_P;
+    kb_ext_layer(s);
+    for (int r = 0; r < 4; r++) {
+        for (int i = 0; i < 16; i++) {
+            uint64_t v = (s[i] + P2_EXT_RC[r][i]) % KB_P;
+            s[i] = kb_mul(kb_mul(v, v), v);
+        }
+        kb_ext_layer(s);
+    }
+    for (int r = 0; r < 20; r++) {
+        uint64_t v = (s[0] + P2_INT_RC[r]) % KB_P;
+        s[0] = kb_mul(kb_mul(v, v), v);
+        uint64_t total = 0;
+        for (int i = 0; i < 16; i++) total = (total + s[i]) % KB_P;
+        for (int i = 0; i < 16; i++)
+            s[i] = (kb_mul(s[i], P2_DIAG[i]) + total) % KB_P;
+    }
+    for (int r = 4; r < 8; r++) {
+        for (int i = 0; i < 16; i++) {
+            uint64_t v = (s[i] + P2_EXT_RC[r][i]) % KB_P;
+            s[i] = kb_mul(kb_mul(v, v), v);
+        }
+        kb_ext_layer(s);
+    }
+}
+
 inline int64_t sext(uint64_t v, int bits) {
     int shift = 64 - bits;
     return ((int64_t)(v << shift)) >> shift;
@@ -780,6 +845,43 @@ bool step(VM& vm) {
                     if (vm.record) vm.px_events.push_back(px);
                 }
                 vm.clk += 74;
+            } else if (id == 38) {
+                // poseidon2 precompile: permute 16 KoalaBear elements
+                // (one per cell, low 32 bits; result must be canonical)
+                int n_read = 16, n_write = 16;
+                uint64_t ptr = c;
+                if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
+                    return false;
+                uint64_t st[16];
+                for (int j = 0; j < n_read; j++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)j;
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id; px.step = (uint64_t)j; px.ptr = ptr;
+                    MemCell& mc = cell(vm, ptr + 8 * (uint64_t)j);
+                    px.r_addr[0] = ptr + 8 * (uint64_t)j;
+                    px.r_prev_ts[0] = mc.ts;
+                    px.r_val[0] = mc.value;
+                    mc.ts = rclk * 8;
+                    if (mc.value >= KB_P) return false;  // non-canonical input
+                    st[j] = mc.value;
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                kb_poseidon2(st);
+                for (int i = 0; i < n_write; i++) {
+                    uint64_t rclk = vm.clk + 1 + (uint64_t)(n_read + i);
+                    PxEvent px{};
+                    px.clk = rclk; px.kind = id;
+                    px.step = (uint64_t)(n_read + i); px.ptr = ptr;
+                    MemCell& wc = cell(vm, ptr + 8 * (uint64_t)i);
+                    px.w_addr = ptr + 8 * (uint64_t)i;
+                    px.w_prev_ts = wc.ts;
+                    px.w_prev_val = wc.value;
+                    wc.value = st[i];
+                    wc.ts = rclk * 8 + 4;
+                    px.w_val = st[i];
+                    if (vm.record) vm.px_events.push_back(px);
+                }
+                vm.clk += (uint64_t)(n_read + n_write);
             } else if (id == 37) {
                 // u256x2048_mul: a (4 dwords) * b (32 dwords) ->
                 // lo (32 dwords) + hi (4 dwords), exact integer product

@@ -150,6 +150,7 @@ PRECOMPILE_FLAGS = [
     ("is_bls12381_fp2_sub", 35, 36, True),
     ("is_bls12381_fp2_mul", 36, 36, True),
     ("is_u256x2048_mul", 37, 72, True),
+    ("is_poseidon2", 38, 32, True),
 ]
 
 
@@ -2564,6 +2565,7 @@ SHAPE_SYSCALLS = {
     35: "bls12381_fp2_sub",
     36: "bls12381_fp2_mul",
     37: "u256x2048",
+    38: "poseidon2",
 }
 
 
@@ -2632,6 +2634,9 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
 
         by_name.update(TOWER_CHIPS)
         by_name["u256x2048"] = U256x2048MulChip
+        from .poseidon2chip import Poseidon2PermChip
+
+        by_name["poseidon2"] = Poseidon2PermChip
         unknown = shape - set(by_name)
         if unknown:
             raise ValueError(f"unknown shape entries: {sorted(unknown)}")

@@ -395,14 +395,14 @@ def px_row_ops(kind: int, step: int) -> tuple:
         if step < 25:
             return 1, False
         return (0, False) if step < 49 else (0, True)
-    if kind in range(11, 38):
+    if kind in range(11, 39):
         # curve/uint256/tower calls: N_READ single-read steps then write
         # steps (curvechip.py CallChip window layout)
         n_read = {11: 16, 12: 16, 13: 8, 14: 12, 15: 16, 16: 5, 17: 5,
                   18: 16, 19: 8, 20: 5, 21: 8, 22: 24, 23: 12, 24: 7,
                   25: 8, 26: 8, 27: 8, 28: 16, 29: 16, 30: 16,
                   31: 12, 32: 12, 33: 12, 34: 24, 35: 24, 36: 24,
-                  37: 36}[kind]
+                  37: 36, 38: 16}[kind]
         return (1, False) if step < n_read else (0, True)
     raise ValueError(f"unknown precompile kind {kind}")
 
@@ -1595,6 +1595,7 @@ def generate_traces(
             Bls12381DoubleChip,
         )
         from .curvechip import TOWER_CHIPS, U256x2048MulChip
+        from .poseidon2chip import Poseidon2PermChip
 
         for cls in (EdAddChip, Secp256k1AddChip, Secp256k1DoubleChip,
                     Uint256MulChip, Bn254AddChip, EdDecompressChip,
@@ -1602,7 +1603,7 @@ def generate_traces(
                     Secp256r1DoubleChip, Secp256r1DecompressChip,
                     Bn254DoubleChip, Bls12381AddChip, Bls12381DoubleChip,
                     Bls12381DecompressChip, U256x2048MulChip,
-                    *TOWER_CHIPS.values()):
+                    Poseidon2PermChip, *TOWER_CHIPS.values()):
             cpx = _kind_px(cls.SYSCALL_ID)
             if cpx is None:
                 continue

@@ -429,3 +429,16 @@ class TestDecompress:
         stdin = [0] + dwords(bad_y)
         with pytest.raises(RuntimeError):
             native.execute(prog, inputs=stdin)
+
+
+class TestPoseidon2Precompile:
+    def test_permute(self):
+        import numpy as np
+
+        from sp1_tpu.ops.poseidon2 import hostp2
+
+        state = [(i * 977 + 5) % ((1 << 31) - (1 << 24) + 1)
+                 for i in range(16)]
+        want = [int(v) for v in
+                hostp2.permute(np.asarray([state], np.uint32))[0]]
+        run_and_check(38, 16, 16, state, want, frozenset({"poseidon2"}))
