@@ -79,3 +79,114 @@ class TestCorpusProve:
         pk, vk = client.setup(prog.words, pc_base=prog.pc_base)
         proof = client.prove(pk, stdin=stdin)
         assert client.verify(proof, vk)
+
+
+class TestExpandedCorpus:
+    """The round-5 corpus: precompile loops, call/stack, branch/sort,
+    div/mul, memory-bandwidth and tendermint-class synthetic guests
+    (VERDICT r4 item 6), each cross-checked against an independent
+    Python model."""
+
+    def test_keccak_loop(self):
+        from test_keccak import ref_keccak_f
+
+        lanes = list(range(25, 0, -1))
+        for _ in range(3):
+            lanes = ref_keccak_f(lanes)
+        _, res = elf.execute_elf(load("keccak_loop.elf"), inputs=[3])
+        assert res.exit_code == lanes[0]
+
+    def test_poseidon2_loop(self):
+        import numpy as np
+
+        from sp1_tpu.ops.poseidon2 import hostp2
+
+        state = np.arange(1, 17, dtype=np.uint32)[None, :]
+        for _ in range(4):
+            state = hostp2.permute(state)
+        _, res = elf.execute_elf(load("poseidon2_loop.elf"), inputs=[4])
+        assert res.exit_code == int(state[0][0])
+
+    def test_tendermint_sim(self):
+        from scripts.build_elf_corpus import sha_expected
+
+        M = 1 << 64
+        s4 = 0
+        for _ in range(3):  # blocks
+            t1 = s4
+            w16 = []
+            for _ in range(16):
+                t1 = (t1 + 97) % M
+                w16.append(t1 & 0xFFFFFFFF)
+            # sha_extend consumes 32-bit words; cells store 64-bit t1
+            # values whose low words are what the precompile reads
+            digest = sha_expected([w & 0xFFFFFFFF for w in w16])
+            s4 = (s4 + digest) % M
+            for t0 in range(8, 0, -1):
+                t3 = (s4 + t0) % M
+                s4 = (s4 + t3) % M
+        _, res = elf.execute_elf(load("tendermint_sim.elf"), inputs=[3])
+        assert res.exit_code == s4
+
+    def test_sort(self):
+        M = 1 << 64
+        vals = []
+        t1, n = 1234, 50
+        for t0 in range(n, 0, -1):
+            t1 = (t1 * 1103 + 1234) % M
+            vals.append(t1 & 0xFFFF)
+        _, res = elf.execute_elf(load("sort.elf"), inputs=[n])
+        assert res.exit_code == max(vals)
+
+    def test_divmul(self):
+        M = 1 << 64
+        s3, s4, s5 = 0x12345, 977, 0
+        for _ in range(100):
+            t0 = (s3 * s4) % M
+            t1 = (s3 * s4) >> 64  # mulh of nonneg small values
+            s5 = (s5 + t0 + t1 + t0 // s4 + t0 % s4 + t0 // s4 + t0 % s4) % M
+            s3 += 7
+        _, res = elf.execute_elf(load("divmul.elf"), inputs=[100])
+        assert res.exit_code == s5
+
+    def test_callstack(self):
+        depth = 40
+        want = sum(range(depth + 1))
+        _, res = elf.execute_elf(load("callstack.elf"), inputs=[depth])
+        assert res.exit_code == want
+
+    def test_memcpy(self):
+        M = 1 << 64
+        n, t1 = 64, 777
+        last = None
+        for t0 in range(n, 0, -1):
+            t1 = (t1 * t0 + 13) % M
+            last = t1
+        _, res = elf.execute_elf(load("memcpy.elf"), inputs=[n])
+        assert res.exit_code == last
+
+    def test_secp_double_loop(self):
+        from test_curves import SECP_G, PSECP, dwords, ws_double
+
+        pt = SECP_G
+        for _ in range(5):
+            pt = ws_double(pt, PSECP)
+        _, res = elf.execute_elf(
+            load("secp_double_loop.elf"),
+            inputs=[5] + dwords(SECP_G[0]) + dwords(SECP_G[1]),
+        )
+        assert res.exit_code == dwords(pt[0])[0]
+
+    def test_uint256_loop(self):
+        from test_curves import PSECP, dwords
+
+        x0 = 0x123456789ABCDEF_FEDCBA987654321
+        y = 0x0F1E2D3C4B5A6978_8796A5B4C3D2E1F0
+        x = x0
+        for _ in range(4):
+            x = x * y % PSECP
+        _, res = elf.execute_elf(
+            load("uint256_loop.elf"),
+            inputs=[4] + dwords(x0) + dwords(y) + dwords(PSECP),
+        )
+        assert res.exit_code == dwords(x)[0]
