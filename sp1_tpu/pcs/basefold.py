@@ -465,7 +465,7 @@ def _prove_trusted_evaluations_dfs(
     point_m = jnp.asarray(_to_monty_np(eval_point))
     messages_h, root_handles, fri_trees = [], [], []
     tch.observe(num_vars)
-    group = int(os.environ.get("SP1_TPU_BF_GROUP", "6"))
+    group = int(os.environ.get("SP1_TPU_BF_GROUP", "4"))
     _bf_rounds_span = timing.span("bf_rounds")
     _bf_rounds_span.__enter__()
     r = 0
@@ -478,6 +478,9 @@ def _prove_trusted_evaluations_dfs(
             int(point_m.shape[0]),
         )
         chunk = _bf_chunk_kernel(shape_key, tch._nbuf, tch._out_left, rounds)
+        import sys as _sys
+
+        print(f"[bf] chunk {shape_key} x{rounds}", file=_sys.stderr, flush=True)
         state, out, claim_m, current_code, current_mle = chunk(
             tch.state,
             tch._buf_array(),

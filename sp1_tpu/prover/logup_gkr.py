@@ -774,6 +774,48 @@ def _gkr_mega_kernel(layer_shapes: tuple, nbuf0: int, out_left0: int):
     return meta
 
 
+def _gkr_big_layer(pair, tch, eval_point_c, num_m, den_m):
+    """One large GKR layer through the per-round fused sumcheck driver
+    (iop/dsumcheck.py), keeping everything on device. Returns the same
+    per-layer handle tuple the mega kernel emits, plus the updated
+    (eval_point, num, den) device values."""
+    import sys as _sys
+
+    from ..iop import dsumcheck as dsc
+
+    lnum, lden = pair
+    print(f"[gkr] big layer {tuple(lnum.shape)}", file=_sys.stderr, flush=True)
+    lam_c = tch.sample_ext()
+    lam_m = _to_monty_dev(lam_c)
+    eq = _pl_jit(_to_monty_dev(eval_point_c))
+    table = _build_gkr_table(eq, lnum, lden)
+    poly = PackedLogupRoundPoly(table, int(table.shape[0]), lam_m, None)
+    claim_m = ext.ext4_add(ext.ext4_mul(num_m, lam_m), den_m)
+    deferred = dsc.device_sumcheck([poly], tch, [claim_m], lam_c)
+    comp_m = deferred.component_evals[0]  # (4, 4) monty [n0, d0, n1, d1]
+    comp_c = _from_monty_dev(comp_m)
+    tch.observe_slice(comp_c[0])
+    tch.observe_slice(comp_c[2])
+    tch.observe_slice(comp_c[1])
+    tch.observe_slice(comp_c[3])
+    last_coord = tch.sample_ext()
+    lc_m = _to_monty_dev(last_coord)
+    n0m, d0m, n1m, d1m = comp_m[0], comp_m[1], comp_m[2], comp_m[3]
+    num_m = ext.ext4_add(n0m, ext.ext4_mul(ext.ext4_sub(n1m, n0m), lc_m))
+    den_m = ext.ext4_add(d0m, ext.ext4_mul(ext.ext4_sub(d1m, d0m), lc_m))
+    point_c = jnp.stack(list(deferred.alphas))
+    eval_point_c = jnp.concatenate([point_c, last_coord[None]], axis=0)
+    entry = (
+        tuple(deferred.messages),
+        tuple(deferred.alphas),
+        kb.from_monty(jnp.asarray(claim_m)),
+        deferred.last_coeffs,
+        comp_c,
+        last_coord,
+    )
+    return entry, eval_point_c, num_m, den_m
+
+
 def _gkr_rounds_mega(
     layers, first_eval_point, numerator_eval, denominator_eval, challenger
 ):
@@ -786,31 +828,51 @@ def _gkr_rounds_mega(
     tch = TraceChallenger.from_host(challenger)
     order = list(range(len(layers) - 2, -1, -1))
     dev_layers = [(layers[j][0], layers[j][1]) for j in order]
-    # group layers by ROUND budget: program size (and remote-compiler
-    # memory) scales with the number of unrolled round bodies
+    # Group SMALL layers by a round budget into mega kernels; layers above
+    # the size cap get the per-round fused driver instead — the remote TPU
+    # compiler cannot digest a 20-round unrolled program over multi-
+    # million-row arrays in reasonable time.
     budget = int(_os.environ.get("SP1_TPU_GKR_ROUND_BUDGET", "24"))
-    groups, cur, acc = [], [], 0
+    cap = 1 << int(_os.environ.get("SP1_TPU_GKR_MEGA_CAP_LOG", "22"))
+    plan, cur, acc = [], [], 0  # plan entries: ("mega", [layers]) | ("big", layer)
     for pair in dev_layers:
-        r = int(pair[0].shape[0]).bit_length() - 2  # rounds of this layer
+        n = int(pair[0].shape[0])
+        if n > cap:
+            if cur:
+                plan.append(("mega", cur))
+                cur, acc = [], 0
+            plan.append(("big", pair))
+            continue
+        r = n.bit_length() - 2  # rounds of this layer
         if cur and acc + r > budget:
-            groups.append(cur)
+            plan.append(("mega", cur))
             cur, acc = [], 0
         cur.append(pair)
         acc += r
     if cur:
-        groups.append(cur)
+        plan.append(("mega", cur))
     eval_point_c = jnp.asarray(np.asarray(first_eval_point, np.uint32))
     num_m = jnp.asarray(_to_monty_np(numerator_eval))
     den_m = jnp.asarray(_to_monty_np(denominator_eval))
     out = []
     with timing.span("rounds_enqueue"):
-        for chunk in groups:
-            chunk = tuple(chunk)
+        for mode, item in plan:
+            if mode == "big":
+                step = _gkr_big_layer(
+                    item, tch, eval_point_c, num_m, den_m
+                )
+                out.append(step[0])
+                eval_point_c, num_m, den_m = step[1:]
+                continue
+            chunk = tuple(item)
             shapes = (
                 tuple(tuple(l[0].shape) for l in chunk),
                 int(eval_point_c.shape[0]),
             )
             (kernel,) = _gkr_mega_kernel(shapes, tch._nbuf, tch._out_left)
+            import sys as _sys
+
+            print(f"[gkr] group {shapes[0]}", file=_sys.stderr, flush=True)
             state, buf, got, eval_point_c, num_m, den_m = kernel(
                 tch.state,
                 tch._buf_array(),
