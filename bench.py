@@ -69,9 +69,21 @@ def run_child(mode: str, timeout: float, mlrc: int, limb_bits: int):
             stderr=None,
             text=True,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         print(f"[bench] {mode} child timed out after {timeout:.0f}s", file=sys.stderr)
-        return None
+        # salvage the cumulative JSON lines the child printed per stage
+        out = e.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        result = None
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    result = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        return result
     if proc.returncode != 0:
         print(f"[bench] {mode} child rc={proc.returncode}", file=sys.stderr)
         return None
