@@ -281,6 +281,8 @@ def child_main(mode: str):
             # 2-shard fibonacci: multi-shard splicing + septic chaining
             n2 = (2 * (1 << mlrc) - 9) // 6
             res2 = native.execute(prog, inputs=[n2], max_cycles=1 << 28)
+            if warm:  # first pass pays the second shard shape's compiles
+                multi.prove_program(prover, pk, res2, prog, 0, ws, mlrc)
             t0 = time.time()
             proofs2 = multi.prove_program(prover, pk, res2, prog, 0, ws, mlrc)
             dt2 = time.time() - t0
