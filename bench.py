@@ -297,17 +297,6 @@ def child_main(mode: str):
             print(json.dumps(out), flush=True)
         except Exception as e:  # keep earlier results on stage failure
             progress(f"fibonacci_2shard failed: {e}")
-    if budget_left() > 1200:
-        try:
-            # keccak AIR at up to 2^14 rows (24 rows/permute); the keccak
-            # trace is 4017 columns wide, so rows cap below the shard max
-            n_kec = max((1 << max(min(14, mlrc - 2), 5)) // 24, 1)
-            out["workloads"]["keccak"] = prove_workload(
-                "keccak", KECCAK_LOOP, [n_kec], warm=warm
-            )
-            print(json.dumps(out), flush=True)
-        except Exception as e:
-            progress(f"keccak failed: {e}")
     if budget_left() > 900:
         try:
             n_sha = max(((1 << min(mlrc, 16)) // 48) // (1 if mode == "device" else 4), 1)
@@ -317,6 +306,17 @@ def child_main(mode: str):
             print(json.dumps(out), flush=True)
         except Exception as e:
             progress(f"sha_extend failed: {e}")
+    if budget_left() > 1200:
+        try:
+            # keccak AIR at up to 2^14 rows (24 rows/permute); the keccak
+            # trace is 4017 columns wide, so rows cap below the shard max
+            n_kec = max((1 << max(min(13, mlrc - 2), 5)) // 24, 1)
+            out["workloads"]["keccak"] = prove_workload(
+                "keccak", KECCAK_LOOP, [n_kec], warm=warm
+            )
+            print(json.dumps(out), flush=True)
+        except Exception as e:
+            progress(f"keccak failed: {e}")
     print(json.dumps(out))
 
 
