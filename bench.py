@@ -331,7 +331,7 @@ def main():
     # RETRACING of the ~50 prover kernels (~700s on this 4-core host) is
     # paid per process even with a fully warm .jax_cache; the timed prove
     # itself is ~41s.
-    budget = float(os.environ.get("SP1_BENCH_BUDGET", "2400"))
+    budget = float(os.environ.get("SP1_BENCH_BUDGET", "3000"))
     t_start = time.time()
     result = None
 
