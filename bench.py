@@ -276,7 +276,7 @@ def child_main(mode: str):
 
     # -- multi-workload suite -----------------------------------------------
     warm = mode == "device"
-    if budget_left() > 500:
+    if budget_left() > 900:
         try:
             # 2-shard fibonacci: multi-shard splicing + septic chaining
             n2 = (2 * (1 << mlrc) - 9) // 6
@@ -297,7 +297,7 @@ def child_main(mode: str):
             print(json.dumps(out), flush=True)
         except Exception as e:  # keep earlier results on stage failure
             progress(f"fibonacci_2shard failed: {e}")
-    if budget_left() > 600:
+    if budget_left() > 900:
         try:
             n_sha = max(((1 << min(mlrc, 16)) // 48) // (1 if mode == "device" else 4), 1)
             out["workloads"]["sha_extend"] = prove_workload(
