@@ -95,7 +95,59 @@ struct VM {
     size_t input_pos = 0;
     uint64_t op_counts[OP_CLASS_COUNT] = {0};
     uint64_t syscall_counts[64] = {0};  // by syscall id (small ABI space)
+    // Untrusted (user) execution mode: per-page protection checks on
+    // every fetch/load/store and precompile buffer access (reference
+    // role: crates/core/executor/src/mode.rs UserMode +
+    // minimal/precompiles/mprotect.rs). Pages are 4 KiB over the 32-bit
+    // guest address space -> 2^20 prot bytes, lazily allocated.
+    bool user_mode = false;
+    std::vector<uint8_t> page_prot;
+    uint64_t trap_code = 0;  // 0 = none; see TRAP_* below
+    uint64_t trap_addr = 0;
 };
+
+// Page-protection constants (ELF PF_* bit encoding, matching the
+// reference's consts.rs: PROT_EXEC=1, PROT_WRITE=2, PROT_READ=4).
+enum : uint8_t {
+    PROT_NONE = 0, PROT_EXEC = 1, PROT_WRITE = 2, PROT_READ = 4,
+    DEFAULT_PAGE_PROT = PROT_READ | PROT_WRITE,
+};
+enum : uint64_t {
+    TRAP_READ_VIOLATION = 1, TRAP_WRITE_VIOLATION = 2,
+    TRAP_EXEC_VIOLATION = 3, TRAP_BAD_MPROTECT = 4,
+};
+constexpr int LOG_PAGE_SIZE = 12;
+constexpr size_t NUM_PAGES = 1ULL << (32 - LOG_PAGE_SIZE);
+
+inline std::vector<uint8_t>& page_table(VM& vm) {
+    if (vm.page_prot.empty())
+        vm.page_prot.assign(NUM_PAGES, DEFAULT_PAGE_PROT);
+    return vm.page_prot;
+}
+
+// Check one access; only ever called in user mode. Sets the trap state
+// and returns false on a violation (the step loop then stops, and
+// ex_run reports -2 so the host can distinguish a protection fault
+// from an illegal instruction).
+inline bool prot_ok(VM& vm, uint64_t addr, uint8_t need, uint64_t trap) {
+    uint8_t p = page_table(vm)[(addr >> LOG_PAGE_SIZE) & (NUM_PAGES - 1)];
+    if ((p & need) == need) return true;
+    vm.trap_code = trap;
+    vm.trap_addr = addr;
+    return false;
+}
+
+// Precompile buffers must be readable AND writable (the reference
+// checks each page touched by a syscall's memory traffic).
+inline bool px_prot_ok(VM& vm, uint64_t ptr, uint64_t nbytes) {
+    if (!vm.user_mode) return true;
+    for (uint64_t a = ptr & ~((1ULL << LOG_PAGE_SIZE) - 1); a < ptr + nbytes;
+         a += 1ULL << LOG_PAGE_SIZE) {
+        if (!prot_ok(vm, a, PROT_READ, TRAP_READ_VIOLATION)) return false;
+        if (!prot_ok(vm, a, PROT_WRITE, TRAP_WRITE_VIOLATION)) return false;
+    }
+    return true;
+}
 
 // ---------------------------------------------------------------------------
 // 256-bit modular arithmetic for the curve / uint256 precompiles
@@ -442,6 +494,8 @@ void store_sized(VM& vm, uint64_t addr, uint64_t val, int size_log, Event& ev) {
 bool step(VM& vm) {
     uint64_t idx = (vm.pc - vm.pc_base) / 4;
     if (idx >= vm.program.size()) return false;
+    if (vm.user_mode && !prot_ok(vm, vm.pc, PROT_EXEC, TRAP_EXEC_VIOLATION))
+        return false;
     uint32_t instr = vm.program[idx];
     vm.clk += 1;
 
@@ -580,6 +634,8 @@ bool step(VM& vm) {
             ev.rs1_prev_ts = vm.reg_ts[rs1]; b = read_reg(rs1, 1);
             uint64_t addr = b + (uint64_t)imm_i;
             if (addr >= (1ULL << 32)) return false;  // guest address space
+            if (vm.user_mode && !prot_ok(vm, addr, PROT_READ, TRAP_READ_VIOLATION))
+                return false;
             wr = true;
             switch (funct3) {
                 case 0: a = load_sized(vm, addr, 0, true, ev); break;   // lb
@@ -598,6 +654,8 @@ bool step(VM& vm) {
             ev.rs2_prev_ts = vm.reg_ts[rs2]; c = read_reg(rs2, 2);
             uint64_t addr = b + (uint64_t)imm_s;
             if (addr >= (1ULL << 32)) return false;  // guest address space
+            if (vm.user_mode && !prot_ok(vm, addr, PROT_WRITE, TRAP_WRITE_VIOLATION))
+                return false;
             switch (funct3) {
                 case 0: store_sized(vm, addr, c, 0, ev); break;
                 case 1: store_sized(vm, addr, c, 1, ev); break;
@@ -665,6 +723,25 @@ bool step(VM& vm) {
                 rd = 10;
                 a = v;
                 wr = true;
+            } else if (id == 39) {
+                // MPROTECT (reference: syscall_code.rs MPROTECT 0x132,
+                // minimal/precompiles/mprotect.rs). Single-register ABI
+                // (documented divergence, like the single-pointer
+                // precompiles): a0 = page_addr | prot, with prot in the
+                // low 12 bits (the page offset, necessarily zero for an
+                // aligned address). Permitted prots match the
+                // reference's PERMITTED_PROTS: NONE, R, RW, RX.
+                uint64_t addr = c & ~((1ULL << LOG_PAGE_SIZE) - 1);
+                uint8_t prot = (uint8_t)(c & ((1ULL << LOG_PAGE_SIZE) - 1));
+                bool permitted = prot == PROT_NONE || prot == PROT_READ ||
+                                 prot == (PROT_READ | PROT_WRITE) ||
+                                 prot == (PROT_READ | PROT_EXEC);
+                if (!permitted || c >= (1ULL << 32)) {
+                    vm.trap_code = TRAP_BAD_MPROTECT;
+                    vm.trap_addr = c;
+                    return false;
+                }
+                page_table(vm)[addr >> LOG_PAGE_SIZE] = prot;
             } else if (id == 8) {
                 // SHA_EXTEND precompile (reference role:
                 // crates/core/executor/src/syscalls/precompiles/sha256/extend.rs).
@@ -673,6 +750,7 @@ bool step(VM& vm) {
                 // runs at clk+1+j (the AIR's state chain skips the window).
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + 64 * 8 > (1ULL << 32)) return false;
+                if (!px_prot_ok(vm, ptr, 64 * 8)) return false;
                 for (int j = 0; j < 48; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
                     PxEvent px{};
@@ -726,6 +804,7 @@ bool step(VM& vm) {
                     0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + 72 * 8 > (1ULL << 32)) return false;
+                if (!px_prot_ok(vm, ptr, 72 * 8)) return false;
                 uint32_t st[8];  // working variables a..h
                 for (int j = 0; j < 80; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
@@ -798,6 +877,7 @@ bool step(VM& vm) {
                     39, 41, 45, 15, 21, 8, 18, 2, 61, 56, 14};
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + 25 * 8 > (1ULL << 32)) return false;
+                if (!px_prot_ok(vm, ptr, 25 * 8)) return false;
                 uint64_t st64[25];
                 for (int j = 0; j < 74; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
@@ -852,6 +932,7 @@ bool step(VM& vm) {
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
                     return false;
+                if (!px_prot_ok(vm, ptr, (uint64_t)n_read * 8)) return false;
                 uint64_t st[16];
                 for (int j = 0; j < n_read; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
@@ -891,6 +972,7 @@ bool step(VM& vm) {
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
                     return false;
+                if (!px_prot_ok(vm, ptr, (uint64_t)n_read * 8)) return false;
                 uint64_t in[36];
                 for (int j = 0; j < n_read; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
@@ -956,6 +1038,7 @@ bool step(VM& vm) {
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
                     return false;
+                if (!px_prot_ok(vm, ptr, (uint64_t)n_read * 8)) return false;
                 uint64_t in[48];
                 for (int j = 0; j < n_read; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
@@ -1036,6 +1119,7 @@ bool step(VM& vm) {
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
                     return false;
+                if (!px_prot_ok(vm, ptr, (uint64_t)n_read * 8)) return false;
                 uint64_t in[24];
                 for (int j = 0; j < n_read; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
@@ -1155,6 +1239,7 @@ bool step(VM& vm) {
                 uint64_t ptr = c;
                 if ((ptr & 7) || ptr + (uint64_t)n_read * 8 > (1ULL << 32))
                     return false;
+                if (!px_prot_ok(vm, ptr, (uint64_t)n_read * 8)) return false;
                 uint64_t in[16];
                 for (int j = 0; j < n_read; j++) {
                     uint64_t rclk = vm.clk + 1 + (uint64_t)j;
@@ -1405,14 +1490,26 @@ void ex_write_memory(void* h, uint64_t addr, uint64_t value) {
     cell(*vm, addr).value = value;
 }
 
-// Returns: 0 halted, 1 max_cycles reached, -1 illegal instruction / oob pc.
+// Returns: 0 halted, 1 max_cycles reached, -1 illegal instruction / oob
+// pc, -2 page-protection fault (untrusted mode; see ex_trap).
 int64_t ex_run(void* h, uint64_t max_cycles) {
     VM* vm = (VM*)h;
     while (!vm->halted && vm->clk < max_cycles) {
-        if (!step(*vm)) return vm->halted ? 0 : -1;
+        if (!step(*vm)) return vm->halted ? 0 : (vm->trap_code ? -2 : -1);
     }
     return vm->halted ? 0 : 1;
 }
+
+// Untrusted (user-mode) execution controls.
+void ex_set_mode(void* h, uint64_t user) { ((VM*)h)->user_mode = user != 0; }
+
+void ex_set_page_prot(void* h, uint64_t addr, uint64_t prot) {
+    VM* vm = (VM*)h;
+    page_table(*vm)[(addr >> LOG_PAGE_SIZE) & (NUM_PAGES - 1)] = (uint8_t)prot;
+}
+
+uint64_t ex_trap(void* h) { return ((VM*)h)->trap_code; }
+uint64_t ex_trap_addr(void* h) { return ((VM*)h)->trap_addr; }
 
 // Chunked execution: run until `max_events` NEW events are buffered (or
 // halt/illegal). With ex_clear_events between calls this bounds resident
@@ -1424,7 +1521,7 @@ int64_t ex_run_chunk(void* h, uint64_t max_events) {
     VM* vm = (VM*)h;
     vm->events.reserve(max_events);
     while (!vm->halted && vm->events.size() < max_events) {
-        if (!step(*vm)) return vm->halted ? 0 : -1;
+        if (!step(*vm)) return vm->halted ? 0 : (vm->trap_code ? -2 : -1);
     }
     return vm->halted ? 0 : 1;
 }

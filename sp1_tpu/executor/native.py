@@ -137,6 +137,14 @@ def get_lib():
         lib.ex_get_px_events.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
         lib.ex_clear_events.argtypes = [ctypes.c_void_p]
         lib.ex_report_len.restype = ctypes.c_uint64
+        lib.ex_set_mode.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ex_set_page_prot.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+        ]
+        lib.ex_trap.restype = ctypes.c_uint64
+        lib.ex_trap.argtypes = [ctypes.c_void_p]
+        lib.ex_trap_addr.restype = ctypes.c_uint64
+        lib.ex_trap_addr.argtypes = [ctypes.c_void_p]
         lib.ex_report_len.argtypes = []
         lib.ex_report.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
         _lib = lib
@@ -162,6 +170,23 @@ def _read_report(lib, vm) -> dict:
         if c
     }
     return {"opcode_counts": counts, "syscall_counts": syscalls}
+
+
+class ProtectionFault(RuntimeError):
+    """Untrusted-mode page-protection violation (reference role: the
+    executor Interrupt raised by page_prot_check, mode.rs UserMode).
+
+    trap codes: 1 read, 2 write, 3 exec, 4 bad mprotect call."""
+
+    def __init__(self, code: int, addr: int):
+        super().__init__(f"page protection fault (trap={code}, addr={addr:#x})")
+        self.code = code
+        self.addr = addr
+
+
+# mprotect prot bits (ELF PF_* encoding, reference consts.rs)
+PROT_NONE, PROT_EXEC, PROT_WRITE, PROT_READ = 0, 1, 2, 4
+SYSCALL_MPROTECT = 39
 
 
 class ExecutionResult:
@@ -197,11 +222,19 @@ def execute(
     max_cycles: int = 1 << 24,
     pc_start: int | None = None,
     record_events: bool = True,
+    untrusted: bool = False,
+    page_prots: dict | None = None,
 ) -> ExecutionResult:
     """record_events=False runs the pure-execution fast path (no event
     stream; tens of MHz) — the analog of the reference's minimal
     executor mode (crates/perf executor `simple` runs). The report,
-    exit code, output and touched memory are still produced."""
+    exit code, output and touched memory are still produced.
+
+    untrusted=True enables user-mode page-protection checks (reference:
+    mode.rs UserMode): pages default to RW, the program's own pages are
+    marked R|X, and the guest adjusts protections via the MPROTECT
+    syscall (39). A violation raises ProtectionFault. page_prots maps
+    addr -> prot byte for extra pre-set pages (e.g. ELF segment flags)."""
     lib = get_lib()
     words = np.ascontiguousarray(program_words, np.uint32)
     vm = lib.ex_create(
@@ -220,7 +253,20 @@ def execute(
             lib.ex_set_pc(vm, pc_start)
         if not record_events:
             lib.ex_set_record(vm, 0)
+        if untrusted:
+            lib.ex_set_mode(vm, 1)
+            page = 1 << 12
+            lo = pc_base & ~(page - 1)
+            hi = pc_base + 4 * len(words)
+            for addr in range(lo, hi, page):
+                lib.ex_set_page_prot(vm, addr, PROT_READ | PROT_EXEC)
+        if page_prots:
+            lib.ex_set_mode(vm, 1)
+            for addr, prot in page_prots.items():
+                lib.ex_set_page_prot(vm, addr, prot)
         rc = lib.ex_run(vm, max_cycles)
+        if rc == -2:
+            raise ProtectionFault(lib.ex_trap(vm), lib.ex_trap_addr(vm))
         if rc != 0:
             raise RuntimeError(f"execution did not halt cleanly (rc={rc})")
         n = lib.ex_num_events(vm)

@@ -113,6 +113,43 @@ def commit_mles(mles: list, config: FriConfig, tcs=None) -> tuple:
     return tree.root, BasefoldProverData(codewords=codewords, tree=tree, mles=mles)
 
 
+def offload_prover_data(pd: BasefoldProverData) -> None:
+    """Free the codeword + Merkle-tree device buffers, keeping only the
+    committed MLEs (the codewords are `log_blowup`x the data and dominate
+    the commit's HBM footprint; reference analog: sp1-gpu keeps commit
+    buffers resident because a single H100 has the headroom — on a 16 GB
+    TPU chip the GKR layer tree and the commit data don't fit together
+    at production shard shapes, so we drop and re-derive).
+
+    `rematerialize_prover_data` rebuilds them bit-identically (the
+    encode + Merkle build are deterministic) right before the opening
+    phase consumes them."""
+    if pd.codewords is None:
+        return
+    for c in pd.codewords:
+        if hasattr(c, "delete"):
+            c.delete()
+    if pd.tree is not None:
+        for layer in getattr(pd.tree, "layers", ()):
+            if hasattr(layer, "delete"):
+                layer.delete()
+    pd.codewords = None
+    pd.tree = None
+
+
+def rematerialize_prover_data(pd: BasefoldProverData, config: FriConfig) -> None:
+    """Recompute codewords + Merkle tree dropped by `offload_prover_data`.
+
+    Reuses the commit-phase kernels (same shapes), so on a warm process
+    this costs one encode + one tree build and zero new compiles."""
+    if pd.codewords is not None:
+        return
+    h = int(pd.mles[0].shape[0])
+    log_h = h.bit_length() - 1
+    pd.codewords = [ntt.rs_encode(m, log_h, config.log_blowup) for m in pd.mles]
+    pd.tree = merkle.commit_tensors(pd.codewords)
+
+
 # ---------------------------------------------------------------------------
 # Device kernels for the opening loop
 # ---------------------------------------------------------------------------

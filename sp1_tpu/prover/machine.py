@@ -22,9 +22,26 @@ from ..field import koalabear as kb
 from ..iop import sumcheck as sc
 from ..iop.challenger import DuplexChallenger
 from ..ops import mle as mle_ops
-from ..pcs import jagged
+from ..pcs import basefold, jagged
 from ..utils import timing
 from ..pcs.jagged import JaggedConfig, full_geq_host, point_from_usize
+
+
+def _commit_remat_enabled(mlrc: int) -> bool:
+    """Gate for commit-data offload/recompute (SP1_TPU_COMMIT_REMAT).
+
+    "auto" (default): on only for accelerator backends at shard shapes
+    where the codewords + GKR layer tree exceed a single chip's HBM
+    (mlrc >= 17); at small shapes the re-encode would cost more latency
+    than the memory is worth. "1"/"0" force."""
+    import os
+
+    v = os.environ.get("SP1_TPU_COMMIT_REMAT", "auto")
+    if v == "auto":
+        import jax
+
+        return mlrc >= 17 and jax.default_backend() != "cpu"
+    return v not in ("0", "false", "")
 from . import logup_gkr as gkr
 from . import zerocheck as zc
 
@@ -226,6 +243,13 @@ class ShardProver:
             main_commit, main_data = jagged.commit_multilinears(
                 main_mles, main_heights, self.config, tcs=self.tcs
             )
+        # HBM relief at large shard shapes: the commit's codewords +
+        # Merkle tree (log_blowup x the trace data) are dead weight until
+        # the opening phase, while GKR's layer tree is the peak consumer.
+        # Drop them now and re-derive (bit-identically) before opening.
+        remat = self.tcs is None and _commit_remat_enabled(mlrc)
+        if remat:
+            basefold.offload_prover_data(main_data.stacked_data.basefold_data)
         challenger.observe_digest(main_commit)
         challenger.observe(len(chips))
         for c in chips:
@@ -382,6 +406,11 @@ class ShardProver:
         if not prep_claims:
             prep_claims = [np.zeros((1, 4), np.uint32)]  # dummy table
         main_claims = [opened_values[c.name].main for c in chips]
+        if remat:
+            with timing.span("recommit"):
+                basefold.rematerialize_prover_data(
+                    main_data.stacked_data.basefold_data, self.config.fri
+                )
         with timing.span("opening"):
             evaluation_proof = jagged.prove_trusted_evaluations(
                 eval_point,

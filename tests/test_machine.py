@@ -121,6 +121,36 @@ class TestToyMachine:
         pk.vk.observe_into(vch)
         assert verifier.verify_shard(pk.vk, proof, vch)
 
+    def test_commit_remat_transcript_identical(self, monkeypatch):
+        """Offload/recompute of commit data must not change the proof: the
+        re-derived codewords + tree are bit-identical, so the whole
+        transcript (and thus every challenge) matches the resident path."""
+        machine = build_machine()
+        traces, prep = build_traces()
+        prover = mm.ShardProver(machine, CONFIG)
+        pk = prover.setup(preprocessed_traces=prep)
+
+        def run():
+            ch = DuplexChallenger()
+            pk.vk.observe_into(ch)
+            return prover.prove_shard(pk, traces, [], ch)
+
+        monkeypatch.setenv("SP1_TPU_COMMIT_REMAT", "0")
+        base = run()
+        monkeypatch.setenv("SP1_TPU_COMMIT_REMAT", "1")
+        remat = run()
+        assert np.array_equal(base.main_commitment, remat.main_commitment)
+        assert np.array_equal(
+            base.zerocheck_proof.point, remat.zerocheck_proof.point
+        )
+        bq = base.evaluation_proof.pcs_proof.basefold_proof.query_openings
+        rq = remat.evaluation_proof.pcs_proof.basefold_proof.query_openings
+        assert len(bq) == len(rq)
+        verifier = mm.ShardVerifier(machine, CONFIG)
+        vch = DuplexChallenger()
+        pk.vk.observe_into(vch)
+        assert verifier.verify_shard(pk.vk, remat, vch)
+
     def test_unbalanced_interactions_rejected(self):
         machine = build_machine()
         traces, prep = build_traces()
