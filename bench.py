@@ -187,6 +187,29 @@ def child_main(mode: str):
 
     t_begin = time.time()
 
+    # Reference measurement log (crates/perf/README.md:148-150 schema):
+    # each successful prove appends one CSV row. gas has no model here
+    # (no gas VM yet) and is reported as 0, like an un-gassed run.
+    csv_path = os.path.join(REPO, "bench_data", "measurements.csv")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    if not os.path.exists(csv_path):
+        with open(csv_path, "w") as fh:
+            fh.write(
+                "timestamp,program,param,mode,cycles,gas,elf_bytes,"
+                "execute_secs,setup_secs,prove_secs,khz,mgas_per_s\n"
+            )
+
+    def csv_row(program_name, elf_words, cycles, execute_secs, setup_secs,
+                prove_secs):
+        khz_w = cycles / prove_secs / 1e3
+        with open(csv_path, "a") as fh:
+            fh.write(
+                f"{int(time.time())},{program_name},mlrc{mlrc}-limb{limb_bits}"
+                f"-{mode},core,{cycles},0,{elf_words * 4},"
+                f"{execute_secs:.3f},{setup_secs:.3f},{prove_secs:.3f},"
+                f"{khz_w:.4f},0\n"
+            )
+
     def budget_left() -> float:
         return (deadline - time.time()) if deadline else float("inf")
 
@@ -207,9 +230,13 @@ def child_main(mode: str):
     def prove_workload(name, src_asm, inputs, warm=False):
         """Prove one workload shard; returns its kHz."""
         prog_w = asm.assemble(src_asm)
+        t_e = time.time()
         res_w = native.execute(prog_w, inputs=inputs)
+        exec_secs = time.time() - t_e
         traces_w, prep_w = tracegen.generate_traces(res_w, prog_w, 0, ws, mlrc)
+        t_s = time.time()
         pk_w = prover.setup(preprocessed_traces=prep_w)
+        setup_secs = time.time() - t_s
         pv_w = tracegen.make_public_values(res_w, 0, ws, traces=traces_w)
         for _timed in ((False, True) if warm else (True,)):
             ch_w = DuplexChallenger()
@@ -221,6 +248,7 @@ def child_main(mode: str):
         pk_w.vk.observe_into(vch_w)
         assert verifier.verify_shard(pk_w.vk, proof_w, vch_w), f"{name} reject"
         progress(f"workload {name}: {res_w.cycles} cycles in {dt_w:.1f}s")
+        csv_row(name, len(prog_w), res_w.cycles, exec_secs, setup_secs, dt_w)
         return {
             "cycles": int(res_w.cycles),
             "prove_secs": round(dt_w, 3),
@@ -230,10 +258,14 @@ def child_main(mode: str):
     prog = asm.assemble(asm.FIBONACCI)
     # fibonacci loop is 6 cycles/iteration + 9 fixed; fill the shard
     n_iters = ((1 << mlrc) - 9) // 6
+    t_e = time.time()
     res = native.execute(prog, inputs=[n_iters])
+    fib_exec_secs = time.time() - t_e
     traces, prep = tracegen.generate_traces(res, prog, 0, ws, mlrc)
     progress(f"traces generated ({res.cycles} cycles)")
+    t_s = time.time()
     pk = prover.setup(preprocessed_traces=prep)
+    fib_setup_secs = time.time() - t_s
     progress("setup done (preprocessed commit)")
 
     # Warm-up run (jit compilation) in device mode only — the host child
@@ -259,6 +291,8 @@ def child_main(mode: str):
     pk.vk.observe_into(vch)
     assert verifier.verify_shard(pk.vk, proof, vch), "proof failed to verify"
 
+    csv_row("fibonacci", len(prog), res.cycles, fib_exec_secs,
+            fib_setup_secs, prove_secs)
     khz = res.cycles / prove_secs / 1e3
     out = {
         "metric": "core_prover_throughput",

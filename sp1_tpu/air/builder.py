@@ -45,6 +45,7 @@ KIND_RANGE = 22  # framework-specific kinds may extend past the reference's
 KIND_PX_CHAIN = 23  # precompile round-chain messages (per-call shift register)
 KIND_SHA_K = 24  # SHA-256 round-constant table lookups
 KIND_GLOBAL_MEMORY = 30  # cross-shard memory-state interactions (global scope)
+KIND_GLOBAL_SYSCALL = 31  # deferred precompile dispatch (global scope)
 
 
 @dataclass(frozen=True)

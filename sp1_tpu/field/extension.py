@@ -89,6 +89,26 @@ def ext4_mul(a, b):
     return _join([c0, c1, c2, c3])
 
 
+def ext4_mul_soa(a, b):
+    """ext4_mul over component-major (SoA) operands: a, b are (4, ...)
+    with the extension component on axis 0. Same schoolbook formulas as
+    ext4_mul, but every operand/temp is a full-width base-field vector —
+    no 4-wide minor dimension for the TPU tiler to pad 32x (see
+    prover/logup_gkr._lrows for the layout rationale)."""
+    m, add = kb.mul, kb.add
+    a0, a1, a2, a3 = a[0], a[1], a[2], a[3]
+    b0, b1, b2, b3 = b[0], b[1], b[2], b[3]
+
+    def s3(x):  # multiply by the binomial constant W4 = 3
+        return add(add(x, x), x)
+
+    c0 = add(m(a0, b0), s3(add(add(m(a1, b3), m(a2, b2)), m(a3, b1))))
+    c1 = add(add(m(a0, b1), m(a1, b0)), s3(add(m(a2, b3), m(a3, b2))))
+    c2 = add(add(add(m(a0, b2), m(a1, b1)), m(a2, b0)), s3(m(a3, b3)))
+    c3 = add(add(m(a0, b3), m(a1, b2)), add(m(a2, b1), m(a3, b0)))
+    return jnp.stack([c0, c1, c2, c3])
+
+
 def ext4_square(a):
     return ext4_mul(a, a)
 

@@ -111,7 +111,10 @@ def _chip_first_layer_kernel(chip, scope="local"):
             dens.append(
                 jnp.where(real, fp, jnp.broadcast_to(jnp.asarray(one), fp.shape))
             )
-        return jnp.concatenate(nums, axis=0), jnp.concatenate(dens, axis=0)
+        # component-major (4, rows*ints) output — the SoA layer layout
+        num = jnp.concatenate(nums, axis=0).T
+        den = jnp.concatenate(dens, axis=0).T
+        return num, den
 
     setattr(chip, attr, kernel)
     return kernel
@@ -205,8 +208,10 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, 
                 num_parts.append(zeros_c)
                 den_parts.append(ones_c)
         else:
-            zeros = jnp.zeros((n_rows, 4), jnp.uint32)
-            ones = jnp.broadcast_to(jnp.asarray(one), (n_rows, 4))
+            zeros = jnp.zeros((4, n_rows), jnp.uint32)
+            ones_c = np.zeros((4, 1), np.uint32)
+            ones_c[0, 0] = kb.to_monty_i(1)
+            ones = jnp.broadcast_to(jnp.asarray(ones_c), (4, n_rows))
             for _ in range(pad):
                 num_parts.append(zeros)
                 den_parts.append(ones)
@@ -216,16 +221,30 @@ def materialize_first_layer(chips, preprocessed, traces, heights, alpha, betas, 
             np.concatenate(den_parts, axis=0),
             iv,
         )
-    num = jnp.concatenate(num_parts, axis=0)
-    den = jnp.concatenate(den_parts, axis=0)
+    # FLAT component-major (SoA) at rest: [c0 of all rows, c1, c2, c3]
+    # — see _lrows for the TPU layout rationale. Device parts are
+    # (4, rows*ints) component-major already.
+    num = jnp.concatenate(num_parts, axis=1).reshape(-1)
+    den = jnp.concatenate(den_parts, axis=1).reshape(-1)
     return num, den, iv
 
 
 _LAYER_TREE_FNS = {}
 
 
+def _lrows(a) -> int:
+    """Logical row count of a layer array.
+
+    Device layer arrays are FLAT (4N,) u32: a (N, 4) parameter can get
+    XLA layout {1,0:T(8,128)} — the 4-wide minor dim padded to 128 lanes,
+    a 32x HBM expansion that OOMs the layer tree at mlrc >= 18 (observed:
+    a 512 MB (2^25, 4) `den` allocating 16.00 GB). 1D params tile as
+    T(1024) with no padding. Host layer arrays stay (N, 4) numpy."""
+    return int(a.shape[0]) // 4 if a.ndim == 1 else int(a.shape[0])
+
+
 def _layer_tree_fused(num, den, steps: int):
-    """All layer transitions in one jit -> tuple of (num, den) layers."""
+    """All layer transitions in one jit -> tuple of flat (num, den)."""
     key = (tuple(num.shape), steps)
     fn = _LAYER_TREE_FNS.get(key)
     if fn is None:
@@ -244,14 +263,17 @@ def _layer_tree_fused(num, den, steps: int):
 
 @jax.jit
 def _layer_transition(num, den):
-    """(2M,4),(2M,4) -> (M,4),(M,4): fraction addition on adjacent pairs."""
-    n = num.reshape(-1, 2, 4)
-    d = den.reshape(-1, 2, 4)
-    n0, n1 = n[:, 0], n[:, 1]
-    d0, d1 = d[:, 0], d[:, 1]
-    new_n = ext.ext4_add(ext.ext4_mul(n0, d1), ext.ext4_mul(n1, d0))
-    new_d = ext.ext4_mul(d0, d1)
-    return new_n, new_d
+    """flat SoA (8M,), (8M,) -> flat SoA (4M,), (4M,): fraction addition
+    on adjacent ext4 pairs (logical (2M,4) -> (M,4)). Component-major
+    arithmetic: every temp is a (4, M) stack of full-width base vectors —
+    nothing with a 4-wide minor dim ever materializes (see _lrows)."""
+    n = num.reshape(4, -1)
+    d = den.reshape(4, -1)
+    n0, n1 = n[:, 0::2], n[:, 1::2]
+    d0, d1 = d[:, 0::2], d[:, 1::2]
+    new_n = kb.add(ext.ext4_mul_soa(n0, d1), ext.ext4_mul_soa(n1, d0))
+    new_d = ext.ext4_mul_soa(d0, d1)
+    return new_n.reshape(-1), new_d.reshape(-1)
 
 
 @jax.jit
@@ -340,10 +362,20 @@ _GKR_SHARDED_KERNELS = {}
 
 @jax.jit
 def _build_gkr_table(eq, num, den):
-    """Pack a layer into the (m, 5, 4) [eq, n0, n1, d0, d1] table."""
-    nv = num.reshape(-1, 2, 4)
-    dv = den.reshape(-1, 2, 4)
-    return jnp.stack([eq, nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1]], axis=1)
+    """Pack a layer into the (m, 5, 4) [eq, n0, n1, d0, d1] table.
+
+    num/den arrive flat SoA (see _lrows); the AoS transpose fuses into
+    the table write."""
+    if num.ndim == 1:
+        n = num.reshape(4, -1)
+        d = den.reshape(4, -1)
+        n0, n1 = n[:, 0::2].T, n[:, 1::2].T  # (M, 4)
+        d0, d1 = d[:, 0::2].T, d[:, 1::2].T
+    else:
+        nv = num.reshape(-1, 2, 4)
+        dv = den.reshape(-1, 2, 4)
+        n0, n1, d0, d1 = nv[:, 0], nv[:, 1], dv[:, 0], dv[:, 1]
+    return jnp.stack([eq, n0, n1, d0, d1], axis=1)
 
 
 def _gkr_local_sums(table, n_pairs_live, lam_m):
@@ -836,7 +868,7 @@ def _gkr_rounds_mega(
     cap = 1 << int(_os.environ.get("SP1_TPU_GKR_MEGA_CAP_LOG", "22"))
     plan, cur, acc = [], [], 0  # plan entries: ("mega", [layers]) | ("big", layer)
     for pair in dev_layers:
-        n = int(pair[0].shape[0])
+        n = _lrows(pair[0])
         if n > cap:
             if cur:
                 plan.append(("mega", cur))
@@ -1069,9 +1101,10 @@ def prove_logup_gkr(
             for n2, d2 in _layer_tree_fused(num, den, mlrc - 1):
                 layers.append((n2, d2, False))
         for _ in range(mlrc - 1 if host or not use_dfs else 0):
-            if not host and not use_dfs and int(num.shape[0]) // 2 <= HOST_THRESH:
-                num = hostmle.dev_to_host(num)
-                den = hostmle.dev_to_host(den)
+            if not host and not use_dfs and _lrows(num) // 2 <= HOST_THRESH:
+                # flat SoA -> (N, 4) AoS numpy
+                num = hostmle.dev_to_host(num).reshape(4, -1).T.copy()
+                den = hostmle.dev_to_host(den).reshape(4, -1).T.copy()
                 host = True
             if host:
                 nv = num.reshape(-1, 2, 4)
@@ -1089,8 +1122,9 @@ def prove_logup_gkr(
         out_num_c = np.asarray(out_num, np.uint32)
         out_den_c = np.asarray(out_den, np.uint32)
     else:
-        out_num_c = _from_monty_np(np.asarray(out_num).reshape(-1)).reshape(-1, 4)
-        out_den_c = _from_monty_np(np.asarray(out_den).reshape(-1)).reshape(-1, 4)
+        # flat SoA -> canonical (N, 4) AoS
+        out_num_c = _from_monty_np(np.asarray(out_num)).reshape(4, -1).T.copy()
+        out_den_c = _from_monty_np(np.asarray(out_den)).reshape(4, -1).T.copy()
     challenger.observe_variable_length_slice(out_num_c.reshape(-1))
     challenger.observe_variable_length_slice(out_den_c.reshape(-1))
 
@@ -1128,17 +1162,17 @@ def prove_logup_gkr(
         lnum, lden, lhost = layers[layer_idx]
         lam = challenger.sample_ext()
         lam_m = jnp.asarray(_to_monty_np(lam))
-        if lhost or (not use_dfs and int(lnum.shape[0]) // 2 <= HOST_THRESH):
+        if lhost or (not use_dfs and _lrows(lnum) // 2 <= HOST_THRESH):
             eq_c = mle_ops.host.partial_lagrange_ext(np.asarray(eval_point, np.uint32))
             ln = (
                 np.asarray(lnum, np.uint32)
                 if lhost
-                else hostmle.dev_to_host(lnum)
+                else hostmle.dev_to_host(lnum).reshape(4, -1).T.copy()
             ).reshape(-1, 2, 4)
             ld = (
                 np.asarray(lden, np.uint32)
                 if lhost
-                else hostmle.dev_to_host(lden)
+                else hostmle.dev_to_host(lden).reshape(4, -1).T.copy()
             ).reshape(-1, 2, 4)
             poly = LogupRoundPoly(
                 eq_c, ln[:, 0], ln[:, 1], ld[:, 0], ld[:, 1], lam_m, lam, host=True

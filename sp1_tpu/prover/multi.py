@@ -53,23 +53,41 @@ def make_segment_pv(events, ws, is_last: bool, exit_code: int, traces=None) -> l
     return pv
 
 
+def make_px_pv(ws, traces) -> list:
+    """Public values of a deferred precompile shard: no program-state
+    flow (every KIND_STATE slot zero, so the pv send/receive cancel),
+    only the septic global digest it contributes."""
+    from ..riscv.machine import NUM_PV_ELTS
+
+    pv = [0] * NUM_PV_ELTS
+    tracegen.set_global_pv(pv, traces, ws)
+    return pv
+
+
 def shard_inputs_of(
-    result, program_words, pc_base: int, ws, mlrc: int, max_rows: int | None = None
+    result, program_words, pc_base: int, ws, mlrc: int,
+    max_rows: int | None = None, defer_kinds=frozenset(),
 ) -> list:
-    """Split an execution into per-shard (traces, public_values) inputs."""
+    """Split an execution into per-shard (traces, public_values) inputs.
+
+    defer_kinds: precompile syscall ids whose rows are stripped from the
+    CPU shards into standalone precompile shards, linked back through
+    the septic global argument (syscall bridge + per-chain memory
+    boundaries). Reference: controller/precompiles.rs:35-111."""
     max_rows = max_rows or (1 << mlrc)
     segments = split_events(result.events, max_rows)
     rom = tracegen.decode_program(program_words, pc_base, ws)
     px = getattr(result, "px_events", None)
-    _, full_final = tracegen.compute_segment_states(
+    _, full_final_chain = tracegen.compute_segment_states(
         result.events, rom, pc_base, ws, px_events=px
     )
+    full_final = tracegen.final_state_dict(full_final_chain)
     genesis_addrs = sorted(full_final.keys())
 
     shard_inputs = []
     for i, seg in enumerate(segments):
         init_s, final_s = tracegen.compute_segment_states(
-            seg, rom, pc_base, ws, px_events=px
+            seg, rom, pc_base, ws, px_events=px, defer_kinds=defer_kinds
         )
         traces, _prep = tracegen.generate_traces(
             result,
@@ -83,11 +101,36 @@ def shard_inputs_of(
             genesis_addrs=genesis_addrs if i == 0 else None,
             final_global_states=full_final if i == len(segments) - 1 else None,
             include_bookends=False,
+            defer_kinds=defer_kinds,
         )
         pv = make_segment_pv(
             seg, ws, i == len(segments) - 1, int(result.exit_code), traces=traces
         )
         shard_inputs.append((traces, pv))
+
+    if defer_kinds and px is not None and len(px):
+        dpx = px[np.isin(px["kind"], np.asarray(sorted(defer_kinds)))]
+        if len(dpx):
+            empty = result.events[:0]
+            init_p, final_p = tracegen.compute_segment_states(
+                empty, rom, pc_base, ws, px_events=dpx,
+                defer_kinds=defer_kinds,
+            )
+            traces_p, _prep = tracegen.generate_traces(
+                result,
+                program_words,
+                pc_base,
+                ws,
+                mlrc,
+                events=empty,
+                init_states=init_p,
+                final_states=final_p,
+                include_bookends=False,
+                px_events=dpx,
+                defer_kinds=defer_kinds,
+                px_shard=True,
+            )
+            shard_inputs.append((traces_p, make_px_pv(ws, traces_p)))
     return shard_inputs
 
 
@@ -100,6 +143,7 @@ def prove_program(
     ws,
     mlrc: int,
     max_rows: int | None = None,
+    defer_kinds=frozenset(),
 ) -> list:
     """Prove a (possibly multi-shard) execution; returns [ShardProof].
 
@@ -108,7 +152,8 @@ def prove_program(
     concurrently on separate devices with no synchronization.
     """
     shard_inputs = shard_inputs_of(
-        result, program_words, pc_base, ws, mlrc, max_rows
+        result, program_words, pc_base, ws, mlrc, max_rows,
+        defer_kinds=defer_kinds,
     )
     proofs = []
     for traces, pv in shard_inputs:
@@ -154,8 +199,36 @@ def verify_program(verifier, vk, proofs: list) -> bool:
     if not (total == septic.CompletePoint.infinity()):
         return False
 
-    # Public-values chaining.
-    for i, proof in enumerate(proofs):
+    # Deferred precompile shards carry no program state: structurally
+    # identified (zero CPU-class rows — opened_values is bound by the
+    # commitment, so a prover cannot mislabel a real execution shard)
+    # and excluded from the pc/clk chain. Their state-slot PVs must be
+    # degenerate so the pv send/receive cancel.
+    cpu_names = {c.name for c in machine.chips if c.name.startswith("Cpu")}
+
+    def is_px_shard(proof) -> bool:
+        return not any(n in proof.opened_values for n in cpu_names)
+
+    chain = [p for p in proofs if not is_px_shard(p)]
+    if not chain:
+        return False
+    for proof in proofs:
+        if not is_px_shard(proof):
+            continue
+        pv = proof.public_values
+        if int(pv[PV_PC_START]) or int(pv[PV_NEXT_PC]):
+            return False
+        if int(pv[PV_CLK_START]) or int(pv[PV_CLK_END]):
+            return False
+        if int(pv[PV_IS_HALTED]):
+            return False
+        if "MemoryGenesis" in proof.opened_values:
+            return False
+        if "MemoryFinalGlobal" in proof.opened_values:
+            return False
+
+    # Public-values chaining over the execution shards.
+    for i, proof in enumerate(chain):
         pv = proof.public_values
         if i == 0:
             if int(pv[PV_PC_START]) != int(vk.pc_start[0]):
@@ -163,12 +236,12 @@ def verify_program(verifier, vk, proofs: list) -> bool:
             if int(pv[PV_CLK_START]) != 1:
                 return False
         else:
-            prev = proofs[i - 1].public_values
+            prev = chain[i - 1].public_values
             if int(pv[PV_PC_START]) != int(prev[PV_NEXT_PC]):
                 return False
             if int(pv[PV_CLK_START]) != int(prev[PV_CLK_END]):
                 return False
-        is_last = i == len(proofs) - 1
+        is_last = i == len(chain) - 1
         if int(pv[PV_IS_HALTED]) != (1 if is_last else 0):
             return False
         # bookend chips only in the first/last shard

@@ -31,6 +31,7 @@ from ..air.builder import (
     KIND_GLOBAL,
     KIND_GLOBAL_ACC,
     KIND_GLOBAL_MEMORY,
+    KIND_GLOBAL_SYSCALL,
     KIND_MEMORY,
     KIND_PROGRAM,
     KIND_RANGE,
@@ -2428,6 +2429,90 @@ class MemoryGenesisChip(Chip):
         ]
 
 
+class SyscallDeferChip(Chip):
+    """Bridge moving a precompile dispatch across shards (reference role:
+    crates/prover/src/worker/controller/precompiles.rs:35-111 deferred
+    precompile shards + deferred.rs).
+
+    A deferred call's precompile rows live in a standalone precompile
+    shard. The CPU shard's ecall row still SENDS its local KIND_SYSCALL
+    message; here an `is_out` row receives it and re-sends the same
+    (id, clk, ptr) tuple through the septic global argument. In the
+    precompile shard an `is_in` row receives the global message and
+    re-sends it locally, where the precompile chip's own KIND_SYSCALL
+    receive absorbs it. Memory traffic needs no bridging: the deferred
+    rounds' cells flow through the ordinary MemoryInit/MemoryFinal
+    global chaining (per-access-segment rows, tracegen.compute_segment_states).
+
+    Columns: [is_out, is_in, id, clk, ptr limbs...].
+    """
+
+    name = "SyscallDefer"
+
+    def __init__(self, ws: WordSpec):
+        self.ws = ws
+        self.width = 4 + ws.num_limbs
+
+    def eval(self, f):
+        f.assert_bool(f.main[0])
+        f.assert_bool(f.main[1])
+        # a row is out- or in-facing, never both
+        f.assert_zero(f.ops.mul(f.main[0], f.main[1]))
+
+    def _syscall_tuple(self):
+        nl = self.ws.num_limbs
+        return tuple(
+            [Affine.col(main_col(2)), Affine.col(main_col(3))]
+            + [Affine.col(main_col(4 + i)) for i in range(nl)]
+        )
+
+    def _global_tuple(self):
+        nl = self.ws.num_limbs
+        msg = [Affine.col(main_col(2)), Affine.col(main_col(3))]
+        if self.ws.limb_bits == 16:
+            msg += [Affine.col(main_col(4 + i)) for i in range(nl)]
+        else:
+            # pack 8-bit limb pairs (range-checked by the Cpu memory
+            # argument they mirror) into 16-bit elements, _global_msg-style
+            for i in range(0, nl, 2):
+                msg.append(
+                    Affine(0, ((main_col(4 + i), 1), (main_col(4 + i + 1), 256)))
+                )
+        while len(msg) < 8:
+            msg.append(Affine.const(0))
+        return tuple(
+            msg
+            + [
+                Affine.col(main_col(0)),  # is_send: the CPU-shard side
+                Affine.col(main_col(1)),  # is_receive: the px-shard side
+                Affine.const(KIND_GLOBAL_SYSCALL),
+            ]
+        )
+
+    def receives(self) -> list:
+        return [
+            Interaction(
+                self._syscall_tuple(), Affine.col(main_col(0)), KIND_SYSCALL
+            )
+        ]
+
+    def sends(self) -> list:
+        either = Affine(0, ((main_col(0), 1), (main_col(1), 1)))
+        out = [
+            Interaction(
+                self._syscall_tuple(), Affine.col(main_col(1)), KIND_SYSCALL
+            ),
+            Interaction(self._global_tuple(), either, KIND_GLOBAL),
+        ]
+        # ptr limbs range-checked so the packed global message is a
+        # canonical (injective) encoding on both sides of the bridge
+        for i in range(self.ws.num_limbs):
+            out.append(
+                Interaction((Affine.col(main_col(4 + i)),), either, KIND_RANGE)
+            )
+        return out
+
+
 class MemoryFinalGlobalChip(Chip):
     """Global receives of the true end-of-execution states; appears in
     the last shard only (reference role: memory finalize shards)."""
@@ -2658,6 +2743,7 @@ def _build_machine_uncached(ws: WordSpec, shape: frozenset) -> Machine:
         ]
         + optional
         + [
+            SyscallDeferChip(ws),
             MemoryInitChip(ws),
             MemoryFinalChip(ws),
             MemoryGenesisChip(ws),

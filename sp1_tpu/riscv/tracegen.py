@@ -426,29 +426,79 @@ def px_events_of_segment(px_events, events):
     return px_events[(parent >= lo) & (parent <= hi)]
 
 
-def compute_segment_states(events, rom, pc_base: int, ws: WordSpec, px_events=None):
-    """(init_states, final_states): cell -> (ts, value) at segment bounds.
+def compute_segment_states(
+    events, rom, pc_base: int, ws: WordSpec, px_events=None,
+    defer_kinds=frozenset(),
+):
+    """(init_chain, final_chain): lists of (cell, ts, value) rows for the
+    MemoryInit / MemoryFinal tables of one shard.
 
     Cells: registers at addresses 0..31, RAM words at 32 + byte_addr/8.
-    The init state of a cell is the (prev_ts, prev_value) of its first
-    access in the segment; the final state is the post-state of its last
-    access. This is what makes event-stream splicing possible without
+    A cell contributes one (init, final) pair per CONTIGUOUS access
+    chain: each access's recorded prev_ts must equal the previous access's
+    ts, otherwise the chain closes (final row) and a new one opens (init
+    row). With a plain segment every cell has exactly one chain; with
+    deferred precompiles (defer_kinds — reference role:
+    crates/prover/src/worker/controller/precompiles.rs deferred shards)
+    the foreign shard's accesses interleave, and the extra init/final
+    pairs are exactly the global boundary messages that stitch the two
+    shards' chains back together in the septic argument.
+
+    This is what makes event-stream splicing possible without
     re-execution (reference role: crates/core/executor/src/splicing.rs).
     Precompile rounds (px_events) touch cells between their parent ecall
-    and the next instruction.
+    and the next instruction. px rounds whose kind is in `defer_kinds`
+    are skipped (they belong to a precompile shard); with an EMPTY event
+    slice, px_events are processed standalone in clk order (the
+    precompile shard side).
     """
-    init_states, final_states = {}, {}
+    init_chain, final_chain = [], []
+    last = {}  # cell -> (ts, val) of its open chain
+
+    def touch(cell, prev_ts, prev_val, new_ts, new_val):
+        prev = last.get(cell)
+        if prev is None or prev[0] != int(prev_ts):
+            if prev is not None:
+                final_chain.append((cell, prev[0], prev[1]))
+            init_chain.append((cell, int(prev_ts), int(prev_val)))
+        last[cell] = (int(new_ts), int(new_val))
+
+    def close_chains():
+        for cell, (ts, val) in last.items():
+            final_chain.append((cell, ts, val))
+        # deterministic table order
+        init_chain.sort()
+        final_chain.sort()
+        return init_chain, final_chain
+
+    if len(events) == 0:
+        # standalone precompile-shard side: walk the px rounds directly
+        if px_events is not None:
+            order = np.argsort(px_events["clk"], kind="stable")
+            for j in order:
+                row = px_events[j]
+                if defer_kinds and int(row["kind"]) not in defer_kinds:
+                    continue
+                rclk = int(row["clk"])
+                n_reads, has_write = px_row_ops(int(row["kind"]), int(row["step"]))
+                for k in range(n_reads):
+                    c_ = 32 + int(row["r_addr"][k]) // 8
+                    touch(c_, row["r_prev_ts"][k], row["r_val"][k],
+                          rclk * 8 + k, row["r_val"][k])
+                if has_write:
+                    c_ = 32 + int(row["w_addr"]) // 8
+                    touch(c_, row["w_prev_ts"], row["w_prev_val"],
+                          rclk * 8 + 4, row["w_val"])
+        return close_chains()
+
     px = px_events_of_segment(px_events, events)
     px_by_parent = {}
     if px is not None:
         parents = px["clk"] - 1 - px["step"]
         for j in range(len(px)):
+            if int(px[j]["kind"]) in defer_kinds:
+                continue
             px_by_parent.setdefault(int(parents[j]), []).append(j)
-
-    def touch(cell, prev_ts, prev_val, new_ts, new_val):
-        if cell not in init_states:
-            init_states[cell] = (int(prev_ts), int(prev_val))
-        final_states[cell] = (int(new_ts), int(new_val))
 
     pc_idx = ((events["pc"] - pc_base) // 4).astype(np.int64)
     ops = rom["op_id"][pc_idx]
@@ -520,7 +570,17 @@ def compute_segment_states(events, rom, pc_base: int, ws: WordSpec, px_events=No
                 touch(
                     c_, row["w_prev_ts"], row["w_prev_val"], rclk * 8 + 4, row["w_val"]
                 )
-    return init_states, final_states
+    return close_chains()
+
+
+def final_state_dict(final_chain) -> dict:
+    """cell -> (ts, value) of the LAST chain (true end-of-segment state)."""
+    out = {}
+    for cell, ts, val in final_chain:
+        cur = out.get(cell)
+        if cur is None or ts > cur[0]:
+            out[cell] = (ts, val)
+    return out
 
 
 def _pad_pow2(n: int, mlrc: int) -> int:
@@ -1467,6 +1527,8 @@ def generate_traces(
     final_global_states=None,
     include_bookends=True,
     px_events=None,
+    defer_kinds=frozenset(),
+    px_shard=False,
 ):
     """Build all chip traces from an ExecutionResult (or an event slice).
 
@@ -1532,6 +1594,8 @@ def generate_traces(
     def _kind_px(kind):
         if px_events is None or len(px_events) == 0:
             return None
+        if kind in defer_kinds and not px_shard:
+            return None  # rows live in a deferred precompile shard
         sel = px_events[px_events["kind"] == kind]
         return sel if len(sel) else None
 
@@ -1620,13 +1684,48 @@ def generate_traces(
             curve_traces[cls.name] = (ctr, crows)
             curve_range_lookups.extend(clook)
 
+    # --- SyscallDefer bridge rows (deferred precompile dispatch) ----------
+    # One row per deferred call: the CPU shard's `is_out` row moves the
+    # local KIND_SYSCALL message onto the septic global argument; the
+    # precompile shard's `is_in` row brings it back down (reference role:
+    # controller/precompiles.rs deferred shards; machine.SyscallDeferChip).
+    sysdefer = None
+    defer_range_lookups = []
+    if defer_kinds and px_events is not None and len(px_events):
+        sel = np.isin(px_events["kind"], np.asarray(sorted(defer_kinds)))
+        sub = px_events[sel]
+        calls, seen = [], set()
+        if len(sub):
+            parents = sub["clk"] - 1 - sub["step"]
+            for j in np.argsort(sub["clk"], kind="stable"):
+                p = int(parents[j])
+                if p in seen:
+                    continue
+                seen.add(p)
+                calls.append((int(sub[j]["kind"]), p, int(sub[j]["ptr"])))
+        if calls:
+            dh = _pad_pow2(len(calls), mlrc)
+            sd = np.zeros((dh, 4 + nl), np.uint32)
+            for j, (sid, pclk, ptr) in enumerate(calls):
+                sd[j, 0] = 0 if px_shard else 1  # is_out
+                sd[j, 1] = 1 if px_shard else 0  # is_in
+                sd[j, 2] = sid
+                sd[j, 3] = pclk
+                sd[j, 4 : 4 + nl] = limbs_of(np.array([ptr], np.uint64), ws)[0]
+            sysdefer = (sd, len(calls))
+            dvals = sd[: len(calls), 4 : 4 + nl].reshape(-1)
+            defer_range_lookups.append(
+                (dvals, np.ones(len(dvals), np.uint32))
+            )
+
     # --- Range table (preprocessed) + multiplicity ------------------------
     rng_h = _pad_pow2(1 << ws.limb_bits, mlrc)
     prep_rng = np.zeros((rng_h, 1), np.uint32)
     prep_rng[: 1 << ws.limb_bits, 0] = np.arange(1 << ws.limb_bits)
     rng_mult = np.zeros((rng_h, 1), np.uint32)
     for vals, mult in (lookups + sha_range_lookups + shac_range_lookups
-                       + keccak_range_lookups + curve_range_lookups):
+                       + keccak_range_lookups + curve_range_lookups
+                       + defer_range_lookups):
         rng_mult[:, 0] += np.bincount(
             vals.astype(np.int64), weights=mult.astype(np.int64), minlength=rng_h
         )[:rng_h].astype(np.uint32)
@@ -1664,22 +1763,24 @@ def generate_traces(
     # --- Memory init/final (segment boundary states) ----------------------
     if init_states is None or final_states is None:
         seg_init, seg_final = compute_segment_states(
-            ev, rom, pc_base, ws, px_events=px_events
+            ev, rom, pc_base, ws, px_events=px_events, defer_kinds=defer_kinds
         )
         init_states = seg_init if init_states is None else init_states
         final_states = seg_final if final_states is None else final_states
-    cells_sorted = sorted(final_states.keys())
-    m = len(cells_sorted)
+    # init/final are CHAIN lists [(cell, ts, value)] — one row per
+    # contiguous access chain (multiple rows per cell when a deferred
+    # precompile shard's accesses interleave; compute_segment_states).
+    m = len(final_states)
+    assert len(init_states) == m
     mem_h = _pad_pow2(max(m, 1), mlrc)
     init = np.zeros((mem_h, 3 + nl), np.uint32)
     fin = np.zeros((mem_h, 3 + nl), np.uint32)
-    for j, addr in enumerate(cells_sorted):
-        its, ival = init_states[addr]
-        fts, fval = final_states[addr]
+    for j, (addr, its, ival) in enumerate(init_states):
         init[j, 0] = addr
         init[j, 1] = 1
         init[j, 2] = its
         init[j, 3 : 3 + nl] = limbs_of(np.array([ival], np.uint64), ws)[0]
+    for j, (addr, fts, fval) in enumerate(final_states):
         fin[j, 0] = addr
         fin[j, 1] = 1
         fin[j, 2] = fts
@@ -1690,8 +1791,8 @@ def generate_traces(
     fg = None
     if include_bookends and genesis_addrs is None and final_global_states is None:
         # single-shard: bookends from this segment's states
-        genesis_addrs = sorted(final_states.keys())
-        final_global_states = final_states
+        final_global_states = final_state_dict(final_states)
+        genesis_addrs = sorted(final_global_states.keys())
     if genesis_addrs is not None:
         g = sorted(genesis_addrs)
         gh = _pad_pow2(max(len(g), 1), mlrc)
@@ -1741,6 +1842,24 @@ def generate_traces(
     if fg is not None:
         for j in range(int(fg[:, 1].sum())):
             global_events.append((_msg_of(fg[j]), True, KIND_GLOBAL_MEMORY))
+    if sysdefer is not None:
+        from ..air.builder import KIND_GLOBAL_SYSCALL
+
+        sd, n_sd = sysdefer
+        for j in range(n_sd):
+            limbs = sd[j, 4 : 4 + nl].astype(np.int64)
+            if ws.limb_bits == 16:
+                packed = [int(v) for v in limbs]
+            else:
+                packed = [
+                    int(limbs[i] + (limbs[i + 1] << 8)) for i in range(0, nl, 2)
+                ]
+            msg = [int(sd[j, 2]), int(sd[j, 3])] + packed
+            msg += [0] * (8 - len(msg))
+            # CPU side (is_out) sends; the precompile shard receives.
+            # generate_global_trace's flag is IS_RECEIVE (True for the
+            # init-side rows above), so pass is_in.
+            global_events.append((msg, bool(sd[j, 1]), KIND_GLOBAL_SYSCALL))
     gtrace, gcount, gdigest, grange = generate_global_trace(
         gchip, global_events, mlrc
     )
@@ -1779,6 +1898,11 @@ def generate_traces(
         "MemoryFinal": (jnp.asarray(to_monty(fin)), m),
         "Global": (jnp.asarray(to_monty(gtrace)), gcount),
     }
+    if sysdefer is not None:
+        traces["SyscallDefer"] = (
+            jnp.asarray(to_monty(sysdefer[0])),
+            sysdefer[1],
+        )
     if gen is not None:
         traces["MemoryGenesis"] = (jnp.asarray(to_monty(gen)), int(gen[:, 1].sum()))
     if fg is not None:

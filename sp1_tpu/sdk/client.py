@@ -47,6 +47,40 @@ class SP1ProofWithPublicValues:
     mode: str = "core"
 
 
+@dataclass
+class SP1ShrinkProof:
+    """Wrap-grade recursion proof of the compress-tree root (blowup 2^3,
+    22-bit PoW — fri_params.rs shrink schedule)."""
+
+    proof: object  # mm.ShardProof over the RecursionAir machine
+    vk: object
+    public_values: list
+    compressed: object  # the SP1CompressedProof this shrinks
+    _prover: object = None  # RecursionProver (in-process verification)
+    mode: str = "shrink"
+
+
+@dataclass
+class SP1Groth16Proof:
+    """BN254 wrap proof + the gnark circuit artifacts it feeds.
+
+    Everything gnark's Groth16 pipeline consumes (go/sp1/sp1.go Define):
+    the wrap proof with its BN254 transcript/commitments, the exported
+    constraint system, and the witness — semantically evaluated by
+    recursion/gnark_eval.py at prove AND verify time. The external Go
+    BuildGroth16/ProveGroth16 step (prove_groth16.go:25) is the only
+    piece not run in-process (no Go toolchain in this environment)."""
+
+    wrap_proof: object
+    wrap_vk: object
+    constraints: dict
+    witness: dict
+    public_values: list
+    shrink: SP1ShrinkProof
+    _prover: object = None  # WrapProver
+    mode: str = "groth16"
+
+
 class CpuProver:
     """Local prover running the TPU-backed proving stack in-process.
 
@@ -188,17 +222,95 @@ class CpuProver:
         self.vk_map_root = proof.vk_map_root
         return proof
 
+    def _prove_shrink(self, pk, stdin) -> "SP1ShrinkProof":
+        """compressed -> one wrap-grade proof (RS blowup 2^3, 22-bit PoW).
+
+        Reference: crates/prover/src/recursion.rs:285 shrink stage; the
+        SDK surfaces it so callers can hand the result straight to the
+        wrap circuit without driving recursion modules themselves."""
+        from ..recursion import shrink as rshrink
+
+        comp = self._prove_compressed(pk, stdin)
+        rp = self._pipeline.last_root_rp
+        sprog = rshrink.build_shrink_program(rp.machine, rp.config, comp.root_proof)
+        sprover = rshrink.shrink_prover(sprog)
+        sproof = sprover.prove(
+            rshrink.shrink_witness_stream(rp.vk, comp.root_proof)
+        )
+        return SP1ShrinkProof(
+            proof=sproof,
+            vk=sprover.vk,
+            public_values=[int(v) for v in sproof.public_values],
+            compressed=comp,
+            _prover=sprover,
+        )
+
+    def _prove_groth16(self, pk, stdin) -> "SP1Groth16Proof":
+        """shrink -> BN254 wrap proof + gnark circuit artifacts.
+
+        Matches the reference chain up to the Go boundary: the wrap
+        proof's transcript and Merkle commitments live on BN254-Fr for
+        the gnark circuit (crates/recursion/gnark-ffi/go/sp1/sp1.go
+        Define), and the exported constraint system + witness are
+        SEMANTICALLY EVALUATED in-process (recursion/gnark_eval.py — the
+        stand-in consumer for gnark's BuildGroth16/ProveGroth16,
+        go/sp1/prove_groth16.go:25, which need a Go toolchain this
+        environment does not ship). The final SNARK-proving step is the
+        one externalized piece; everything it consumes is produced and
+        checked here."""
+        from ..recursion import gnark as rgnark
+        from ..recursion import gnark_eval
+        from ..recursion import wrap as rwrap
+
+        shrink = self._prove_shrink(pk, stdin)
+        sprover = shrink._prover
+        wprog = rwrap.build_wrap_program(
+            sprover.machine, sprover.config, shrink.proof
+        )
+        wprover = rwrap.WrapProver(wprog)
+        wstream = rwrap.wrap_witness_stream(sprover.vk, shrink.proof)
+        wproof = wprover.prove(wstream)
+        constraints = rgnark.export_constraints(wprog)
+        witness = rgnark.export_witness(wprog, wstream)
+        gnark_eval.evaluate(constraints, witness)  # raises on mismatch
+        return SP1Groth16Proof(
+            wrap_proof=wproof,
+            wrap_vk=wprover.vk,
+            constraints=constraints,
+            witness=witness,
+            public_values=shrink.public_values,
+            shrink=shrink,
+            _prover=wprover,
+        )
+
     def verify(self, proof, vk) -> bool:
         from ..prover import multi
 
         if isinstance(proof, ProveRequest):
             proof = proof.core()
-        if getattr(proof, "mode", "core") == "compressed":
+        mode = getattr(proof, "mode", "core")
+        if mode == "compressed":
             from .compressed import verify_compressed
 
             return verify_compressed(
                 proof, vk, self.recursion_fri,
                 expected_root=self.vk_map_root,
+            )
+        if mode == "shrink":
+            return (
+                proof._prover.verify(proof.proof)
+                and self.verify(proof.compressed, vk)
+            )
+        if mode == "groth16":
+            from ..recursion import gnark_eval
+
+            try:
+                gnark_eval.evaluate(proof.constraints, proof.witness)
+            except gnark_eval.GnarkEvalError:
+                return False
+            return (
+                proof._prover.verify(proof.wrap_proof)
+                and self.verify(proof.shrink, vk)
             )
         return multi.verify_program(self.shard_verifier, vk, proof.shard_proofs)
 
@@ -222,6 +334,12 @@ class ProveRequest:
 
     def compressed(self):
         return self._prover._prove_compressed(self._pk, self._stdin)
+
+    def shrink(self):
+        return self._prover._prove_shrink(self._pk, self._stdin)
+
+    def groth16(self):
+        return self._prover._prove_groth16(self._pk, self._stdin)
 
     @property
     def shard_proofs(self):

@@ -210,6 +210,9 @@ class CompressedPipeline:
             items = [self._reduce(items, vk_map, vk_index)]
         assert len(items) == 1
         _, _, root_rp, root_proof = items[0]
+        # downstream stages (SDK shrink/wrap) need the root prover's
+        # machine/config/vk to compile their verifier programs
+        self.last_root_rp = root_rp
         ridx = vk_index(root_rp.vk)
         return SP1CompressedProof(
             root_proof=root_proof,

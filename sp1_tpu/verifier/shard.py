@@ -318,8 +318,34 @@ def verify_program(bk, machine, config, vk, proofs, pv_layout):
     if not (total == septic.CompletePoint.infinity()):
         raise VerificationError("global septic digest must vanish")
 
-    # Public-values chaining.
-    for i, proof in enumerate(proofs):
+    # Deferred precompile shards (zero CPU-class rows; the chip set is
+    # bound by the commitment so this is prover-unforgeable) sit outside
+    # the pc/clk chain; their state-slot PVs must be degenerate.
+    # Reference role: controller/precompiles.rs deferred shards.
+    cpu_names = {c.name for c in machine.chips if c.name.startswith("Cpu")}
+    chain = []
+    for proof in proofs:
+        if any(n in proof.opened_values for n in cpu_names):
+            chain.append(proof)
+            continue
+        pv = proof.public_values
+        for slot, label in (
+            (pv_layout.PV_PC_START, "px pc_start"),
+            (pv_layout.PV_NEXT_PC, "px next_pc"),
+            (pv_layout.PV_CLK_START, "px clk_start"),
+            (pv_layout.PV_CLK_END, "px clk_end"),
+            (pv_layout.PV_IS_HALTED, "px halted"),
+        ):
+            bk.assert_f_eq(pv[slot], bk.felt(0), label)
+        if "MemoryGenesis" in proof.opened_values:
+            raise VerificationError("genesis bookend in precompile shard")
+        if "MemoryFinalGlobal" in proof.opened_values:
+            raise VerificationError("final-global bookend in precompile shard")
+    if not chain:
+        raise VerificationError("no execution shards")
+
+    # Public-values chaining over the execution shards.
+    for i, proof in enumerate(chain):
         pv = proof.public_values
         if i == 0:
             bk.assert_f_eq(
@@ -327,14 +353,14 @@ def verify_program(bk, machine, config, vk, proofs, pv_layout):
             )
             bk.assert_f_eq(pv[pv_layout.PV_CLK_START], bk.felt(1), "first clk")
         else:
-            prev = proofs[i - 1].public_values
+            prev = chain[i - 1].public_values
             bk.assert_f_eq(
                 pv[pv_layout.PV_PC_START], prev[pv_layout.PV_NEXT_PC], "pc chain"
             )
             bk.assert_f_eq(
                 pv[pv_layout.PV_CLK_START], prev[pv_layout.PV_CLK_END], "clk chain"
             )
-        is_last = i == len(proofs) - 1
+        is_last = i == len(chain) - 1
         bk.assert_f_eq(
             pv[pv_layout.PV_IS_HALTED],
             bk.felt(1 if is_last else 0),
